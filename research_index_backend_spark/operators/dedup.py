@@ -1,0 +1,159 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's author dedup (exact ORCID + fuzzy name,
+reference src/research_index_backend/create_graph_from_doi.py:104-176),
+these are the text-corpus dedup primitives a 100 TB pipeline needs:
+
+  exact_dedup        — hash-groupBy on a content fingerprint
+  jaccard_pairs      — token-set Jaccard via inverted-index self-join
+  minhash_signatures — k MinHash values per doc (md5-based, deterministic)
+  minhash_lsh_pairs  — LSH banding: candidate pairs share >=1 band bucket
+  simhash            — 16-bit SimHash fingerprint per document
+
+Design notes for scale:
+- All hashing is md5-based and deterministic => idempotent re-runs, and
+  every step is expressible in ANSI SQL (DuckDB-oracle checkable).
+- The Jaccard join is an inverted-index join (explode tokens, self-join on
+  token, count co-occurrences) — the classic set-similarity join; its cost
+  is sum over tokens of df(token)^2, so stop-word-ish ultra-frequent tokens
+  should be filtered first at real scale (max_token_df knob).
+- MinHash-LSH replaces the quadratic token join with banding: only docs
+  sharing a band bucket are compared. Bucket join is an equi-join on
+  (band_id, band_hash) — shuffle, no cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column | str, pattern: str = r"\s+") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(F.filter(F.split(F.lower(c), pattern),
+                                     lambda t: t != ""))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: md5(content) with >1 member, reporting the
+    canonical (min id) representative and the group size."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float = 0.5,
+                  max_token_df: int | None = None) -> DataFrame:
+    """Token-set Jaccard similarity join via inverted index.
+
+    Returns (id_a, id_b, jaccard) for unordered pairs above threshold.
+    max_token_df drops tokens appearing in more than N docs (stop-word
+    guard — essential at scale, optional at test SF).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens_col(text_col).alias("toks"))
+    sizes = toks.select("id", F.size("toks").alias("sz"))
+    inv = toks.select("id", F.explode("toks").alias("tok"))
+    if max_token_df is not None:
+        rare = (inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_token_df).select("tok"))
+        inv = inv.join(rare, "tok", "left_semi")
+    a = inv.select(F.col("tok"), F.col("id").alias("id_a"))
+    b = inv.select(F.col("tok"), F.col("id").alias("id_b"))
+    co = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        co.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn("jaccard",
+                    F.col("inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 8) -> DataFrame:
+    """k deterministic MinHash values per document.
+
+    Hash family: h_i(tok) = md5(i || ':' || tok); the signature component is
+    the lexicographic MIN over the doc's token set. Lexicographic min of a
+    uniform hash is a valid min-hash (order statistics over a total order),
+    and — crucially — it is byte-identical in any engine with md5, so the
+    whole pipeline has a SQL oracle.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_col(text_col)).alias("tok"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return toks.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 8, bands: int = 4) -> DataFrame:
+    """LSH banding over MinHash signatures: k hashes split into `bands`
+    bands of k/bands rows; docs sharing any band bucket become a candidate
+    pair. Returns distinct (id_a, id_b) candidates — verify with
+    jaccard_pairs or a full signature comparison downstream.
+    """
+    assert k % bands == 0, "k must divide evenly into bands"
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k=k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    exploded = sig.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = exploded.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per token take `bits` bits of md5(token); each
+    bit votes +1/-1; fingerprint bit = sign of the vote sum.
+
+    Implemented as explode(token) x explode(bit) then a conditional-sum
+    aggregation and a bit-reassembly — all JVM-side expressions. Near-dup
+    candidates are docs whose fingerprints differ in <=3 bits (compare via
+    bit_count(xor) downstream).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_col(text_col)).alias("tok"))
+    # bits from the first 4 hex chars of md5 (16 bits)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i)
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.cast("long").alias("simhash"))

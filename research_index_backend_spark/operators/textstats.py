@@ -1,0 +1,89 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+These generalize the reference's abstract-processing surface (clean_html +
+notebook NLP, reference src/research_index_backend/utils.py:5-23 and
+notebooks/nlp.ipynb) into the operators a training-data pipeline runs over
+every document. All are pure column expressions — JVM codegen, zero Python
+in the hot path, embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny embedded English stopword list (public knowledge); real pipelines
+# broadcast a per-language list.
+EN_STOPWORDS = ("the", "a", "an", "of", "to", "in", "and", "is", "it",
+                "that", "for", "on", "with", "as", "at", "by")
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def word_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: word pieces OR single non-space symbols."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def stopword_ratio(text: Column | str,
+                   stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = word_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(text: Column | str, threshold: float = 0.05) -> Column:
+    """N-gram-free heuristic language ID: English iff the stopword ratio
+    clears the threshold. (The corpus here is synthetic English; the shape —
+    broadcastable per-language score, argmax — is the real operator.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")) \
+            .otherwise(F.lit("unknown"))
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Length / punctuation / stopword quality heuristics per document.
+
+    Returns one row per doc with the raw signals and a composite [0,1]
+    score; the thresholds are the standard web-corpus filters (mean word
+    length in [3,10], stopword presence, bounded symbol ratio).
+    """
+    c = F.col(text_col)
+    toks = whitespace_tokens(text_col)
+    n_tok = F.size(toks)
+    mean_word_len = (F.length(F.regexp_replace(c, r"\s+", "")) /
+                     F.greatest(n_tok, F.lit(1)))
+    punct_ratio = (F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")) /
+                   F.greatest(F.length(c), F.lit(1)))
+    sw_ratio = stopword_ratio(text_col)
+    score = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(sw_ratio >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(text: Column | str, prefix_chars: int = 64) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercased text. A rolling/winnowed variant
+    would shingle first; md5-of-normalized is the exact-dup anchor."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)

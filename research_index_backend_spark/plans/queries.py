@@ -1,0 +1,938 @@
+"""The engine's query catalog: every operator from SURVEY.md §2 expressed on
+the driver test tables, each with a DuckDB oracle twin.
+
+Conventions that keep the cross-engine value-hash stable:
+- Money/measure sums go through DECIMAL(18,2) then cast back to DOUBLE —
+  exact arithmetic, identical bits in both engines.
+- Counts are count()/count-if (BIGINT in both), never SUM(int) (DuckDB
+  widens SUM to HUGEINT).
+- Derived integers are cast to BIGINT on both sides.
+- Float similarity scores are either exact rational divisions (int/int) or
+  excluded from checked output (ANN returns ranks, not sims).
+- Timestamps in checked output are formatted to 'yyyy-MM-dd HH:mm:ss'
+  strings (session timezone pinned to UTC).
+- Every computed column is aliased identically in the Spark plan and the
+  SQL string.
+
+Each query function takes (spark, sf_dir) and returns a lazy DataFrame; the
+oracle SQL assumes views named region nation customer supplier part orders
+lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.doi import normalize_doi, valid_doi
+from ..functions.names import levenshtein_ratio
+from ..operators.ann import brute_force_topk, lsh_topk
+from ..operators.dedup import (
+    exact_dedup, jaccard_pairs, minhash_lsh_pairs, minhash_signatures,
+)
+from ..operators.exists import existence_probe
+from ..operators.metrics import dup_detect
+from ..operators.theta import contains_tag, range_bucket_join
+from ..operators.upsert import upsert
+from ..operators.window_ops import group_top1, keep_first
+from ..operators import textstats as TS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: containment theta join + anti-join (SURVEY §2 J6+J7)
+# ---------------------------------------------------------------------------
+
+def q_flagship_contains_tag(spark, sf_dir):
+    """Tag documents with every part-name word they contain, excluding
+    already-tagged pairs — the refers_to country-tagging plan
+    (reference create_graph.py:244-258) on the test corpus.
+    Physical plan: BroadcastNestedLoopJoin (word dim broadcast) + left_anti.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .filter(F.length("word") >= 4)
+        .distinct()
+    )
+    existing = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.lit("small").alias("word"))
+    )
+    tagged = contains_tag(docs, words, "text", "word", existing=None)
+    out = tagged.join(existing, ["doc_id", "word"], "left_anti")
+    return out.select("doc_id", "word")
+
+
+ORACLE_FLAGSHIP = """
+WITH words AS (
+  SELECT DISTINCT w AS word
+  FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+  WHERE length(w) >= 4
+),
+existing AS (
+  SELECT doc_id, 'small' AS word FROM documents WHERE doc_id % 10 = 0
+)
+SELECT d.doc_id, w.word
+FROM documents d, words w
+WHERE contains(lower(d.text), lower(w.word))
+  AND NOT EXISTS (SELECT 1 FROM existing e
+                  WHERE e.doc_id = d.doc_id AND e.word = w.word)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: batched existence probe
+# ---------------------------------------------------------------------------
+
+def q_existence_probe(spark, sf_dir):
+    """UNWIND $keys OPTIONAL MATCH ... COUNT(o) > 0 (reference
+    doi.py:151-191) as a left join + grouped count."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return existence_probe(customer, orders, "c_custkey", "has_orders")
+
+
+ORACLE_EXISTENCE = """
+SELECT c.c_custkey, count(o.o_custkey) > 0 AS has_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1/P2: DOI normalize + regex validity partition
+# ---------------------------------------------------------------------------
+
+def q_regex_filter(spark, sf_dir):
+    """Dirty DOI synthesis + the reference's normalize (doi.py:97-103) and
+    crossref-pattern validation (doi.py:31). Spark keeps the exact
+    lookahead pattern (Java regex); the oracle decomposes it for RE2."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    raw = (
+        F.when(k % 4 == 0, F.concat(F.lit("https://doi.org/10.5281/zenodo."),
+                                    k.cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit("  10.5281/zenodo."),
+                                   k.cast("string"), F.lit("  ")))
+        .when(k % 4 == 2, F.concat(F.lit("doi.org/10.5281/zenodo."),
+                                   k.cast("string"), F.lit(".")))
+        .otherwise(F.lit("10.5281/zenodo"))
+    )
+    df = o.withColumn("doi_raw", raw)
+    df = df.withColumn("doi", normalize_doi("doi_raw"))
+    return df.select("o_orderkey", "doi", valid_doi("doi").alias("valid"))
+
+
+ORACLE_REGEX = r"""
+WITH raw AS (
+  SELECT o_orderkey,
+    CASE
+      WHEN o_orderkey % 4 = 0 THEN 'https://doi.org/10.5281/zenodo.' || CAST(o_orderkey AS VARCHAR)
+      WHEN o_orderkey % 4 = 1 THEN '  10.5281/zenodo.' || CAST(o_orderkey AS VARCHAR) || '  '
+      WHEN o_orderkey % 4 = 2 THEN 'doi.org/10.5281/zenodo.' || CAST(o_orderkey AS VARCHAR) || '.'
+      ELSE '10.5281/zenodo'
+    END AS doi_raw
+  FROM orders
+),
+norm AS (
+  SELECT o_orderkey,
+    regexp_replace(regexp_replace(regexp_replace(trim(doi_raw),
+      '\.+$', '', 'g'),
+      'https://doi\.org/', '', 'g'),
+      'doi\.org/', '', 'g') AS doi
+  FROM raw
+)
+SELECT o_orderkey, doi,
+  regexp_matches(doi, '10\.\d{4,9}/[-._;()/:A-Z0-9]*\d[-._;()/:A-Z0-9]*$', 'i') AS valid
+FROM norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3/O1/O2: ordered limit
+# ---------------------------------------------------------------------------
+
+def q_limit_head(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+ORACLE_LIMIT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3/J4: equi-join on a derived (computed) key
+# ---------------------------------------------------------------------------
+
+def q_derived_key_join(spark, sf_dir):
+    """Join on a key computed from a string column — the reference's
+    first_name+' '+last_name / left(first,1) match keys (models.py:56,
+    create_graph_from_doi.py:59) shaped onto customer names."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.substring(F.col("c_name"), 10, 9).cast("bigint").alias("derived_key"))
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.derived_key)
+        .groupBy("derived_key")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("total_spend"))
+    )
+
+
+ORACLE_DERIVED_KEY = """
+WITH cust AS (
+  SELECT CAST(substring(c_name, 10, 9) AS BIGINT) AS derived_key FROM customer
+)
+SELECT derived_key, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders JOIN cust ON o_custkey = derived_key
+GROUP BY derived_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1: semi/anti split
+# ---------------------------------------------------------------------------
+
+def q_anti_semi_split(spark, sf_dir):
+    """Customers with no orders (left_anti) — the new-vs-existing DOI split
+    (reference doi.py:175-180)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_anti") \
+               .select("c_custkey", "c_name", "c_acctbal")
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2: duplicate detection
+# ---------------------------------------------------------------------------
+
+def q_dup_detect(spark, sf_dir):
+    return dup_detect(_t(spark, sf_dir, "lineitem"), ["l_orderkey"], "n")
+
+
+ORACLE_DUP = """
+SELECT l_orderkey, count(*) AS n FROM lineitem
+GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: multi-predicate scorecard (one pass)
+# ---------------------------------------------------------------------------
+
+def q_multi_metric_agg(spark, sf_dir):
+    """The 14-metric ingestion report (reference doi.py:202-283) as ONE
+    aggregation pass — conditional counts, map-side combined."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderpriority").startswith("1"), 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_totalprice") > 100000.0, 1)).alias("n_high_value"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("sum_price"),
+    )
+
+
+ORACLE_SCORECARD = """
+SELECT count(*) AS n_total,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS n_urgent,
+       count(CASE WHEN o_totalprice > 100000.0 THEN 1 END) AS n_high_value,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2: per-group top-1 (correlated LIMIT 1)
+# ---------------------------------------------------------------------------
+
+def q_group_top1(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = group_top1(o, ["o_custkey"],
+                     [F.col("o_totalprice").desc(), F.col("o_orderkey")])
+    return top.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+ORACLE_TOP1 = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6/W3: ordered keep-first dedup
+# ---------------------------------------------------------------------------
+
+def q_keep_first_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    first = keep_first(e, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return first.select("user_id", "event_id", "event_type")
+
+
+ORACLE_KEEP_FIRST = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7/J8: upsert (MERGE-by-key)
+# ---------------------------------------------------------------------------
+
+def q_upsert_merge(spark, sf_dir):
+    """MERGE semantics (reference models.py:165-249): existing keeps
+    priority, incoming adds only absent keys."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    existing = o.filter(F.col("o_orderkey") % 2 == 0)
+    incoming = o.filter(F.col("o_orderkey") % 3 == 0) \
+                .withColumn("o_orderstatus", F.lit("N"))
+    return upsert(existing, incoming, ["o_orderkey"])
+
+
+ORACLE_UPSERT = """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, 'N' AS o_orderstatus FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F10: string cleaning + word-order reversal
+# ---------------------------------------------------------------------------
+
+def q_string_clean(spark, sf_dir):
+    """clean_html's whitespace collapse (utils.py:5-23) + the reversed-name
+    key used by the similarity scorer (create_graph_from_doi.py:80-87)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.array_join(F.reverse(toks), " ").alias("reversed_text"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.size(toks).cast("bigint").alias("n_words"),
+    )
+
+
+ORACLE_STRING_CLEAN = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_reverse(t), ' ') AS reversed_text,
+       t[1] AS first_word,
+       CAST(len(t) AS BIGINT) AS n_words
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# F8/F9: date decomposition
+# ---------------------------------------------------------------------------
+
+def q_date_decompose(spark, sf_dir):
+    """ISO date -> (year, month, day) ints (reference parser.py:86-93)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("pub_year"),
+        F.month("o_orderdate").cast("bigint").alias("pub_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("pub_day"),
+    )
+
+
+ORACLE_DATE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS pub_year,
+       CAST(month(o_orderdate) AS BIGINT) AS pub_month,
+       CAST(day(o_orderdate) AS BIGINT) AS pub_day
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6 variant: range theta join
+# ---------------------------------------------------------------------------
+
+def q_theta_range_check(spark, sf_dir):
+    """Non-equi broadcast join: lineitem quantity bucketed into ranges
+    derived from the region dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    ranges = _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("bucket"),
+        (F.col("r_regionkey") * 10.0).alias("lo"),
+        (F.col("r_regionkey") * 10.0 + 10.0).alias("hi"),
+    )
+    joined = range_bucket_join(li, ranges, "l_quantity")
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_RANGE = """
+WITH ranges AS (
+  SELECT r_name AS bucket, r_regionkey * 10.0 AS lo, r_regionkey * 10.0 + 10.0 AS hi
+  FROM region
+)
+SELECT bucket, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN ranges ON l_quantity >= lo AND l_quantity < hi
+GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5: blocked similarity join (levenshtein-ratio oracle variant)
+# ---------------------------------------------------------------------------
+
+def q_similarity_join(spark, sf_dir):
+    """Candidate pairs via blocking key (custkey div 100) then similarity
+    scoring — the fuzzy author match (create_graph_from_doi.py:68-101) with
+    the oracle-expressible levenshtein ratio; the exact-difflib variant is
+    operators.similarity_join(exact=True) (no SQL twin)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select((F.col("c_custkey") / 100).cast("bigint").alias("blk"),
+                 F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    b = c.select((F.col("c_custkey") / 100).cast("bigint").alias("blk"),
+                 F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "sim", levenshtein_ratio(F.col("name_a"), F.col("name_b")))
+    return scored.filter(F.col("sim") >= 0.94).select("id_a", "id_b", "sim")
+
+
+ORACLE_SIMILARITY = """
+WITH c AS (SELECT c_custkey // 100 AS blk, c_custkey AS id, c_name AS name
+           FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       1.0 - CAST(levenshtein(lower(trim(a.name)), lower(trim(b.name))) AS DOUBLE)
+             / greatest(length(lower(trim(a.name))), length(lower(trim(b.name)))) AS sim
+FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+WHERE 1.0 - CAST(levenshtein(lower(trim(a.name)), lower(trim(b.name))) AS DOUBLE)
+      / greatest(length(lower(trim(a.name))), length(lower(trim(b.name)))) >= 0.94
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: group-by count report
+# ---------------------------------------------------------------------------
+
+def q_groupby_count_report(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_GROUPBY = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (batch-expressed): tumbling / sliding / session windows
+# ---------------------------------------------------------------------------
+
+def q_windowed_events(spark, sf_dir):
+    """Tumbling 1h window counts over events — batch expression of the
+    streaming extension (SURVEY §2.9); the streaming twin lives in
+    streaming/windows.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("double").alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+ORACLE_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_windows(spark, sf_dir):
+    """Sliding windows (1h window, 30m slide): each event lands in exactly
+    two windows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "n_events")
+    )
+
+
+ORACLE_SLIDING = """
+WITH starts AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS s FROM events
+  UNION ALL
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) FROM events
+)
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events
+FROM starts GROUP BY 1
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    session ids — the batch twin of F.session_window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    e = e.withColumn("is_new", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0))
+    e = e.withColumn("session_id",
+                     F.sum("is_new").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        e.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_SESSION = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.lower(F.col("p_type")).alias("txt"))
+    return exact_dedup(p, "txt", "p_partkey")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(lower(p_type)) AS fp, min(p_partkey) AS canonical_id,
+       count(*) AS n_dups
+FROM part GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint("text").alias("fp"))
+
+
+ORACLE_FP = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id", k=4)
+
+
+def _oracle_minhash_cte(k: int = 4) -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(k))
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+sig AS (
+  SELECT id, {mins}
+  FROM tok GROUP BY id
+)
+"""
+
+
+ORACLE_MINHASH = _oracle_minhash_cte(4) + "SELECT * FROM sig"
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                             k=4, bands=2)
+
+
+ORACLE_LSH = _oracle_minhash_cte(4) + """
+, buckets AS (
+  SELECT id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sig
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                         threshold=0.8)
+
+
+ORACLE_JACCARD = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM co
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 5 query vectors. Checked output is
+    rank-only (float sims excluded from the hash)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN: equi-join on bucket instead of cross join —
+    the 100 TB-scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, n_bits=4).select(
+        "query_id", "neighbor_id", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+ORACLE_ANN_LSH = """
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM bucketed e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = TS.whitespace_tokens("text")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (F.length(F.regexp_replace(c, r"\s+", "")) /
+         F.greatest(n_tok, F.lit(1))).alias("mean_word_len"),
+        (F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")) /
+         F.greatest(F.length(c), F.lit(1))).alias("punct_ratio"),
+    )
+
+
+ORACLE_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       length(regexp_replace(text, '\s+', '', 'g')) / greatest(n_tok, 1) AS mean_word_len,
+       length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / greatest(length(text), 1) AS punct_ratio
+FROM t
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting + stopword hits + heuristic language ID."""
+    d = _t(spark, sf_dir, "documents")
+    wt = TS.word_tokens("text")
+    stop_hits = F.size(F.filter(wt, lambda t: t.isin(*TS.EN_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        TS.token_count("text").cast("bigint").alias("ws_tokens"),
+        F.size(wt).cast("bigint").alias("word_tokens"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        TS.lang_id("text").alias("lang_pred"),
+    )
+
+
+_SW = "', '".join(TS.EN_STOPWORDS)
+ORACLE_TOKEN_STATS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS wt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, ws_tokens,
+         len(wt) AS word_tokens,
+         len(list_filter(wt, x -> x IN ('{_SW}'))) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(word_tokens AS BIGINT) AS word_tokens,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CASE WHEN CAST(stop_hits AS DOUBLE) / greatest(word_tokens, 1) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph-shaped motifs (property-graph parity on the test schema)
+# ---------------------------------------------------------------------------
+
+def q_graph_degree(spark, sf_dir):
+    """2-hop motif aggregate: (nation)<-[member_of]-(customer)<-[placed]-
+    (order)<-[contains]-(lineitem) — degree rollup per nation, the
+    member_of/author_of traversal shape."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+ORACLE_GRAPH_DEGREE = """
+SELECT n_name, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_graph_two_hop(spark, sf_dir):
+    """Co-occurrence motif: (s1)-[supplies]->(part)<-[supplies]-(s2) —
+    the co-authorship pattern (two author_of edges meeting at an Output)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_partkey"), F.col("l_suppkey").alias("supp_a"))
+    b = li.select(F.col("l_partkey"), F.col("l_suppkey").alias("supp_b"))
+    return (
+        a.join(b, "l_partkey")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+
+
+ORACLE_TWO_HOP = """
+WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, count(*) AS shared_parts
+FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON navigation (F18)
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark, sf_dir):
+    """Schema-on-read JSON navigation (reference parser.py:111-143) over the
+    events props column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "flagship_contains_tag": q_flagship_contains_tag,
+    "existence_probe": q_existence_probe,
+    "regex_filter": q_regex_filter,
+    "limit_head": q_limit_head,
+    "derived_key_join": q_derived_key_join,
+    "anti_semi_split": q_anti_semi_split,
+    "dup_detect": q_dup_detect,
+    "multi_metric_agg": q_multi_metric_agg,
+    "group_top1": q_group_top1,
+    "keep_first_dedup": q_keep_first_dedup,
+    "upsert_merge": q_upsert_merge,
+    "string_clean": q_string_clean,
+    "date_decompose": q_date_decompose,
+    "theta_range_check": q_theta_range_check,
+    "similarity_join": q_similarity_join,
+    "groupby_count_report": q_groupby_count_report,
+    "windowed_events": q_windowed_events,
+    "sliding_windows": q_sliding_windows,
+    "sessionize_events": q_sessionize_events,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_minhash_sigs": q_dedup_minhash_sigs,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_jaccard": q_dedup_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "graph_degree": q_graph_degree,
+    "graph_two_hop": q_graph_two_hop,
+    "json_extract": q_json_extract,
+}
+
+ORACLE = {
+    "flagship_contains_tag": ORACLE_FLAGSHIP,
+    "existence_probe": ORACLE_EXISTENCE,
+    "regex_filter": ORACLE_REGEX,
+    "limit_head": ORACLE_LIMIT,
+    "derived_key_join": ORACLE_DERIVED_KEY,
+    "anti_semi_split": ORACLE_ANTI,
+    "dup_detect": ORACLE_DUP,
+    "multi_metric_agg": ORACLE_SCORECARD,
+    "group_top1": ORACLE_TOP1,
+    "keep_first_dedup": ORACLE_KEEP_FIRST,
+    "upsert_merge": ORACLE_UPSERT,
+    "string_clean": ORACLE_STRING_CLEAN,
+    "date_decompose": ORACLE_DATE,
+    "theta_range_check": ORACLE_RANGE,
+    "similarity_join": ORACLE_SIMILARITY,
+    "groupby_count_report": ORACLE_GROUPBY,
+    "windowed_events": ORACLE_WINDOWED,
+    "sliding_windows": ORACLE_SLIDING,
+    "sessionize_events": ORACLE_SESSION,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "doc_fingerprint": ORACLE_FP,
+    "dedup_minhash_sigs": ORACLE_MINHASH,
+    "dedup_lsh_pairs": ORACLE_LSH,
+    "dedup_jaccard": ORACLE_JACCARD,
+    "ann_cosine_topk": ORACLE_ANN,
+    "ann_lsh_topk": ORACLE_ANN_LSH,
+    "text_quality": ORACLE_QUALITY,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "graph_degree": ORACLE_GRAPH_DEGREE,
+    "graph_two_hop": ORACLE_TWO_HOP,
+    "json_extract": ORACLE_JSON,
+}
