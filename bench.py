@@ -1,0 +1,71 @@
+"""Benchmark driver: time every queries() entry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+Each query executes fully through the noop sink (format("noop")) — the
+whole plan runs, nothing is collected to the driver, so timings measure
+the engine, not Arrow transfer. One warmup of the flagship query absorbs
+JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    from __spark_entry__ import queries
+    from research_index_backend_spark.session import get_spark
+
+    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    qs = queries()
+
+    def run(fn):
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: JVM + codegen + parquet footer reads
+    try:
+        run(qs["flagship_contains_tag"])
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            run(fn)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a broken query must not kill the bench
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    line = json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    })
+    print(line, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,196 @@
+"""OpenAire metadata parsing as a Spark plan (SURVEY.md §3.1 / M1+M3).
+
+Reference behavior (reference src/research_index_backend/parser.py:96-192):
+one Python loop per result explodes authors, coalesces pid→orcid
+(parser.py:18-22), title-cases names (parser.py:24-25), repairs
+mutual-substring first/last names (parser.py:26-29), falls back to
+splitting `$` or the surname field (parser.py:31-56), decomposes the
+publication date (parser.py:86-93), and dispatches resource_type on
+@schemeid (parser.py:150-163).
+
+Spark-first re-expression: the whole per-DOI loop is ONE lazy plan —
+explode(results) → explode(authors) → column-expression author parse →
+struct collect. Only two steps need Python (exact .title() and clean_html
+NFC/unescape), both Arrow-batched pandas UDFs. At 100 TB of landed JSONL
+this parses in parallel across executors with zero driver involvement;
+the explicit OPENAIRE_SCHEMA (schemas.py) lets the json scan prune to the
+dozen fields actually parsed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.pytext import clean_html_udf, py_title_udf
+from ..schemas import OPENAIRE_SCHEMA
+
+
+def read_openaire_json(spark: SparkSession, path: str,
+                       multiline: bool = True) -> DataFrame:
+    """Read landed OpenAire response JSON (one envelope per file/line) with
+    the explicit schema — no inference pass over 100 TB."""
+    return (spark.read
+            .option("multiLine", "true" if multiline else "false")
+            .json(path, schema=OPENAIRE_SCHEMA))
+
+
+def _author_cols(a: Column) -> Column:
+    """parse_author (parser.py:11-70) as a single struct expression.
+
+    Returns struct(first_name, last_name, orcid, rank) or NULL when the
+    reference would return None (unparseable name).
+    """
+    # F7: pid→orcid coalesce (parser.py:18-22). NOTE the reference checks
+    # `if not orcid` (falsy: None or ""), mirrored via nullif('').
+    orcid_raw = F.coalesce(
+        F.nullif(a["orcid"], F.lit("")),
+        F.when(a["pid"]["id"]["scheme"].isin("orcid", "orcid_pending"),
+               a["pid"]["id"]["value"]),
+    )
+
+    # F3: .title() on name/surname, None treated as "" (parser.py:24-25)
+    first0 = py_title_udf(F.coalesce(a["name"], F.lit("")))
+    last0 = py_title_udf(F.coalesce(a["surname"], F.lit("")))
+
+    # F4: mutual-substring repair (parser.py:26-29). Python's `x in y` is
+    # True for x == "" but replace(y, "", "") is a no-op, so guard on
+    # non-empty to keep identical results without the degenerate case.
+    last1 = F.when((first0 != "") & F.contains(last0, first0),
+                   F.trim(F.replace(last0, first0, F.lit("")))).otherwise(last0)
+    first1 = F.when((last1 != "") & F.contains(first0, last1),
+                    F.trim(F.replace(first0, last1, F.lit("")))).otherwise(first0)
+
+    # F5a: legacy `$` full-name split — only when both names empty
+    # (parser.py:31-39); exactly-2-token split, else unparseable.
+    dollar_toks = F.split(F.coalesce(a["$"], F.lit("")), r"\s+")
+    dollar_toks = F.filter(dollar_toks, lambda t: t != "")
+    use_dollar = (first1 == "") & (last1 == "") & (F.size(dollar_toks) > 0)
+    first2 = F.when(use_dollar,
+                    F.when(F.size(dollar_toks) == 2, F.element_at(dollar_toks, 1))
+                    .otherwise(F.lit(None))).otherwise(first1)
+    last2 = F.when(use_dollar,
+                   F.when(F.size(dollar_toks) == 2, F.element_at(dollar_toks, 2))
+                   .otherwise(F.lit(None))).otherwise(last1)
+
+    # F5b: surname-only fallback (parser.py:40-56): clean_html, split on
+    # narrow-NBSP U+202F, else on single space; 2 toks → (first, last),
+    # >2 → (first, rest joined), 1 → unparseable.
+    need_split = last2.isNotNull() & (last2 != "") & \
+        (first2.isNull() | (first2 == ""))
+    cleaned = clean_html_udf(last2)
+    nbsp_toks = F.split(cleaned, " ")
+    sp_toks = F.split(cleaned, " ")
+    toks = F.when(F.size(nbsp_toks) == 1, sp_toks).otherwise(nbsp_toks)
+    first3 = F.when(
+        need_split,
+        F.when(F.size(toks) >= 2, F.element_at(toks, 1)).otherwise(F.lit(None)),
+    ).otherwise(first2)
+    last3 = F.when(
+        need_split,
+        F.when(F.size(toks) == 2, F.element_at(toks, 2))
+        .when(F.size(toks) > 2, F.array_join(F.slice(toks, 2, 100000), " "))
+        .otherwise(F.lit(None)),
+    ).otherwise(last2)
+
+    rank = F.coalesce(a["rank"].cast("int"), F.lit(1))
+    # F6: ORCID URL format (parser.py:66)
+    orcid = F.when(orcid_raw.isNotNull(),
+                   F.concat(F.lit("https://orcid.org/"), orcid_raw))
+
+    ok = first3.isNotNull() & (first3 != "") & last3.isNotNull() & (last3 != "")
+    return F.when(ok, F.struct(
+        first3.alias("first_name"),
+        last3.alias("last_name"),
+        orcid.alias("orcid"),
+        rank.alias("rank"),
+    ))
+
+
+def _explode_results(envelopes: DataFrame) -> DataFrame:
+    """(query_doi, result_idx, r) — one row per OpenAire result."""
+    return envelopes.select(
+        F.col("query_doi").alias("doi"),
+        F.posexplode("results").alias("result_idx", "r"),
+    )
+
+
+def parse_authors(envelopes: DataFrame) -> DataFrame:
+    """One row per parsed (doi, result_idx, author) — unparseable authors
+    dropped, exactly the rows the reference's parse_author returns non-None
+    for. Pandas UDFs run on the exploded rows (they cannot appear inside a
+    higher-order transform lambda), so the explode happens first; the
+    explode is also the right scale shape — author parsing parallelizes
+    over rows, not over array elements inside a row.
+    """
+    rows = _explode_results(envelopes).select(
+        "doi", "result_idx",
+        F.posexplode_outer(F.col("r")["authors"]).alias("author_pos", "a"),
+    )
+    parsed = rows.select(
+        "doi", "result_idx", "author_pos",
+        _author_cols(F.col("a")).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    return parsed.select(
+        "doi", "result_idx", "author_pos",
+        F.col("p.first_name").alias("first_name"),
+        F.col("p.last_name").alias("last_name"),
+        F.col("p.orcid").alias("orcid"),
+        F.col("p.rank").alias("rank"),
+    )
+
+
+def parse_articles(envelopes: DataFrame) -> DataFrame:
+    """parse_metadata (parser.py:96-192) as one lazy plan.
+
+    Input: OPENAIRE_SCHEMA envelopes with a query_doi side-channel column.
+    Output: one row per result — the AnonymousArticle fields + an
+    `authors` array<struct<first_name,last_name,orcid,rank>> in original
+    array order with unparseable authors dropped.
+    """
+    r = F.col("r")
+    journal_raw = r["journal"]["$"]
+    resource = r["resourcetype"]
+    arts = _explode_results(envelopes).select(
+        "doi", "result_idx",
+        # title is clean_html'd twice in the reference (parse + model ctor)
+        clean_html_udf(clean_html_udf(r["mainTitle"])).alias("title"),
+        F.element_at(r["descriptions"], 1).alias("abstract"),
+        F.when(journal_raw.isNotNull() & (journal_raw != ""),
+               clean_html_udf(journal_raw)).otherwise(F.lit("")).alias("journal"),
+        F.lit(None).cast("int").alias("issue"),
+        F.lit(None).cast("int").alias("volume"),
+        F.year(F.to_date(r["publicationDate"])).alias("publication_year"),
+        F.month(F.to_date(r["publicationDate"])).alias("publication_month"),
+        F.dayofmonth(F.to_date(r["publicationDate"])).alias("publication_day"),
+        r["publisher"].alias("publisher"),
+        # F20: result_type passthrough (parser.py:73-83)
+        r["type"].alias("result_type"),
+        # F19: resource_type scheme dispatch (parser.py:150-163)
+        F.when(resource["@schemeid"].isin("dnet:result_typologies",
+                                          "dnet:publication_resource"),
+               resource["@classname"]).alias("resource_type"),
+        # F9: cited_by_count_date = current year (parser.py:187)
+        F.year(F.current_date()).cast("int").alias("cited_by_count_date"),
+    )
+    authors = parse_authors(envelopes)
+    grouped = (
+        authors.groupBy("doi", "result_idx")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("author_pos"),
+            F.struct("first_name", "last_name", "orcid", "rank").alias("p"),
+        ))).alias("ordered"))
+        .select("doi", "result_idx",
+                F.transform("ordered", lambda s: s["p"]).alias("authors"))
+    )
+    return (
+        arts.join(grouped, ["doi", "result_idx"], "left")
+        .withColumn(
+            "authors",
+            F.coalesce(
+                "authors",
+                F.array().cast(
+                    "array<struct<first_name:string,last_name:string,"
+                    "orcid:string,rank:int>>"),
+            ))
+    )

@@ -51,7 +51,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine_sim(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+    # quantize before ranking: cross-engine float folding can differ in the
+    # last ulp; round(sim, 9) + id tiebreak makes ranks engine-stable
+    w = Window.partitionBy("query_id").orderBy(F.round("sim", 9).desc(),
                                                F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -92,7 +94,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine_sim(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+    # quantize before ranking: cross-engine float folding can differ in the
+    # last ulp; round(sim, 9) + id tiebreak makes ranks engine-stable
+    w = Window.partitionBy("query_id").orderBy(F.round("sim", 9).desc(),
                                                F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -20,15 +20,18 @@ def existence_probe(probe: DataFrame, target: DataFrame, key: str,
                     flag_col: str = "exists_flag") -> DataFrame:
     """Per probe key: does any target row match? (J1).
 
-    Left join + count(target key)>0 keeps the exact reference semantics
-    (probe keys with no match still appear, flag false).
+    Plan shape: distinct the target key FIRST, then one left join + null
+    check. The naive left-join-then-groupBy multiplies probe rows by
+    matches-per-key (orders per customer) before re-aggregating; distincting
+    the target bounds the join output at one row per probe key — same
+    answer, one aggregation instead of an exploded join + groupBy.
     """
-    t = target.select(F.col(key).alias("__t_key")).withColumn("__hit", F.lit(1))
+    t = (target.select(F.col(key).alias("__t_key")).distinct()
+         .withColumn("__hit", F.lit(True)))
     return (
         probe.select(key).distinct()
         .join(t, on=F.col(key) == F.col("__t_key"), how="left")
-        .groupBy(key)
-        .agg((F.count("__hit") > 0).alias(flag_col))
+        .select(key, F.coalesce(F.col("__hit"), F.lit(False)).alias(flag_col))
     )
 
 

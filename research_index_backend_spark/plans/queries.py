@@ -38,8 +38,50 @@ from ..operators.window_ops import group_top1, keep_first
 from ..operators import textstats as TS
 
 
+def _ensure_conf(spark: SparkSession) -> None:
+    """Pin runtime-settable configs on the session actually executing the
+    queries (the driver hands us its own session — getOrCreate in
+    session.get_spark silently ignores builder configs when a session
+    already exists, so set them here on every entry path).
+
+    - session.timeZone=UTC: timestamp formatting identical to the naive
+      DuckDB reading, on any harness host timezone.
+    - legacy.parquet.nanosAsLong: events.parquet is TIMESTAMP(NANOS) which
+      Spark 4 refuses natively (PARQUET_TYPE_ILLEGAL); with the flag the
+      column arrives as int64 nanoseconds — exact, no precision loss.
+    - AQE + skew join: runtime re-planning posture for scale.
+    """
+    if getattr(spark, "_rib_conf_done", False):
+        return
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on some builds; never fail a query
+    spark._rib_conf_done = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _ensure_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as int64 nanos (nanosAsLong). Keep the exact nanos as
+        # ts_ns for ordering/gap math (bit-identical to DuckDB epoch_ns) and
+        # derive a micros timestamp for window bucketing — bucket boundaries
+        # are whole seconds, so the floor-to-micros truncation can never
+        # move an event across a bucket edge.
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +337,8 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
 
 def q_keep_first_dedup(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    first = keep_first(e, ["user_id"], [F.col("ts"), F.col("event_id")])
+    # order on exact nanos — identical total order to DuckDB's TIMESTAMP_NS
+    first = keep_first(e, ["user_id"], [F.col("ts_ns"), F.col("event_id")])
     return first.select("user_id", "event_id", "event_type")
 
 
@@ -509,9 +552,11 @@ def q_sliding_windows(spark, sf_dir):
 
 ORACLE_SLIDING = """
 WITH starts AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS s FROM events
+  -- integer nanos -> naive timestamp via make_timestamp(micros): no
+  -- to_timestamp()/TIMESTAMPTZ, so the hash is stable on any host tz
+  SELECT make_timestamp((epoch_ns(ts) // 1800000000000) * 1800000000) AS s FROM events
   UNION ALL
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) FROM events
+  SELECT make_timestamp(((epoch_ns(ts) // 1800000000000) - 1) * 1800000000) FROM events
 )
 SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events
 FROM starts GROUP BY 1
@@ -522,9 +567,12 @@ def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
     session ids — the batch twin of F.session_window."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    e = e.withColumn("is_new", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0))
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    # gap math in exact int64 nanos — no float rounding at the 30-min edge
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    e = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > F.lit(1800 * 10**9)), 1).otherwise(0))
     e = e.withColumn("session_id",
                      F.sum("is_new").over(
                          w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -537,12 +585,12 @@ def q_sessionize_events(spark, sf_dir):
 ORACLE_SESSION = """
 WITH lagged AS (
   SELECT user_id, event_id, ts,
-         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 ),
 flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS is_new
+         CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END AS is_new
   FROM lagged
 ),
 sessions AS (
@@ -627,8 +675,12 @@ FROM buckets a JOIN buckets b
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """Jaccard verify join WITH the stop-token guard on: tokens appearing in
+    more than max_token_df docs are excluded from the inverted index (their
+    df(token)^2 join cost dominates at scale). Set sizes stay full-set, so
+    the guard only ever under-scores a pair — safe for >= threshold dedup."""
     return jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                         threshold=0.8)
+                         threshold=0.8, max_token_df=400)
 
 
 ORACLE_JACCARD = r"""
@@ -639,9 +691,11 @@ WITH tok AS (
   ) WHERE t <> ''
 ),
 sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+rare AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 400),
+rtok AS (SELECT id, t.tok FROM tok t JOIN rare r ON t.tok = r.tok),
 co AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+  FROM rtok a JOIN rtok b ON a.tok = b.tok AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -676,7 +730,7 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, neighbor_id) AS rnk
+                            ORDER BY round(sim, 9) DESC, neighbor_id) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
@@ -712,7 +766,7 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, neighbor_id) AS rnk
+                            ORDER BY round(sim, 9) DESC, neighbor_id) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
