@@ -22,8 +22,6 @@ combined, tiny result.
 from __future__ import annotations
 
 import shutil
-import tempfile
-import uuid as _uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -62,23 +60,33 @@ def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str],
 
 
 def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str]) -> None:
-    """Upsert into a Parquet directory with write-temp-then-swap atomicity.
+    """Upsert into a Parquet directory with write-adjacent-then-swap.
+
+    Crash-safety ordering: (1) clean any stale .old/.new left by a crashed
+    prior run, (2) write the merged data to a .new dir ADJACENT to the
+    target (same filesystem, so the final moves are renames, not copies),
+    (3) move target -> .old, (4) move .new -> target, (5) drop .old.
+    A crash between (3) and (4) leaves .old recoverable; a crash anywhere
+    earlier leaves the target untouched.
 
     Single-writer assumption: concurrent upserts to the same path race on
     the rename; a production lake would use a transactional table format,
     this keeps the engine dependency-free.
     """
     target = Path(path)
+    old = target.with_suffix(target.suffix + ".old")
+    new = target.with_suffix(target.suffix + ".new")
+    for stale in (old, new):
+        if stale.exists():
+            shutil.rmtree(stale)
     if target.exists():
         existing = spark.read.parquet(str(target))
         merged = upsert(existing, incoming, keys)
     else:
         merged = incoming.dropDuplicates(keys)
-    tmp = Path(tempfile.mkdtemp()) / f"upsert-{_uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(str(tmp))
-    old = target.with_suffix(".old")
+    merged.write.mode("overwrite").parquet(str(new))
     if target.exists():
         target.rename(old)
-    shutil.move(str(tmp), str(target))
+    new.rename(target)
     if old.exists():
         shutil.rmtree(old)

@@ -1,0 +1,194 @@
+"""Unit tests for every operator not already proven by a CORRECTNESS row:
+simhash, semi_anti_split, scorecard, blocked_pairs, upsert/upsert_parquet,
+plus semantics checks for group_top1/keep_first and existence_probe."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_index_backend_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from research_index_backend_spark.operators.exists import (
+    existence_probe,
+    semi_anti_split,
+)
+from research_index_backend_spark.operators.metrics import dup_detect, scorecard
+from research_index_backend_spark.operators.similarity_join import (
+    blocked_pairs,
+    similarity_join,
+)
+from research_index_backend_spark.operators.upsert import (
+    UniquenessViolation,
+    assert_unique,
+    upsert,
+    upsert_parquet,
+)
+from research_index_backend_spark.operators.window_ops import group_top1
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame([
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),          # exact dup of 1
+        (3, "the quick brown foxes jumped"),
+        (4, "completely different text here"),
+    ], ["doc_id", "text"])
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        rows = exact_dedup(docs, "text", "doc_id").collect()
+        assert len(rows) == 1
+        assert rows[0]["canonical_id"] == 1
+        assert rows[0]["n_dups"] == 2
+
+    def test_simhash_identity_and_range(self, spark, docs):
+        fp = {r["id"]: r["simhash"]
+              for r in simhash(docs, "text", "doc_id").collect()}
+        # identical docs -> identical fingerprints
+        assert fp[1] == fp[2]
+        # 16-bit range
+        assert all(0 <= v < 2 ** 16 for v in fp.values())
+        # near-dup (1 vs 3) closer in hamming distance than unrelated (1 vs 4)
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(fp[1], fp[3]) <= ham(fp[1], fp[4])
+
+    def test_minhash_deterministic(self, spark, docs):
+        """Signature component = lexicographic min of md5(f'{i}:{tok}') over
+        the token set — verify against a pure-Python recomputation."""
+        sig = minhash_signatures(docs, "text", "doc_id", k=4)
+        row = {r["id"]: r for r in sig.collect()}[1]
+        toks = set("the quick brown fox".split())
+        for i in range(4):
+            expected = min(
+                hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in toks)
+            assert row[f"mh{i}"] == expected
+
+    def test_lsh_pairs_catch_exact_dups(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                            k=8, bands=4).collect()}
+        assert (1, 2) in pairs  # identical docs always share every band
+
+
+class TestExists:
+    def test_semi_anti_split_disjoint(self, spark):
+        probe = spark.createDataFrame([(k,) for k in range(6)], ["k"])
+        target = spark.createDataFrame([(k,) for k in (1, 3, 5, 7)], ["k"])
+        existing, new = semi_anti_split(probe, target, "k")
+        e = {r["k"] for r in existing.collect()}
+        n = {r["k"] for r in new.collect()}
+        assert e == {1, 3, 5}
+        assert n == {0, 2, 4}
+        assert e.isdisjoint(n)
+
+    def test_existence_probe_no_row_multiplication(self, spark):
+        """A probe key with MANY target matches still yields exactly one
+        output row (the round-1 wrong-plan regression)."""
+        probe = spark.createDataFrame([(1,), (2,)], ["k"])
+        target = spark.createDataFrame([(1,)] * 50, ["k"])
+        rows = existence_probe(probe, target, "k").collect()
+        got = {r["k"]: r["exists_flag"] for r in rows}
+        assert len(rows) == 2
+        assert got == {1: True, 2: False}
+
+
+class TestScorecard:
+    def test_multi_metric_one_pass(self, spark):
+        df = spark.createDataFrame(
+            [(d, v) for d, v in [("a", 1), ("b", -2), ("c", 3), ("d", -4)]],
+            ["doi", "v"])
+        row = scorecard(df, {
+            "n_pos": F.col("v") > 0,
+            "n_neg": F.col("v") < 0,
+            "n_big": F.abs("v") >= 3,
+        }).collect()[0]
+        assert (row["n_pos"], row["n_neg"], row["n_big"]) == (2, 2, 2)
+
+    def test_dup_detect(self, spark):
+        df = spark.createDataFrame(
+            [("x",), ("x",), ("y",), ("z",), ("z",), ("z",)], ["doi"])
+        got = {r["doi"]: r["n"] for r in dup_detect(df, ["doi"]).collect()}
+        assert got == {"x": 2, "z": 3}
+
+
+class TestSimilarityJoin:
+    def test_blocked_pairs_bounds_candidates(self, spark):
+        left = spark.createDataFrame(
+            [("Usher", "Will Usher"), ("Smith", "Jo Smith")], ["sn", "name"])
+        right = spark.createDataFrame(
+            [("Usher", "W Usher"), ("Jones", "A Jones")], ["sn", "name"])
+        pairs = blocked_pairs(left, right, "sn").collect()
+        # only the shared 'Usher' block pairs up — never a cross product
+        assert len(pairs) == 1
+        assert pairs[0]["l_name"] == "Will Usher"
+        assert pairs[0]["r_name"] == "W Usher"
+
+    def test_exact_difflib_path(self, spark):
+        """exact=True scores with the reference difflib algorithm — the
+        reversed-name golden (ratio 1.0) proves the word-order retry."""
+        left = spark.createDataFrame(
+            [("u", "Sridharan Vignesh")], ["k", "name"])
+        right = spark.createDataFrame(
+            [("u", "Vignesh Sridharan")], ["k", "name"])
+        got = similarity_join(left, right, "name", "name",
+                              F.col("k"), F.col("k"),
+                              threshold=0.8, exact=True).collect()
+        assert len(got) == 1
+        assert got[0]["similarity"] == 1.0
+
+
+class TestUpsert:
+    def test_upsert_appends_only_new(self, spark):
+        existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        incoming = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+        merged = upsert(existing, incoming, ["k"])
+        got = {r["k"]: r["v"] for r in merged.collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}  # existing row 2 wins
+
+    def test_assert_unique_raises(self, spark):
+        df = spark.createDataFrame([(1,), (1,)], ["k"])
+        with pytest.raises(UniquenessViolation):
+            assert_unique(df, ["k"], "t")
+
+    def test_upsert_parquet_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        first = spark.createDataFrame([(1, "a")], ["k", "v"])
+        upsert_parquet(spark, first, path, ["k"])
+        second = spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"])
+        upsert_parquet(spark, second, path, ["k"])
+        got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: "a", 2: "b"}
+
+    def test_upsert_parquet_stale_old_dir(self, spark, tmp_path):
+        """A leftover .old directory from a crashed prior run must not make
+        the next upsert fail (ADVICE round 1)."""
+        path = tmp_path / "tbl"
+        stale = path.with_suffix(".old")
+        stale.mkdir()
+        (stale / "junk").write_text("stale")
+        first = spark.createDataFrame([(1, "a")], ["k", "v"])
+        upsert_parquet(spark, first, str(path), ["k"])
+        upsert_parquet(
+            spark, spark.createDataFrame([(2, "b")], ["k", "v"]),
+            str(path), ["k"])
+        got = {r["k"]: r["v"] for r in spark.read.parquet(str(path)).collect()}
+        assert got == {1: "a", 2: "b"}
+
+
+class TestWindowOps:
+    def test_group_top1_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, "x"), (1, 5, "y"), (2, 7, "z")], ["k", "score", "tag"])
+        got = {r["k"]: r["tag"] for r in
+               group_top1(df, ["k"],
+                          [F.col("score").desc(), F.col("tag")]).collect()}
+        assert got == {1: "x", 2: "z"}
