@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from research_index_backend_spark.plans.queries import ORACLE, QUERIES  # noqa: E402
+from research_index_backend_spark.plans.queries_ext import (  # noqa: E402
+    ORACLE_EXT,
+    QUERIES_EXT,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,9 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
-    return dict(ORACLE)
+    return {**ORACLE, **ORACLE_EXT}

@@ -1,0 +1,113 @@
+"""Iterative graph algorithms as DataFrame loops (GraphX-style, no JVM ext).
+
+The reference holds its property graph in Memgraph and runs no analytics
+beyond pattern matches; the north star ("GraphX for graph analytics") adds
+iterative algorithms. PySpark has no GraphX bindings, so these are
+Pregel-style DataFrame iterations — the idiomatic Python equivalent
+(SURVEY.md §1 note).
+
+Scale design:
+- Each iteration is one shuffle (join on the edge src). localCheckpoint()
+  after every round truncates the lineage — without it the plan doubles
+  per iteration and the driver OOMs on plan size long before data size.
+- Convergence is detected with a count() of changed labels — a tiny
+  aggregate, but a full pass; at 100 TB run a fixed iteration budget with
+  a periodic convergence probe instead (max_iter caps it here).
+- Label propagation converges in O(graph diameter) rounds. Near-clique
+  dedup graphs converge in 2-3; long chains are the worst case — the
+  alternating large-star/small-star variant (Kiveris et al., "Connected
+  Components in MapReduce and Beyond") halves rounds; noted as the upgrade
+  path, not needed at current scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected degree per node: one aggregation over the symmetrized
+    edge list (map-side combined)."""
+    sym = edges.select(F.col(src).alias("id")).unionAll(
+        edges.select(F.col(dst).alias("id")))
+    return sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         src: str = "src", dst: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """Min-label propagation: component id = min node id in the component.
+
+    edges: undirected pairs (each pair listed once is enough).
+    nodes: optional (id) frame; include it so isolated nodes appear as
+           singleton components. Defaults to edge endpoints.
+
+    Returns (id, component).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if nodes is None:
+        node_ids = sym.select(F.col("a").alias("id")).distinct()
+    else:
+        node_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+
+    comp = node_ids.withColumn("component", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym.b == comp.id)
+            .groupBy("a").agg(F.min("component").alias("nbr_min"))
+        )
+        nxt = (
+            comp.join(nbr_min, comp.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce("nbr_min", F.col("component")))
+                .alias("component"),
+                F.col("component").alias("__prev"),
+            )
+        ).localCheckpoint()  # truncate lineage BEFORE the convergence count
+        changed = nxt.filter(F.col("component") != F.col("__prev")).count()
+        comp = nxt.drop("__prev")
+        if changed == 0:
+            break
+    return comp
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge list. Returns (id, rank).
+
+    Dangling mass is redistributed uniformly each round (standard
+    formulation). Fixed iterations, not convergence-tested — the usual
+    choice at scale (each round is one shuffle on src).
+    """
+    nodes = (edges.select(F.col(src).alias("id"))
+             .unionAll(edges.select(F.col(dst).alias("id")))
+             .distinct())
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks.id)
+            .join(out_deg, src)
+            .select(F.col(dst).alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("id").agg(F.sum("c").alias("in_sum"))
+        )
+        total_in = contrib.agg(F.sum("in_sum")).collect()[0][0] or 0.0
+        dangling = 1.0 - total_in  # rank mass sitting on sink nodes
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select("id",
+                    (F.lit((1 - damping) / n)
+                     + F.lit(damping)
+                     * (F.coalesce("in_sum", F.lit(0.0))
+                        + F.lit(dangling / n))).alias("rank"))
+        ).localCheckpoint()
+    return ranks

@@ -1,0 +1,164 @@
+"""Entry points 1-2 of the reference as composed lazy plans.
+
+load_initial_data (reference src/research_index_backend/create_graph.py:277-314)
+collapses from 7 pandas-apply row loops + per-row Bolt writes into 7 scans
+and a handful of joins:
+
+  workstream.csv / project_partners.csv -> units node table
+  subws.csv                             -> unit_of edges
+  authors.csv                           -> authors node table (P4 null branch)
+  countries.csv                         -> countries node table (F12/F13)
+  wp_members.csv / partner_members.csv  -> member_of edges via the
+      orcid-else-name author lookup (P4 + J2/J3; unmatched members dropped,
+      the reference's "Could not find" branch, create_graph.py:195-197)
+
+ingestion_metrics re-expresses the 14-metric report (reference
+doi.py:202-283) as ONE aggregation pass (A3) over a DOI-tracker frame.
+
+Every output is a DataFrame — callers persist via operators.upsert
+(destructive re-init S11 == write.mode('overwrite') of each table).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.names import full_name_col, split_names_cols
+from ..sources.csv_sources import read_init_csvs
+
+
+def build_units(workstream: DataFrame, partners: DataFrame) -> DataFrame:
+    """Multi-label :Workstream:Unit / :Partner:Unit as one discriminated
+    table (reference models.py:305-342; SURVEY §1.6)."""
+    ws = workstream.select(
+        "id", "name",
+        F.lit("workstream").alias("unit_type"),
+        F.lit(None).cast("string").alias("dbpedia"),
+        F.lit(None).cast("string").alias("ror"),
+        F.lit(None).cast("string").alias("openalex"),
+    )
+    pt = partners.select(
+        "id", "name", F.lit("partner").alias("unit_type"),
+        "dbpedia", "ror", "openalex",
+    )
+    return ws.unionByName(pt)
+
+
+def build_authors(authors_csv: DataFrame) -> DataFrame:
+    """Author nodes; the Orcid-null branch (P4, create_graph.py:88-104)
+    becomes a when().otherwise column."""
+    return authors_csv.select(
+        "uuid", "first_name", "last_name",
+        F.when(F.col("Orcid").isNotNull() & (F.col("Orcid") != ""),
+               F.col("Orcid")).alias("orcid"),
+        F.lit(None).cast("string").alias("openalex"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+
+
+def build_countries(countries_csv: DataFrame) -> DataFrame:
+    """Country nodes: dbpedia slug (F12) + latlng split (F13)
+    (create_graph.py:106-123)."""
+    return countries_csv.select(
+        F.col("cca3").alias("id"),
+        F.col("`name.common`").alias("name"),
+        F.col("`name.official`").alias("official_name"),
+        F.regexp_replace(F.col("`name.official`"), " ", "_").alias("dbpedia"),
+        F.element_at(F.split("latlng", ","), 1).cast("double").alias("latitude"),
+        F.element_at(F.split("latlng", ","), 2).cast("double").alias("longitude"),
+    )
+
+
+def build_unit_of_edges(subws: DataFrame) -> DataFrame:
+    """(Unit child)-[unit_of]->(Unit parent) (create_graph.py:162-169)."""
+    return subws.select(F.col("child").alias("child_id"),
+                        F.col("parent").alias("parent_id"))
+
+
+def build_member_of_edges(members: DataFrame, authors: DataFrame) -> DataFrame:
+    """(Author)-[member_of]->(Unit) via the orcid-else-name lookup.
+
+    members: (id, name, orcid?) rows from wp_members/partner_members.
+    The reference resolves each row one at a time (match_orcid if orcid
+    present else match_name, create_graph.py:171-198); here both lookups
+    are one broadcast join each, branch-selected per row (P4), and
+    unmatched members are dropped (the P7-style guard).
+    """
+    first, last = split_names_cols("name")
+    m = members.select(
+        F.col("id").alias("unit_id"), "orcid",
+        full_name_col(first, last).alias("__full"),
+    )
+    by_orcid = (
+        m.filter(F.col("orcid").isNotNull() & (F.col("orcid") != ""))
+        .join(F.broadcast(authors.select(F.col("uuid"), F.col("orcid").alias("__ao"))),
+              F.col("orcid") == F.col("__ao"), "inner")
+        .select(F.col("uuid").alias("author_uuid"), "unit_id")
+    )
+    by_name = (
+        m.filter(F.col("orcid").isNull() | (F.col("orcid") == ""))
+        .join(F.broadcast(authors.select(
+            "uuid", full_name_col("first_name", "last_name").alias("__af"))),
+            F.col("__full") == F.col("__af"), "inner")
+        .select(F.col("uuid").alias("author_uuid"), "unit_id")
+    )
+    return by_orcid.unionByName(by_name).distinct()
+
+
+def load_initial_data(spark: SparkSession, init_dir: str) -> dict[str, DataFrame]:
+    """The whole consortium bulk load as lazy plans keyed by table name."""
+    raw = read_init_csvs(spark, init_dir)
+    authors = build_authors(raw["authors"])
+    units = build_units(raw["workstream"], raw["project_partners"])
+    members = raw["wp_members"].select("id", "name", "orcid").unionByName(
+        raw["partner_members"].select("id", "name", "orcid"))
+    return {
+        "authors": authors,
+        "countries": build_countries(raw["countries"]),
+        "units": units,
+        "unit_of": build_unit_of_edges(raw["subws"]),
+        "member_of": build_member_of_edges(members, authors),
+    }
+
+
+def ingestion_metrics(tracker: DataFrame, update_metadata: bool = False,
+                      start_time: float | None = None,
+                      end_time: float | None = None) -> DataFrame:
+    """The reference's 14-metric report (doi.py:202-283) in ONE pass.
+
+    tracker columns (the DOI state machine as a frame): doi, n_submitted
+    (submission multiplicity), valid_pattern, already_exists,
+    openalex_metadata, openaire_metadata, ingestion_success.
+
+    Returns a 1-row frame; total_time_seconds is driver-side wall clock
+    (the only non-distributed metric, as in the reference).
+    """
+    processed = (F.col("valid_pattern") if update_metadata
+                 else F.col("valid_pattern") & ~F.col("already_exists"))
+    conds = {
+        "duplicated_submissions": F.col("n_submitted") > 1,
+        "processed_dois": processed,
+        "new_dois": F.col("valid_pattern") & ~F.col("already_exists"),
+        "existing_dois": F.col("valid_pattern") & F.col("already_exists"),
+        "updated_existing_dois": processed & F.col("ingestion_success")
+        & F.col("already_exists"),
+        "ingested_dois": F.col("ingestion_success"),
+        "metadata_pass": processed & F.col("ingestion_success"),
+        "metadata_failure": processed & ~F.col("ingestion_success"),
+        "valid_pattern_dois": F.col("valid_pattern"),
+        "invalid_pattern_dois": ~F.col("valid_pattern"),
+        "openalex_success": processed & F.col("openalex_metadata"),
+        "openaire_success": processed & F.col("openaire_metadata"),
+    }
+    aggs = [F.sum("n_submitted").cast("long").alias("submitted_dois")] + [
+        F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(n)
+        for n, c in conds.items()
+    ]
+    total = 0.0
+    if start_time is not None:
+        total = (end_time or time.time()) - start_time
+    return tracker.agg(*aggs).withColumn(
+        "total_time_seconds", F.lit(round(total, 3)))

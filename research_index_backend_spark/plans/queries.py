@@ -877,10 +877,26 @@ GROUP BY n_name
 """
 
 
+TWO_HOP_DEGREE_CAP = 64  # skew guard: hub vertices are excluded, not paired
+
+
 def q_graph_two_hop(spark, sf_dir):
     """Co-occurrence motif: (s1)-[supplies]->(part)<-[supplies]-(s2) —
-    the co-authorship pattern (two author_of edges meeting at an Output)."""
+    the co-authorship pattern (two author_of edges meeting at an Output).
+
+    Skew guard: the self-join output is quadratic in per-part supplier
+    degree, so one hot part melts one task at scale. Parts above
+    TWO_HOP_DEGREE_CAP distinct suppliers are excluded before pairing —
+    the standard hub-capping move for co-occurrence motifs (a 10k-author
+    consortium paper would otherwise emit 50M pairs alone). The cap is
+    mirrored in the oracle; at test SF no part reaches it.
+    """
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    ok_parts = (li.groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).alias("__deg"))
+                .filter(F.col("__deg") <= TWO_HOP_DEGREE_CAP)
+                .select("l_partkey"))
+    li = li.join(ok_parts, "l_partkey", "left_semi")
     a = li.select(F.col("l_partkey"), F.col("l_suppkey").alias("supp_a"))
     b = li.select(F.col("l_partkey"), F.col("l_suppkey").alias("supp_b"))
     return (
@@ -891,10 +907,14 @@ def q_graph_two_hop(spark, sf_dir):
     )
 
 
-ORACLE_TWO_HOP = """
-WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+ORACLE_TWO_HOP = f"""
+WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT l_partkey FROM sp GROUP BY 1 HAVING count(*) <= {TWO_HOP_DEGREE_CAP}
+),
+sp2 AS (SELECT sp.* FROM sp JOIN ok USING (l_partkey))
 SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, count(*) AS shared_parts
-FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+FROM sp2 a JOIN sp2 b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
 GROUP BY 1, 2
 """
 

@@ -1,0 +1,525 @@
+"""Round-2 query catalog extension: resolution cascade, graph analytics,
+ingest scorecard, multimodal metadata, and the remaining SURVEY §2 scalar
+rows (A5, P4, P7, J4, F6/F7, F12/F13, F17).
+
+Same conventions as plans/queries.py (aliased columns identical on both
+engines, ints cast BIGINT, exact arithmetic in checked output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..graph.analytics import connected_components, pagerank
+from ..ingest.pipeline import ingestion_metrics
+from ..operators.dedup import minhash_lsh_pairs, simhash, tokens_col
+from ..operators.multimodal import attach_binary_metadata
+from ..operators.resolve import resolve_authors
+from .queries import _oracle_minhash_cte, _t
+
+
+# ---------------------------------------------------------------------------
+# Author-resolution cascade (reference create_graph_from_doi.py:104-176)
+# ---------------------------------------------------------------------------
+
+def q_resolve_cascade(spark, sf_dir):
+    """The match-orcid -> verify-name -> name-key-fallback -> create cascade
+    on synthesized author-shaped rows over customer. Incoming rows are
+    perturbed deterministically: %3 carry the correct orcid, %7 a wrong
+    orcid, %5 a case-twisted first name (verify still passes via
+    lowercasing; the name KEY becomes case-mismatched), %11 an unknown
+    last name (forces the create path)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    existing = cust.select(
+        k.cast("string").alias("uuid"),
+        F.col("c_mktsegment").alias("first_name"),
+        (k % 997).cast("string").alias("last_name"),
+        F.concat(F.lit("ORCID-"), k.cast("string")).alias("orcid"),
+    )
+    incoming = cust.select(
+        k.cast("bigint").alias("in_id"),
+        F.when(k % 3 == 0, F.concat(F.lit("ORCID-"), k.cast("string")))
+        .when(k % 7 == 0, F.concat(F.lit("no-such-"), k.cast("string")))
+        .alias("orcid"),
+        F.when(k % 5 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("first_name"),
+        F.when(k % 11 == 0,
+               F.concat(F.lit("ZZ-"), (k % 997).cast("string")))
+        .otherwise((k % 997).cast("string")).alias("last_name"),
+    )
+    out = resolve_authors(incoming, existing, exact=False)
+    return out.select("in_id", "resolved_uuid", "resolution")
+
+
+ORACLE_RESOLVE = """
+WITH existing AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS uuid,
+         c_mktsegment AS first_name,
+         CAST(c_custkey % 997 AS VARCHAR) AS last_name,
+         'ORCID-' || CAST(c_custkey AS VARCHAR) AS orcid
+  FROM customer
+),
+incoming AS (
+  SELECT CAST(c_custkey AS BIGINT) AS in_id,
+         CASE WHEN c_custkey % 3 = 0 THEN 'ORCID-' || CAST(c_custkey AS VARCHAR)
+              WHEN c_custkey % 7 = 0 THEN 'no-such-' || CAST(c_custkey AS VARCHAR)
+         END AS orcid,
+         CASE WHEN c_custkey % 5 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS first_name,
+         CASE WHEN c_custkey % 11 = 0 THEN 'ZZ-' || CAST(c_custkey % 997 AS VARCHAR)
+              ELSE CAST(c_custkey % 997 AS VARCHAR) END AS last_name
+  FROM customer
+),
+inc AS (
+  SELECT *, first_name || ' ' || last_name AS full_name,
+         substr(first_name, 1, 1) || ' ' || last_name AS nkey
+  FROM incoming
+),
+ex AS (
+  SELECT uuid, first_name || ' ' || last_name AS ex_full,
+         substr(first_name, 1, 1) || ' ' || last_name AS ex_key,
+         orcid AS ex_orcid
+  FROM existing
+),
+orcid_scored AS (
+  SELECT i.in_id, e.uuid,
+         1.0 - CAST(levenshtein(lower(trim(e.ex_full)), lower(trim(i.full_name))) AS DOUBLE)
+             / greatest(length(lower(trim(e.ex_full))), length(lower(trim(i.full_name)))) AS score
+  FROM inc i JOIN ex e ON i.orcid = e.ex_orcid
+),
+orcid_hits AS (
+  SELECT in_id, uuid FROM (
+    SELECT in_id, uuid, score,
+           row_number() OVER (PARTITION BY in_id ORDER BY score DESC, uuid) AS rn
+    FROM orcid_scored
+  ) WHERE rn = 1 AND score >= 0.8
+),
+name_hits AS (
+  SELECT in_id, uuid FROM (
+    SELECT i.in_id, e.uuid,
+           row_number() OVER (PARTITION BY i.in_id ORDER BY e.uuid) AS rn
+    FROM inc i JOIN ex e ON i.nkey = e.ex_key
+  ) WHERE rn = 1
+)
+SELECT i.in_id,
+       COALESCE(o.uuid, n.uuid,
+                sha256(concat_ws('|', i.first_name, i.last_name,
+                                 COALESCE(i.orcid, '')))) AS resolved_uuid,
+       CASE WHEN o.uuid IS NOT NULL THEN 'matched_orcid'
+            WHEN n.uuid IS NOT NULL THEN 'matched_name'
+            ELSE 'created' END AS resolution
+FROM inc i
+LEFT JOIN orcid_hits o ON i.in_id = o.in_id
+LEFT JOIN name_hits n ON i.in_id = n.in_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (M5): connected components + PageRank
+# ---------------------------------------------------------------------------
+
+def q_graph_components(spark, sf_dir):
+    """Connected components of the document near-dup graph (LSH candidate
+    pairs as edges, every document a node). Iterative min-label
+    propagation — the co-authorship-components shape from the north star."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", k=4, bands=2)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"),
+                                src="id_a", dst="id_b")
+    return comp.select(F.col("id").cast("bigint").alias("doc_id"),
+                       F.col("component").cast("bigint").alias("component"))
+
+
+ORACLE_COMPONENTS = _oracle_minhash_cte(4).replace(
+    "WITH tok", "WITH RECURSIVE tok", 1) + """
+, buckets AS (
+  SELECT id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+ed AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN ed e ON w.reach = e.a
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(reach) AS BIGINT) AS component
+FROM walk GROUP BY id
+"""
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the symmetrized supplier-part bipartite
+    graph. No SQL oracle (iterative float fixpoint) — rows-only check; the
+    CC query above carries the hash-checked iterative-algorithm proof."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+    return pagerank(edges, n_iter=5).select(
+        "id", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# A5 max over keys / P4 null branch / P7 guard
+# ---------------------------------------------------------------------------
+
+def q_max_over_keys(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return (cust.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+            .agg(F.max("c_acctbal").alias("max_bal"),
+                 F.count(F.lit(1)).alias("n_cust")))
+
+
+ORACLE_MAX_KEYS = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       max(c_acctbal) AS max_bal, count(*) AS n_cust
+FROM customer GROUP BY 1
+"""
+
+
+def q_null_branch_dispatch(spark, sf_dir):
+    """P4: the pd.isna(orcid) branch (reference create_graph.py:90,177,224)
+    — per row choose the orcid lookup key or the name lookup key."""
+    o = _t(spark, sf_dir, "orders")
+    orcid = F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority"))
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.when(orcid.isNull(),
+               F.concat(F.lit("name:"), F.col("o_custkey").cast("string")))
+        .otherwise(F.concat(F.lit("orcid:"), orcid)).alias("match_key"),
+        F.when(orcid.isNull(), F.lit("by_name"))
+        .otherwise(F.lit("by_orcid")).alias("branch"),
+    )
+
+
+ORACLE_NULL_BRANCH = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS orcid
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE WHEN orcid IS NULL THEN 'name:' || CAST(o_custkey AS VARCHAR)
+            ELSE 'orcid:' || orcid END AS match_key,
+       CASE WHEN orcid IS NULL THEN 'by_name' ELSE 'by_orcid' END AS branch
+FROM t
+"""
+
+
+def q_guard_empty(spark, sf_dir):
+    """P7: empty/err-result guard (reference get_metadata.py:51-60) — drop
+    empty payloads, classify the rest with an error-side-channel column."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(tokens_col("text"))
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            toks.cast("bigint").alias("n_tokens"),
+            F.when(toks < 3, F.lit("too_short"))
+            .otherwise(F.lit("ok")).alias("status"))
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+ORACLE_GUARD = r"""
+WITH t AS (
+  SELECT doc_id,
+         length(list_distinct(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_tokens < 3 THEN 'too_short' ELSE 'ok' END AS status
+FROM t WHERE n_tokens > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4 initial-key join / F6+F7 orcid coalesce / F12+F13 slug+latlng / F17 ids
+# ---------------------------------------------------------------------------
+
+def q_initial_key_join(spark, sf_dir):
+    """J4/J10: the m:m blocked join on the initial+surname key
+    (reference create_graph_from_doi.py:53-65, notebooks cell 12-13)."""
+    from ..functions.names import initial_name_col
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = cust.select(
+        k.alias("ck"),
+        F.col("c_mktsegment").alias("first_name"),
+        (k % 499).cast("string").alias("last_name"))
+    left = base.select("ck", initial_name_col("first_name", "last_name").alias("nkey"))
+    right = (base.filter(F.col("ck") % 2 == 0)
+             .select(initial_name_col("first_name", "last_name").alias("nkey")))
+    return (left.join(right, "nkey")
+            .groupBy("nkey").agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+ORACLE_INITIAL_KEY = """
+WITH base AS (
+  SELECT c_custkey AS ck,
+         substr(c_mktsegment, 1, 1) || ' ' || CAST(c_custkey % 499 AS VARCHAR) AS nkey
+  FROM customer
+)
+SELECT l.nkey, count(*) AS n_pairs
+FROM base l JOIN (SELECT nkey FROM base WHERE ck % 2 = 0) r ON l.nkey = r.nkey
+GROUP BY l.nkey
+"""
+
+
+def q_orcid_coalesce(spark, sf_dir):
+    """F7 pid->orcid coalesce + F6 URL format + F19 scheme dispatch
+    (reference parser.py:18-22,66,150-163) on synthesized pid columns."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    scheme = (F.when(k % 4 == 0, "orcid")
+              .when(k % 4 == 1, "orcid_pending")
+              .when(k % 4 == 2, "ror"))
+    top = F.when(k % 2 == 1, F.concat(F.lit("T-"), k.cast("string")))
+    pid_val = F.concat(F.lit("P-"), k.cast("string"))
+    coalesced = F.coalesce(
+        top, F.when(scheme.isin("orcid", "orcid_pending"), pid_val))
+    return cust.select(
+        k.cast("bigint").alias("c_custkey"),
+        F.when(coalesced.isNotNull(),
+               F.concat(F.lit("https://orcid.org/"), coalesced))
+        .alias("orcid_url"),
+    )
+
+
+ORACLE_ORCID_COALESCE = """
+WITH t AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0 THEN 'orcid'
+              WHEN c_custkey % 4 = 1 THEN 'orcid_pending'
+              WHEN c_custkey % 4 = 2 THEN 'ror' END AS scheme,
+         CASE WHEN c_custkey % 2 = 1 THEN 'T-' || CAST(c_custkey AS VARCHAR) END AS top,
+         'P-' || CAST(c_custkey AS VARCHAR) AS pid_val
+  FROM customer
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       'https://orcid.org/' || COALESCE(top,
+           CASE WHEN scheme IN ('orcid', 'orcid_pending') THEN pid_val END)
+       AS orcid_url
+FROM t
+"""
+
+
+def q_slug_latlng(spark, sf_dir):
+    """F12 dbpedia slug + F13 latlng split (reference create_graph.py:106-123)
+    over nation x region names."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    official = F.concat_ws(" ", "n_name", "r_name")
+    latlng = F.concat(F.col("n_nationkey").cast("string"), F.lit(".5,-"),
+                      F.col("r_regionkey").cast("string"), F.lit(".25"))
+    return j.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.regexp_replace(official, " ", "_").alias("dbpedia"),
+        F.element_at(F.split(latlng, ","), 1).cast("double").alias("latitude"),
+        F.element_at(F.split(latlng, ","), 2).cast("double").alias("longitude"),
+    )
+
+
+ORACLE_SLUG_LATLNG = """
+WITH t AS (
+  SELECT n_nationkey,
+         n_name || ' ' || r_name AS official,
+         CAST(n_nationkey AS VARCHAR) || '.5,-' || CAST(r_regionkey AS VARCHAR) || '.25' AS latlng
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       replace(official, ' ', '_') AS dbpedia,
+       CAST(string_split(latlng, ',')[1] AS DOUBLE) AS latitude,
+       CAST(string_split(latlng, ',')[2] AS DOUBLE) AS longitude
+FROM t
+"""
+
+
+def q_mint_ids(spark, sf_dir):
+    """F17 identity minting, deterministic variant: sha2 of the natural key
+    (uuid4 in the reference, models.py:229 — nondeterministic ids break
+    idempotent re-ingest; the engine mints stable ids, with F.uuid()
+    documented for true one-shot identity)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        F.sha2(F.concat_ws("|", "s_name",
+                           F.col("s_nationkey").cast("string")), 256)
+        .alias("minted_uuid"),
+    )
+
+
+ORACLE_MINT = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       sha256(concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR))) AS minted_uuid
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 full 14-metric ingestion scorecard (reference doi.py:202-283)
+# ---------------------------------------------------------------------------
+
+def q_ingest_scorecard(spark, sf_dir):
+    """The complete ingestion report in ONE aggregation pass over a
+    deterministic DOI-tracker frame synthesized from orders."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tracker = o.select(
+        k.alias("doi"),
+        (F.lit(1) + (k % 3 == 0).cast("int")).alias("n_submitted"),
+        (k % 11 != 0).alias("valid_pattern"),
+        (k % 4 == 0).alias("already_exists"),
+        (k % 2 == 0).alias("openalex_metadata"),
+        (k % 5 != 0).alias("openaire_metadata"),
+        (k % 7 != 0).alias("ingestion_success"),
+    )
+    return ingestion_metrics(tracker, update_metadata=False)
+
+
+ORACLE_INGEST_SCORECARD = """
+WITH t AS (
+  SELECT o_orderkey AS doi,
+         1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS n_submitted,
+         o_orderkey % 11 <> 0 AS valid_pattern,
+         o_orderkey % 4 = 0 AS already_exists,
+         o_orderkey % 2 = 0 AS openalex_metadata,
+         o_orderkey % 5 <> 0 AS openaire_metadata,
+         o_orderkey % 7 <> 0 AS ingestion_success
+  FROM orders
+),
+f AS (
+  SELECT *, valid_pattern AND NOT already_exists AS processed FROM t
+)
+SELECT CAST(sum(n_submitted) AS BIGINT) AS submitted_dois,
+       CAST(count_if(n_submitted > 1) AS BIGINT) AS duplicated_submissions,
+       CAST(count_if(processed) AS BIGINT) AS processed_dois,
+       CAST(count_if(valid_pattern AND NOT already_exists) AS BIGINT) AS new_dois,
+       CAST(count_if(valid_pattern AND already_exists) AS BIGINT) AS existing_dois,
+       CAST(count_if(processed AND ingestion_success AND already_exists) AS BIGINT)
+           AS updated_existing_dois,
+       CAST(count_if(ingestion_success) AS BIGINT) AS ingested_dois,
+       CAST(count_if(processed AND ingestion_success) AS BIGINT) AS metadata_pass,
+       CAST(count_if(processed AND NOT ingestion_success) AS BIGINT) AS metadata_failure,
+       CAST(count_if(valid_pattern) AS BIGINT) AS valid_pattern_dois,
+       CAST(count_if(NOT valid_pattern) AS BIGINT) AS invalid_pattern_dois,
+       CAST(count_if(processed AND openalex_metadata) AS BIGINT) AS openalex_success,
+       CAST(count_if(processed AND openaire_metadata) AS BIGINT) AS openaire_success,
+       0.0 AS total_time_seconds
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (wires operators.dedup.simhash to a checked row)
+# ---------------------------------------------------------------------------
+
+def q_simhash_fp(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", bits=16).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("simhash").cast("bigint").alias("simhash"))
+
+
+def _oracle_simhash(bits: int = 16) -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+h AS (
+  SELECT id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER) AS h
+  FROM tok
+),
+votes AS (
+  SELECT id,
+       {votes}
+  FROM h GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+ORACLE_SIMHASH = _oracle_simhash(16)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + narrow metadata columns
+# ---------------------------------------------------------------------------
+
+def q_binary_meta(spark, sf_dir):
+    """Binary-column plumbing: payload as binary + JVM-side metadata
+    (length, content hash) — the narrow columns analytic scans read so the
+    payload column is never materialized (column pruning)."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return attach_binary_metadata(media).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        F.col("sha256"),
+    )
+
+
+ORACLE_BINARY_META = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+QUERIES_EXT = {
+    "resolve_cascade": q_resolve_cascade,
+    "graph_components": q_graph_components,
+    "graph_pagerank": q_graph_pagerank,
+    "max_over_keys": q_max_over_keys,
+    "null_branch_dispatch": q_null_branch_dispatch,
+    "guard_empty": q_guard_empty,
+    "initial_key_join": q_initial_key_join,
+    "orcid_coalesce": q_orcid_coalesce,
+    "slug_latlng": q_slug_latlng,
+    "mint_ids": q_mint_ids,
+    "ingest_scorecard": q_ingest_scorecard,
+    "simhash_fp": q_simhash_fp,
+    "binary_meta": q_binary_meta,
+}
+
+ORACLE_EXT = {
+    "resolve_cascade": ORACLE_RESOLVE,
+    "graph_components": ORACLE_COMPONENTS,
+    # graph_pagerank: rows-only (iterative float fixpoint, no SQL twin)
+    "max_over_keys": ORACLE_MAX_KEYS,
+    "null_branch_dispatch": ORACLE_NULL_BRANCH,
+    "guard_empty": ORACLE_GUARD,
+    "initial_key_join": ORACLE_INITIAL_KEY,
+    "orcid_coalesce": ORACLE_ORCID_COALESCE,
+    "slug_latlng": ORACLE_SLUG_LATLNG,
+    "mint_ids": ORACLE_MINT,
+    "ingest_scorecard": ORACLE_INGEST_SCORECARD,
+    "simhash_fp": ORACLE_SIMHASH,
+    "binary_meta": ORACLE_BINARY_META,
+}

@@ -1,3 +1,5 @@
-from .tables import load_table, load_tables, TABLES
+"""Source/sink layer (SURVEY.md §2.1)."""
 
-__all__ = ["load_table", "load_tables", "TABLES"]
+from .csv_sources import read_init_csv, read_init_csvs  # noqa: F401
+from .doi_list import read_doi_list  # noqa: F401
+from .json_sink import write_json  # noqa: F401

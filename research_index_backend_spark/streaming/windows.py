@@ -1,0 +1,119 @@
+"""Streaming twins of the batch window queries + the foreachBatch upsert.
+
+The reference is a batch CLI — its only incremental machinery is the
+idempotent re-run (existence probe + skip, reference
+src/research_index_backend/doi.py:151-191, create_graph_from_doi.py:219-224).
+This module is the capability extension (SURVEY.md §2.9): the same
+semantics as the batch queries in plans/queries.py expressed over
+``readStream``, plus the ingest loop as a ``foreachBatch`` upsert — each
+micro-batch MERGEs into the target exactly like a reference re-run.
+
+Scale notes:
+- Watermarks bound state: a 1-hour watermark means window state older than
+  (max event time - 1h) is evicted — without it, windowed state grows
+  unboundedly.
+- ``session_window`` is the built-in gap-based sessionization (same 30-min
+  gap semantics as the batch lag+cumsum twin, q_sessionize_events).
+- foreachBatch gives the batch writer (and its anti-join upsert) a
+  micro-batch at a time; idempotence comes from the keyed MERGE, so
+  at-least-once delivery is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema of the events stream AFTER the nanos conversion (the parquet
+# testdata carries int64 nanos under nanosAsLong — streaming sources get
+# the already-converted shape).
+EVENT_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a directory of event parquet/json files."""
+    return (
+        spark.readStream
+        .schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def tumbling_counts_stream(events: DataFrame,
+                           width: str = "1 hour",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_windowed_events: per-window, per-type counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events")
+    )
+
+
+def sliding_counts_stream(events: DataFrame,
+                          width: str = "1 hour",
+                          slide: str = "30 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_sliding_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionized_stream(events: DataFrame,
+                       gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_sessionize_events via the built-in
+    session_window (gap-based, merges windows as events arrive)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events")
+    )
+
+
+def foreach_batch_upsert(stream: DataFrame, target_path: str,
+                         keys: list[str], checkpoint: str):
+    """The reference's idempotent ingest loop as Structured Streaming:
+    every micro-batch MERGEs into the Parquet target by key
+    (operators.upsert.upsert_parquet — anti-join + union + swap).
+
+    Returns the started StreamingQuery; callers own awaitTermination/stop.
+    """
+    from ..operators.upsert import upsert_parquet
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, batch_df, target_path, keys)
+
+    return (
+        stream.writeStream
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

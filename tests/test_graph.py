@@ -1,0 +1,75 @@
+"""Graph analytics: connected components on known topologies, PageRank
+invariants, resolution cascade paths (exact difflib mode)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_index_backend_spark.graph.analytics import (
+    connected_components,
+    degrees,
+    pagerank,
+)
+from research_index_backend_spark.operators.resolve import resolve_authors
+
+
+class TestConnectedComponents:
+    def test_chain_plus_isolated(self, spark):
+        """A 4-chain (worst case for label prop: O(diameter) rounds), a
+        2-clique, and an isolated node."""
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"])
+        nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                      ["id"])
+        got = {r["id"]: r["component"] for r in
+               connected_components(edges, nodes=nodes).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+    def test_degrees(self, spark):
+        edges = spark.createDataFrame([(1, 2), (1, 3)], ["src", "dst"])
+        got = {r["id"]: r["degree"] for r in degrees(edges).collect()}
+        assert got == {1: 2, 2: 1, 3: 1}
+
+
+class TestPageRank:
+    def test_mass_conserved_and_hub_ranked(self, spark):
+        # star: everyone links to 1
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 1), (4, 1)], ["src", "dst"])
+        ranks = {r["id"]: r["rank"] for r in
+                 pagerank(edges, n_iter=10).collect()}
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+        assert ranks[1] == max(ranks.values())
+
+
+class TestResolveCascade:
+    def test_three_paths_exact(self, spark):
+        existing = spark.createDataFrame(
+            [("u1", "Will", "Usher", "https://orcid.org/0000-1"),
+             ("u2", "Vignesh", "Sridharan", None)],
+            ["uuid", "first_name", "last_name", "orcid"])
+        incoming = spark.createDataFrame(
+            [  # correct orcid + matching name -> matched_orcid
+                (1, "Will", "Usher", "https://orcid.org/0000-1"),
+                # orcid of u1 but a COMPLETELY different name -> verify
+                # fails -> name-key fallback also misses -> created
+                (2, "Zanzibar", "Qux", "https://orcid.org/0000-1"),
+                # no orcid, name key hits u2 -> matched_name
+                (3, "Vignesh", "Sridharan", None),
+                # unknown everything -> created
+                (4, "Ada", "Lovelace", None),
+            ],
+            ["in_id", "first_name", "last_name", "orcid"])
+        got = {r["in_id"]: r for r in
+               resolve_authors(incoming, existing, exact=True).collect()}
+        assert got[1]["resolution"] == "matched_orcid"
+        assert got[1]["resolved_uuid"] == "u1"
+        assert got[2]["resolution"] == "created"
+        assert got[3]["resolution"] == "matched_name"
+        assert got[3]["resolved_uuid"] == "u2"
+        assert got[4]["resolution"] == "created"
+        # created ids are deterministic (sha2 of the natural key)
+        again = {r["in_id"]: r["resolved_uuid"] for r in
+                 resolve_authors(incoming, existing, exact=True).collect()}
+        assert again[4] == got[4]["resolved_uuid"]
