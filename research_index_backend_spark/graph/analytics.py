@@ -45,11 +45,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
 
     Returns (id, component).
     """
+    # Materialize the edge list ONCE: without this the upstream plan that
+    # produced the edges (e.g. the whole MinHash-LSH pipeline) re-executes
+    # on every iteration — the difference between O(iters * upstream) and
+    # O(upstream + iters * join).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint()
     if nodes is None:
         node_ids = sym.select(F.col("a").alias("id")).distinct()
     else:
@@ -79,35 +83,50 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
-             n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+             n_iter: int = 10, damping: float = 0.85,
+             handle_dangling: bool = True) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list. Returns (id, rank).
 
-    Dangling mass is redistributed uniformly each round (standard
-    formulation). Fixed iterations, not convergence-tested — the usual
-    choice at scale (each round is one shuffle on src).
+    Fixed iterations, not convergence-tested — the usual choice at scale
+    (each round is one shuffle on src). Dangling mass is redistributed
+    uniformly each round; pass handle_dangling=False when every node is
+    known to have out-edges (e.g. a symmetrized graph) — that removes the
+    per-iteration driver round-trip entirely, leaving pure shuffles.
     """
+    # Materialize edges+degrees once — every iteration joins them, and
+    # without the checkpoint the upstream edge derivation re-executes per
+    # round (see connected_components note). out_deg rides along in the
+    # base frame so each iteration is ONE join with ranks, not two.
+    edges = edges.select(src, dst).localCheckpoint()
     nodes = (edges.select(F.col(src).alias("id"))
              .unionAll(edges.select(F.col(dst).alias("id")))
              .distinct())
-    n = nodes.count()
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    base = (nodes.join(out_deg, "id", "left")
+            .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+            ).localCheckpoint()
+    n = base.count()
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         contrib = (
-            edges.join(ranks, edges[src] == ranks.id)
-            .join(out_deg, src)
-            .select(F.col(dst).alias("id"),
-                    (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("id").agg(F.sum("c").alias("in_sum"))
+            edges.join(ranks.filter(F.col("out_deg") > 0)
+                       .select("id", (F.col("rank") / F.col("out_deg"))
+                               .alias("share")),
+                       edges[src] == F.col("id"))
+            .groupBy(F.col(dst).alias("id")).agg(F.sum("share").alias("in_sum"))
         )
-        total_in = contrib.agg(F.sum("in_sum")).collect()[0][0] or 0.0
-        dangling = 1.0 - total_in  # rank mass sitting on sink nodes
+        if handle_dangling:
+            total_in = contrib.agg(F.sum("in_sum")).collect()[0][0] or 0.0
+            dangling = 1.0 - total_in  # rank mass sitting on sink nodes
+        else:
+            dangling = 0.0
         ranks = (
-            nodes.join(contrib, "id", "left")
-            .select("id",
+            base.join(contrib, "id", "left")
+            .select("id", "out_deg",
                     (F.lit((1 - damping) / n)
                      + F.lit(damping)
                      * (F.coalesce("in_sum", F.lit(0.0))
                         + F.lit(dangling / n))).alias("rank"))
         ).localCheckpoint()
-    return ranks
+    return ranks.select("id", "rank")

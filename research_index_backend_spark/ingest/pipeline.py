@@ -124,6 +124,75 @@ def load_initial_data(spark: SparkSession, init_dir: str) -> dict[str, DataFrame
     }
 
 
+def build_graph_from_envelopes(envelopes: DataFrame,
+                               existing_authors: DataFrame,
+                               existing_outputs: DataFrame,
+                               countries: DataFrame | None = None,
+                               existing_refers_to: DataFrame | None = None,
+                               exact_names: bool = True) -> dict[str, DataFrame]:
+    """Entry point 1's per-DOI loop (reference create_graph_from_doi.py:195-256)
+    as ONE composed plan: parse -> resolve authors -> upsert nodes ->
+    author_of edges -> refers_to country tagging.
+
+    envelopes: OPENAIRE_SCHEMA frames with query_doi set (landed JSONL).
+    existing_authors/_outputs: current graph node tables (may be empty).
+    countries: country nodes for the J6/J7 tagging pass (optional).
+
+    Output uuids are minted as sha2(doi) — deterministic, so re-ingesting
+    the same DOI is a no-op through the doi-keyed upsert (the reference's
+    match_doi-before-CREATE, models.py:165-249). exact_names=True scores
+    author verification with the reference difflib algorithm.
+    """
+    from ..operators.resolve import resolve_authors
+    from ..operators.theta import contains_tag
+    from ..operators.upsert import upsert
+    from .parse import parse_articles, parse_authors
+
+    articles = parse_articles(envelopes).withColumn(
+        "uuid", F.sha2(F.col("doi"), 256))
+    outputs_new = articles.select(
+        "uuid", "doi", "title", "abstract", "journal",
+        "publication_year", "publication_month", "publication_day",
+        "publisher", "result_type", "resource_type", "cited_by_count_date")
+    outputs = upsert(existing_outputs, outputs_new, ["doi"])
+
+    flat = parse_authors(envelopes).withColumn(
+        "in_id", F.concat_ws("#", "doi", F.col("author_pos").cast("string")))
+    resolved = resolve_authors(flat, existing_authors, exact=exact_names)
+    created = (
+        resolved.filter(F.col("resolution") == "created")
+        .select(F.col("resolved_uuid").alias("uuid"),
+                "first_name", "last_name", "orcid",
+                F.lit(None).cast("string").alias("openalex"),
+                F.lit(None).cast("int").alias("rank"))
+    )
+    authors = upsert(existing_authors, created, ["uuid"])
+
+    author_of = (
+        resolved
+        .join(outputs.select("doi", F.col("uuid").alias("output_uuid")), "doi")
+        .select(F.col("resolved_uuid").alias("author_uuid"),
+                "output_uuid", "rank")
+        .distinct()
+    )
+
+    tables = {"authors": authors, "outputs": outputs, "author_of": author_of}
+    if countries is not None:
+        # J6+J7: case-sensitive CONTAINS, as the Cypher original
+        # (create_graph.py:244-258); guard drops already-linked pairs.
+        tagged = contains_tag(
+            outputs.select(F.col("uuid").alias("output_uuid"), "abstract"),
+            countries.select(F.col("id").alias("country_id"), "name"),
+            "abstract", "name", case_insensitive=False)
+        refers_to = tagged.select("output_uuid", "country_id").distinct()
+        if existing_refers_to is not None:
+            refers_to = refers_to.join(existing_refers_to,
+                                       ["output_uuid", "country_id"],
+                                       "left_anti")
+        tables["refers_to"] = refers_to
+    return tables
+
+
 def ingestion_metrics(tracker: DataFrame, update_metadata: bool = False,
                       start_time: float | None = None,
                       end_time: float | None = None) -> DataFrame:

@@ -131,6 +131,41 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def minhash_lsh_star_edges(df: DataFrame, text_col: str, id_col: str,
+                           k: int = 8, bands: int = 4) -> DataFrame:
+    """Bucket-connectivity edges in LINEAR size: each bucket member links to
+    the bucket's min-id representative (a star), instead of all pairs.
+
+    Connected components over these stars are IDENTICAL to components over
+    minhash_lsh_pairs' cliques (bucket co-membership is the connectivity
+    relation either way), but a b-member bucket emits b-1 edges, not
+    b(b-1)/2 — the difference between linear and quadratic in bucket size,
+    which is what survives a hot bucket at 100 TB. Use the pair form when
+    you need the pairs themselves (Jaccard verification); use this for
+    component/dedup-group analysis.
+    """
+    assert k % bands == 0, "k must divide evenly into bands"
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k=k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    exploded = sig.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    rep = exploded.groupBy("band", "bucket").agg(F.min("id").alias("rep"))
+    return (
+        exploded.join(rep, ["band", "bucket"])
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per token take `bits` bits of md5(token); each

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..graph.analytics import connected_components, pagerank
 from ..ingest.pipeline import ingestion_metrics
-from ..operators.dedup import minhash_lsh_pairs, simhash, tokens_col
+from ..operators.dedup import minhash_lsh_star_edges, simhash, tokens_col
 from ..operators.multimodal import attach_binary_metadata
 from ..operators.resolve import resolve_authors
 from .queries import _oracle_minhash_cte, _t
@@ -120,13 +120,18 @@ LEFT JOIN name_hits n ON i.in_id = n.in_id
 # ---------------------------------------------------------------------------
 
 def q_graph_components(spark, sf_dir):
-    """Connected components of the document near-dup graph (LSH candidate
-    pairs as edges, every document a node). Iterative min-label
-    propagation — the co-authorship-components shape from the north star."""
+    """Connected components of the document near-dup graph (LSH bucket
+    co-membership as the connectivity relation, every document a node).
+    Iterative min-label propagation — the co-authorship-components shape
+    from the north star.
+
+    Scale shape: edges are the LINEAR star form (member -> bucket rep,
+    minhash_lsh_star_edges), not the quadratic all-pairs clique — the
+    components are provably identical, so the oracle can still verify via
+    the pair graph's transitive closure."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", k=4, bands=2)
-    comp = connected_components(pairs, nodes=docs.select("doc_id"),
-                                src="id_a", dst="id_b")
+    edges = minhash_lsh_star_edges(docs, "text", "doc_id", k=4, bands=2)
+    comp = connected_components(edges, nodes=docs.select("doc_id"))
     return comp.select(F.col("id").cast("bigint").alias("doc_id"),
                        F.col("component").cast("bigint").alias("component"))
 
@@ -168,7 +173,9 @@ def q_graph_pagerank(spark, sf_dir):
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
-    return pagerank(edges, n_iter=5).select(
+    # symmetrized graph -> every node has out-edges -> no dangling mass ->
+    # no per-iteration driver round trip
+    return pagerank(edges, n_iter=5, handle_dangling=False).select(
         "id", F.round("rank", 6).alias("rank"))
 
 
