@@ -74,21 +74,57 @@ def sign_lsh_bucket(vec: Column, n_bits: int = 4) -> Column:
     return bit.cast("int")
 
 
+def hyperplane_lsh_bucket(vec: Column, n_planes: int = 4) -> Column:
+    """Random-hyperplane LSH bucket (the real thing, not coordinate signs):
+    bit i = sign of dot(s_i, x) where hyperplane s_i has deterministic
+    pseudo-random +-1 weights s_ij = +1 iff the first hex digit of
+    md5('{i}:{j}') is < '8' (j 0-based). Every coordinate contributes, so
+    similar vectors collide with the cosine-LSH guarantee — unlike
+    sign_lsh_bucket, which only looks at the first n coordinates.
+
+    Deterministic md5 weights keep the operator SQL-oracle-expressible.
+    At production scale you would materialize the (n_planes x dim) weight
+    matrix once and broadcast it instead of hashing per element; the plan
+    shape (bucket equi-join) is identical.
+    """
+    def weight_lambda(plane: int):
+        # closure factory: a plain 2-arg lambda (element, index) — an extra
+        # bound default would make PySpark emit a 3-arg lambda, which
+        # ArrayTransform rejects
+        def fn(x, j):
+            return x.cast("double") * F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{plane}:"),
+                                           j.cast("string"))), 1, 1) < "8",
+                F.lit(1.0)).otherwise(F.lit(-1.0))
+        return fn
+
+    bucket = None
+    for i in range(n_planes):
+        weighted = F.transform(vec, weight_lambda(i))
+        dot = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             k: int = 5, n_bits: int = 4) -> DataFrame:
+             k: int = 5, n_bits: int = 4,
+             bucket_fn=None) -> DataFrame:
     """Approximate top-k: only score candidates in the query's LSH bucket.
 
     The cross join becomes an equi-join on bucket — at 100 TB this is the
     difference between |Q|x|C| and |Q|x|C|/2^bits with a shuffle instead of
-    a broadcast nested loop.
+    a broadcast nested loop. bucket_fn defaults to the cheap
+    sign_lsh_bucket; pass hyperplane_lsh_bucket for real cosine-LSH recall.
     """
+    bucket_fn = bucket_fn or sign_lsh_bucket
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
-                       sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+                       bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
-                      sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+                      bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -475,6 +475,60 @@ ORACLE_SIMHASH = _oracle_simhash(16)
 
 
 # ---------------------------------------------------------------------------
+# ANN with real random-hyperplane LSH (every coordinate contributes)
+# ---------------------------------------------------------------------------
+
+def q_ann_hyperplane_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN: deterministic +-1 md5-parity
+    hyperplanes give the cosine-LSH collision guarantee (the sign-of-
+    first-coords variant only inspects 4 of 64 dims); same bucket
+    equi-join plan shape."""
+    from ..operators.ann import hyperplane_lsh_bucket, lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, n_bits=4,
+                    bucket_fn=hyperplane_lsh_bucket).select(
+        "query_id", "neighbor_id", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+def _hyperplane_dot_sql(plane: int) -> str:
+    # j is 1-based in DuckDB lambdas; the md5 seed uses 0-based coords
+    return (
+        "list_reduce(list_transform(embedding, (x, j) -> "
+        "CAST(x AS DOUBLE) * CASE WHEN substr(md5("
+        f"'{plane}:' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8' "
+        "THEN 1.0 ELSE -1.0 END), (acc, v) -> acc + v)")
+
+
+ORACLE_ANN_HYPERPLANE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN {_hyperplane_dot_sql(0)} > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN {_hyperplane_dot_sql(1)} > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN {_hyperplane_dot_sql(2)} > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN {_hyperplane_dot_sql(3)} > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM bucketed WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM bucketed e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, 9) DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary payload + narrow metadata columns
 # ---------------------------------------------------------------------------
 
@@ -513,6 +567,7 @@ QUERIES_EXT = {
     "ingest_scorecard": q_ingest_scorecard,
     "simhash_fp": q_simhash_fp,
     "binary_meta": q_binary_meta,
+    "ann_hyperplane_topk": q_ann_hyperplane_topk,
 }
 
 ORACLE_EXT = {
@@ -529,4 +584,5 @@ ORACLE_EXT = {
     "ingest_scorecard": ORACLE_INGEST_SCORECARD,
     "simhash_fp": ORACLE_SIMHASH,
     "binary_meta": ORACLE_BINARY_META,
+    "ann_hyperplane_topk": ORACLE_ANN_HYPERPLANE,
 }
