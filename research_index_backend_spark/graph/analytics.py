@@ -84,7 +84,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              n_iter: int = 10, damping: float = 0.85,
-             handle_dangling: bool = True) -> DataFrame:
+             handle_dangling: bool = True,
+             checkpoint_every: int = 3,
+             broadcast_ranks: bool = False) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list. Returns (id, rank).
 
     Fixed iterations, not convergence-tested — the usual choice at scale
@@ -92,6 +94,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     uniformly each round; pass handle_dangling=False when every node is
     known to have out-edges (e.g. a symmetrized graph) — that removes the
     per-iteration driver round-trip entirely, leaving pure shuffles.
+
+    Perf knobs:
+    - checkpoint_every: localCheckpoint the rank frame every k rounds (and
+      after the last) instead of every round. Each checkpoint is an eager
+      job; between checkpoints lineage grows by k cheap stages — total edge
+      scans stay n_iter either way, but job/materialization count drops k×.
+    - broadcast_ranks: hash-broadcast the rank frame into the edge join.
+      The rank frame is |V| rows vs the edge list's |E| — when |V| fits in
+      a broadcast (say <100M rows is NOT fine, <10M usually is), this turns
+      the per-iteration edges-shuffle into a map-side broadcast join; the
+      only remaining shuffle is the (small) groupBy(dst) aggregate. At
+      graphs where |V| is too big to broadcast, leave False and both sides
+      shuffle on the join key as usual.
     """
     # Materialize edges+degrees once — every iteration joins them, and
     # without the checkpoint the upstream edge derivation re-executes per
@@ -107,13 +122,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
             ).localCheckpoint()
     n = base.count()
+    maybe_bcast = F.broadcast if broadcast_ranks else (lambda df: df)
+    if handle_dangling:
+        # the per-round dangling-mass collect() executes the lineage each
+        # round regardless — sparse checkpoints would re-run prior rounds
+        checkpoint_every = 1
     ranks = base.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
+    for i in range(n_iter):
+        shares = (ranks.filter(F.col("out_deg") > 0)
+                  .select("id", (F.col("rank") / F.col("out_deg"))
+                          .alias("share")))
         contrib = (
-            edges.join(ranks.filter(F.col("out_deg") > 0)
-                       .select("id", (F.col("rank") / F.col("out_deg"))
-                               .alias("share")),
-                       edges[src] == F.col("id"))
+            edges.join(maybe_bcast(shares), edges[src] == F.col("id"))
             .groupBy(F.col(dst).alias("id")).agg(F.sum("share").alias("in_sum"))
         )
         if handle_dangling:
@@ -122,11 +142,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         else:
             dangling = 0.0
         ranks = (
-            base.join(contrib, "id", "left")
+            base.join(maybe_bcast(contrib), "id", "left")
             .select("id", "out_deg",
                     (F.lit((1 - damping) / n)
                      + F.lit(damping)
                      * (F.coalesce("in_sum", F.lit(0.0))
                         + F.lit(dangling / n))).alias("rank"))
-        ).localCheckpoint()
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("id", "rank")

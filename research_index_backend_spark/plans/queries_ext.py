@@ -165,8 +165,17 @@ FROM walk GROUP BY id
 
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the symmetrized supplier-part bipartite
-    graph. No SQL oracle (iterative float fixpoint) — rows-only check; the
-    CC query above carries the hash-checked iterative-algorithm proof."""
+    graph, checked against a DuckDB oracle that unrolls the 5 iterations as
+    CTE stages. Both engines run the identical IEEE-double recurrence
+    (same literals, same coalesce-0 left join), so after integer
+    quantization (round(rank * 1e6) as BIGINT) the values hash-match —
+    float output itself is avoided because Spark rounds via BigDecimal
+    HALF_UP while DuckDB rounds the binary double, which can differ in the
+    last ulp at a decimal boundary; rounding to an integer sidesteps that.
+
+    Perf shape: rank frame is |V| rows (tiny vs |E|) -> broadcast_ranks
+    turns the per-iteration edge join into a map-side broadcast join, and
+    checkpoint_every=3 cuts eager materializations from 5 to 2."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     fwd = li.select(
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
@@ -175,8 +184,50 @@ def q_graph_pagerank(spark, sf_dir):
                                     F.col("src").alias("dst")))
     # symmetrized graph -> every node has out-edges -> no dangling mass ->
     # no per-iteration driver round trip
-    return pagerank(edges, n_iter=5, handle_dangling=False).select(
-        "id", F.round("rank", 6).alias("rank"))
+    pr = pagerank(edges, n_iter=5, handle_dangling=False,
+                  checkpoint_every=3, broadcast_ranks=True)
+    return pr.select(
+        "id", F.round(F.col("rank") * 1e6).cast("bigint").alias("rank_e6"))
+
+
+def _oracle_pagerank(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB CTE stages.
+
+    Constant parity: every literal is forced to DOUBLE (DuckDB parses bare
+    decimal literals as DECIMAL — (1.0 - 0.85) would be exactly 0.15 in
+    DECIMAL, while Python/Spark compute 0.15000000000000002 in IEEE double;
+    CAST first, subtract after, and both engines run the same recurrence).
+    """
+    d = "CAST(0.85 AS DOUBLE)" if damping == 0.85 else f"CAST({damping!r} AS DOUBLE)"
+    parts = [f"""
+WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+fwd AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst FROM li),
+edges AS (SELECT src, dst FROM fwd
+          UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+nodes AS (SELECT DISTINCT src AS id FROM edges
+          UNION SELECT DISTINCT dst AS id FROM edges),
+deg AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+  FROM edges e JOIN r{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT nodes.id,
+         (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+         + {d} * COALESCE(c{i}.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id)""")
+    parts.append(f"""
+SELECT id, CAST(round(rank * 1e6) AS BIGINT) AS rank_e6 FROM r{n_iter}
+""")
+    return "".join(parts)
+
+
+ORACLE_PAGERANK = _oracle_pagerank(5)
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +624,7 @@ QUERIES_EXT = {
 ORACLE_EXT = {
     "resolve_cascade": ORACLE_RESOLVE,
     "graph_components": ORACLE_COMPONENTS,
-    # graph_pagerank: rows-only (iterative float fixpoint, no SQL twin)
+    "graph_pagerank": ORACLE_PAGERANK,
     "max_over_keys": ORACLE_MAX_KEYS,
     "null_branch_dispatch": ORACLE_NULL_BRANCH,
     "guard_empty": ORACLE_GUARD,
