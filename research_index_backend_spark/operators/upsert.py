@@ -4,7 +4,10 @@ Reference behavior: every `.save()` is match-then-create — e.g. Article
 checks `MATCH (a:Output {doi: $doi})` before `CREATE`
 (reference src/research_index_backend/models.py:165-249), and edge MERGE
 dedupes on endpoints (models.py:121-137). Uniqueness constraints are
-declared server-side (create_graph.py:262-271).
+declared server-side (create_graph.py:262-271). The `-u` update flag
+(reference create_graph_from_doi.py:282, doi.py:219-224) re-processes
+existing DOIs — expressed here as mode="update" (incoming replaces
+matching-key rows instead of being dropped).
 
 Spark-first design: MERGE == anti-join new-vs-existing + unionByName.
 One shuffle on the key (or zero, if the existing side is small enough to
@@ -17,6 +20,15 @@ Scale: the anti-join shuffles both sides by the key once; with the node
 tables bucketed by key on disk even that shuffle disappears (bucketed
 scan-to-scan join). The assertion is a partial-aggregate count — map-side
 combined, tiny result.
+
+Two sink shapes:
+- upsert_parquet: full-rewrite swap — right for the batch-CLI shape where
+  each run rewrites a whole node table once.
+- upsert_parquet_bucketed: the continuous-sink shape — the target is
+  hash-partitioned into key buckets (bucket=NNN dirs) and an upsert only
+  rewrites buckets whose keys intersect the incoming batch (Spark dynamic
+  partition overwrite). A micro-batch touching 3 of 256 buckets does
+  O(3/256 * table) I/O instead of O(table).
 """
 
 from __future__ import annotations
@@ -47,27 +59,65 @@ def assert_unique(df: DataFrame, keys: list[str], label: str = "") -> None:
 
 
 def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str],
-           check_unique: bool = False) -> DataFrame:
-    """MERGE-by-key: keep all existing rows, append incoming rows whose key
-    is absent. Incoming is deduped on the key first (keep arbitrary-first via
-    dropDuplicates — deterministic variants use operators.window_ops.keep_first).
+           check_unique: bool = False, mode: str = "insert") -> DataFrame:
+    """MERGE-by-key. Incoming is deduped on the key first (keep
+    arbitrary-first via dropDuplicates — deterministic variants use
+    operators.window_ops.keep_first).
+
+    mode="insert" (reference default): keep all existing rows, append
+    incoming rows whose key is absent — match-then-create.
+    mode="update" (the -u flag, reference create_graph_from_doi.py:282):
+    incoming rows REPLACE matching-key existing rows; existing rows with no
+    incoming twin are kept untouched. Both are one key-shuffle: an
+    anti-join on whichever side loses, then unionByName.
     """
-    fresh = incoming.dropDuplicates(keys).join(existing, on=keys, how="left_anti")
-    merged = existing.unionByName(fresh)
+    if mode not in ("insert", "update"):
+        raise ValueError(f"upsert mode must be insert|update, got {mode!r}")
+    deduped = incoming.dropDuplicates(keys)
+    if mode == "insert":
+        fresh = deduped.join(existing, on=keys, how="left_anti")
+        merged = existing.unionByName(fresh)
+    else:
+        kept = existing.join(deduped, on=keys, how="left_anti")
+        merged = kept.unionByName(deduped)
     if check_unique:
         assert_unique(merged, keys, "upsert result")
     return merged
 
 
-def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str]) -> None:
+def _recover(target: Path, old: Path, new: Path) -> None:
+    """Crash recovery BEFORE stale cleanup. If the target is missing, a
+    prior run died between its target->old and new->target renames; the
+    data still exists exactly once:
+
+    - .new with a _SUCCESS marker is the complete merged table (the write
+      finished before any rename started) -> promote it.
+    - else .old is the pre-merge table -> restore it.
+
+    Only after the target exists again is it safe to delete stale dirs.
+    (Round-2 ADVICE: the old code rmtree'd both and silently lost the
+    table.)
+    """
+    if target.exists():
+        return
+    if new.exists() and (new / "_SUCCESS").exists():
+        new.rename(target)
+    elif old.exists():
+        old.rename(target)
+
+
+def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str],
+                   mode: str = "insert") -> None:
     """Upsert into a Parquet directory with write-adjacent-then-swap.
 
-    Crash-safety ordering: (1) clean any stale .old/.new left by a crashed
-    prior run, (2) write the merged data to a .new dir ADJACENT to the
-    target (same filesystem, so the final moves are renames, not copies),
-    (3) move target -> .old, (4) move .new -> target, (5) drop .old.
-    A crash between (3) and (4) leaves .old recoverable; a crash anywhere
-    earlier leaves the target untouched.
+    Crash-safety ordering: (0) recover from a crashed prior run (promote a
+    complete .new, else restore .old — see _recover), (1) clean any
+    remaining stale .old/.new, (2) write the merged data to a .new dir
+    ADJACENT to the target (same filesystem, so the final moves are
+    renames, not copies), (3) move target -> .old, (4) move .new -> target,
+    (5) drop .old. A crash between (3) and (4) leaves both .old and the
+    complete .new for step (0) to recover; a crash anywhere earlier leaves
+    the target untouched.
 
     Single-writer assumption: concurrent upserts to the same path race on
     the rename; a production lake would use a transactional table format,
@@ -76,12 +126,13 @@ def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str]) -> No
     target = Path(path)
     old = target.with_suffix(target.suffix + ".old")
     new = target.with_suffix(target.suffix + ".new")
+    _recover(target, old, new)
     for stale in (old, new):
         if stale.exists():
             shutil.rmtree(stale)
     if target.exists():
         existing = spark.read.parquet(str(target))
-        merged = upsert(existing, incoming, keys)
+        merged = upsert(existing, incoming, keys, mode=mode)
     else:
         merged = incoming.dropDuplicates(keys)
     merged.write.mode("overwrite").parquet(str(new))
@@ -90,3 +141,65 @@ def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str]) -> No
     new.rename(target)
     if old.exists():
         shutil.rmtree(old)
+
+
+BUCKET_COL = "__kb"
+
+
+def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
+    """Deterministic key bucket: pmod(hash(keys), n) — F.hash is Murmur3
+    with a fixed seed, stable across runs/sessions, so a key always lands
+    in the same bucket directory."""
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.hash(*[F.col(k) for k in keys]),
+                           F.lit(n_buckets)))
+
+
+def upsert_parquet_bucketed(spark, incoming: DataFrame, path: str,
+                            keys: list[str], n_buckets: int = 16,
+                            mode: str = "insert") -> None:
+    """Partition-pruned upsert: the target is laid out as
+    path/__kb=N/part-*.parquet and an upsert rewrites ONLY the buckets
+    whose keys intersect the incoming batch.
+
+    Mechanics: incoming rows get their key bucket; the existing side is
+    read partition-pruned to just the touched buckets (Catalyst prunes
+    __kb=N dirs from the scan); the merged frame is written with dynamic
+    partition overwrite (spark.sql.sources.partitionOverwriteMode=dynamic),
+    which replaces exactly the partitions present in the written data and
+    leaves every other bucket's files untouched on disk.
+
+    This is the continuous-sink shape (foreachBatch): per micro-batch I/O
+    is O(touched_buckets/n_buckets * table), not O(table). Size n_buckets
+    so a bucket ~ a comfortable rewrite unit (e.g. 1-4 GB at scale);
+    production lakes get the same semantics transactionally from a table
+    format — this is the dependency-free equivalent, with per-partition
+    commit (a crash mid-write can leave a subset of touched buckets
+    updated; re-running the same batch converges because the merge is
+    idempotent by key).
+    """
+    target = Path(path)
+    inc = _with_bucket(incoming.dropDuplicates(keys), keys, n_buckets)
+    if not target.exists():
+        (inc.write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(str(target)))
+        return
+    touched = [r[BUCKET_COL] for r in inc.select(BUCKET_COL).distinct().collect()]
+    existing = (
+        spark.read.option("basePath", str(target)).parquet(str(target))
+        .filter(F.col(BUCKET_COL).isin(touched))  # partition pruning
+    )
+    merged = upsert(existing, inc, keys, mode=mode)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(str(target)))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_bucketed(spark, path: str) -> DataFrame:
+    """Read a bucketed upsert target without the bucket column."""
+    return (spark.read.option("basePath", path).parquet(path)
+            .drop(BUCKET_COL))

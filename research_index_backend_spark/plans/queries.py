@@ -373,6 +373,25 @@ WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
 """
 
 
+def q_upsert_update(spark, sf_dir):
+    """mode="update" — the -u update-metadata flag (reference
+    create_graph_from_doi.py:282, doi.py:219-224): incoming rows REPLACE
+    matching-key existing rows; untouched existing rows survive."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    existing = o.filter(F.col("o_orderkey") % 2 == 0)
+    incoming = o.filter(F.col("o_orderkey") % 3 == 0) \
+                .withColumn("o_orderstatus", F.lit("N"))
+    return upsert(existing, incoming, ["o_orderkey"], mode="update")
+
+
+ORACLE_UPSERT_UPDATE = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+UNION ALL
+SELECT o_orderkey, 'N' AS o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # F1/F2/F10: string cleaning + word-order reversal
 # ---------------------------------------------------------------------------
@@ -955,6 +974,7 @@ QUERIES = {
     "group_top1": q_group_top1,
     "keep_first_dedup": q_keep_first_dedup,
     "upsert_merge": q_upsert_merge,
+    "upsert_update": q_upsert_update,
     "string_clean": q_string_clean,
     "date_decompose": q_date_decompose,
     "theta_range_check": q_theta_range_check,
@@ -989,6 +1009,7 @@ ORACLE = {
     "group_top1": ORACLE_TOP1,
     "keep_first_dedup": ORACLE_KEEP_FIRST,
     "upsert_merge": ORACLE_UPSERT,
+    "upsert_update": ORACLE_UPSERT_UPDATE,
     "string_clean": ORACLE_STRING_CLEAN,
     "date_decompose": ORACLE_DATE,
     "theta_range_check": ORACLE_RANGE,

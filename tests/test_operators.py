@@ -25,10 +25,13 @@ from research_index_backend_spark.operators.similarity_join import (
     similarity_join,
 )
 from research_index_backend_spark.operators.upsert import (
+    BUCKET_COL,
     UniquenessViolation,
     assert_unique,
+    read_bucketed,
     upsert,
     upsert_parquet,
+    upsert_parquet_bucketed,
 )
 from research_index_backend_spark.operators.window_ops import group_top1
 
@@ -168,20 +171,103 @@ class TestUpsert:
         got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
         assert got == {1: "a", 2: "b"}
 
-    def test_upsert_parquet_stale_old_dir(self, spark, tmp_path):
-        """A leftover .old directory from a crashed prior run must not make
-        the next upsert fail (ADVICE round 1)."""
+    def test_upsert_update_mode_replaces(self, spark):
+        """-u update-metadata semantics (reference
+        create_graph_from_doi.py:282): incoming replaces matching keys."""
+        existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        incoming = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+        merged = upsert(existing, incoming, ["k"], mode="update")
+        got = {r["k"]: r["v"] for r in merged.collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}  # incoming row 2 wins
+
+    def test_upsert_recovers_old_when_target_missing(self, spark, tmp_path):
+        """Crash between target->old and new->target (round-2 ADVICE): the
+        recovery must restore the surviving copy, not delete it."""
         path = tmp_path / "tbl"
+        upsert_parquet(spark, spark.createDataFrame([(1, "a")], ["k", "v"]),
+                       str(path), ["k"])
+        # simulate the crash window: target renamed away, no .new yet
+        path.rename(path.with_suffix(".old"))
+        upsert_parquet(spark, spark.createDataFrame([(2, "b")], ["k", "v"]),
+                       str(path), ["k"])
+        got = {r["k"]: r["v"] for r in spark.read.parquet(str(path)).collect()}
+        assert got == {1: "a", 2: "b"}  # pre-crash row 1 survived
+
+    def test_upsert_recovers_complete_new_when_target_missing(
+            self, spark, tmp_path):
+        """Crash after new->target failed but .new was fully written: the
+        complete merged table (with _SUCCESS) is promoted."""
+        path = tmp_path / "tbl"
+        new = path.with_suffix(".new")
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]) \
+            .write.parquet(str(new))
+        assert (new / "_SUCCESS").exists()
+        upsert_parquet(spark, spark.createDataFrame([(3, "c")], ["k", "v"]),
+                       str(path), ["k"])
+        got = {r["k"]: r["v"] for r in spark.read.parquet(str(path)).collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}
+
+    def test_upsert_parquet_stale_old_dir(self, spark, tmp_path):
+        """A leftover .old directory NEXT TO AN INTACT TARGET (crash after
+        the new->target rename but before the .old cleanup) is stale and
+        must be cleaned, not merged or restored (ADVICE rounds 1+2)."""
+        path = tmp_path / "tbl"
+        first = spark.createDataFrame([(1, "a")], ["k", "v"])
+        upsert_parquet(spark, first, str(path), ["k"])
         stale = path.with_suffix(".old")
         stale.mkdir()
         (stale / "junk").write_text("stale")
-        first = spark.createDataFrame([(1, "a")], ["k", "v"])
-        upsert_parquet(spark, first, str(path), ["k"])
         upsert_parquet(
             spark, spark.createDataFrame([(2, "b")], ["k", "v"]),
             str(path), ["k"])
+        assert not stale.exists()
         got = {r["k"]: r["v"] for r in spark.read.parquet(str(path)).collect()}
         assert got == {1: "a", 2: "b"}
+
+
+class TestBucketedUpsert:
+    def _files(self, root):
+        return {p.relative_to(root): p.read_bytes()
+                for p in sorted(root.rglob("*.parquet"))}
+
+    def test_untouched_buckets_byte_identical(self, spark, tmp_path):
+        """The partition-pruned sink must leave buckets whose keys the
+        batch does not touch byte-for-byte untouched on disk."""
+        path = tmp_path / "tbl"
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(32)], ["k", "v"])
+        upsert_parquet_bucketed(spark, base, str(path), ["k"], n_buckets=8)
+        buckets = {p.name for p in path.iterdir() if p.is_dir()}
+        assert buckets <= {f"{BUCKET_COL}={i}" for i in range(8)}
+        before = self._files(path)
+
+        batch = spark.createDataFrame([(0, "V0"), (100, "new")], ["k", "v"])
+        upsert_parquet_bucketed(spark, batch, str(path), ["k"],
+                                n_buckets=8, mode="update")
+
+        # which buckets could legally change?
+        touched = {r[0] for r in batch.selectExpr(
+            f"pmod(hash(k), 8) AS {BUCKET_COL}").distinct().collect()}
+        after = self._files(path)
+        for rel, blob in before.items():
+            b = int(str(rel).split("=")[1].split("/")[0])
+            if b not in touched:
+                assert after[rel] == blob, f"untouched bucket file {rel} changed"
+        got = {r["k"]: r["v"] for r in read_bucketed(spark, str(path)).collect()}
+        want = {i: f"v{i}" for i in range(32)}
+        want.update({0: "V0", 100: "new"})
+        assert got == want
+
+    def test_bucketed_insert_keeps_existing(self, spark, tmp_path):
+        path = tmp_path / "tbl"
+        upsert_parquet_bucketed(
+            spark, spark.createDataFrame([(1, "a")], ["k", "v"]),
+            str(path), ["k"], n_buckets=4)
+        upsert_parquet_bucketed(
+            spark, spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"]),
+            str(path), ["k"], n_buckets=4)
+        got = {r["k"]: r["v"] for r in read_bucketed(spark, str(path)).collect()}
+        assert got == {1: "a", 2: "b"}  # insert mode: existing row 1 wins
 
 
 class TestWindowOps:
