@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.pytext import clean_html_udf, py_title_udf
-from ..schemas import OPENAIRE_SCHEMA
+from ..schemas import OPENAIRE_SCHEMA, OPENALEX_SCHEMA
 
 
 def read_openaire_json(spark: SparkSession, path: str,
@@ -54,12 +54,18 @@ def _author_cols(a: Column) -> Column:
     last0 = py_title_udf(F.coalesce(a["surname"], F.lit("")))
 
     # F4: mutual-substring repair (parser.py:26-29). Python's `x in y` is
-    # True for x == "" but replace(y, "", "") is a no-op, so guard on
-    # non-empty to keep identical results without the degenerate case.
-    last1 = F.when((first0 != "") & F.contains(last0, first0),
-                   F.trim(F.replace(last0, first0, F.lit("")))).otherwise(last0)
-    first1 = F.when((last1 != "") & F.contains(first0, last1),
-                    F.trim(F.replace(first0, last1, F.lit("")))).otherwise(first0)
+    # True for x == "", where replace(y, "", "") is a no-op but the
+    # trailing .strip() still runs — so the empty-substring branch must
+    # trim too (round-2 ADVICE: ' Ab Cd ' with an empty twin is stripped
+    # by the reference). A non-empty non-contained twin takes NO strip.
+    last1 = (F.when((first0 != "") & F.contains(last0, first0),
+                    F.trim(F.replace(last0, first0, F.lit(""))))
+             .when(first0 == "", F.trim(last0))
+             .otherwise(last0))
+    first1 = (F.when((last1 != "") & F.contains(first0, last1),
+                     F.trim(F.replace(first0, last1, F.lit(""))))
+              .when(last1 == "", F.trim(first0))
+              .otherwise(first0))
 
     # F5a: legacy `$` full-name split — only when both names empty
     # (parser.py:31-39); exactly-2-token split, else unparseable.
@@ -137,6 +143,42 @@ def parse_authors(envelopes: DataFrame) -> DataFrame:
         F.col("p.last_name").alias("last_name"),
         F.col("p.orcid").alias("orcid"),
         F.col("p.rank").alias("rank"),
+    )
+
+
+def parse_openalex(landed: DataFrame) -> DataFrame:
+    """OpenAlex works enrichment (reference parser.py:183-186, fed by
+    get_metadata.get_metadata_from_openalex, get_metadata.py:69-87).
+
+    landed: FETCH_SCHEMA rows (query_doi, source, status, error, body) from
+    the openalex fetch stage — or any frame carrying query_doi + a JSON
+    body string. Rows with errors/empty bodies drop out, matching the
+    reference's except-branch (`openalex_metadata = {"id": None}`,
+    create_graph_from_doi.py:231-232): a missing row left-joins to nulls.
+
+    Returns one row per doi: (doi, openalex, cited_by_count,
+    counts_by_year map<int,int>). counts_by_year is parsed as an engine
+    extension; the reference stores None for it (parser.py:188).
+    """
+    df = landed
+    if "source" in df.columns:
+        df = df.filter(F.col("source") == "openalex")
+    if "error" in df.columns:
+        df = df.filter(F.col("error").isNull())
+    b = F.from_json(F.col("body"), OPENALEX_SCHEMA)
+    return (
+        df.filter(F.col("body").isNotNull())
+        .select(
+            F.col("query_doi").alias("doi"),
+            b["id"].alias("openalex"),
+            b["cited_by_count"].cast("int").alias("cited_by_count"),
+            F.map_from_entries(
+                F.transform(b["counts_by_year"],
+                            lambda s: F.struct(s["year"].alias("key"),
+                                               s["cited_by_count"].alias("value")))
+            ).alias("counts_by_year"),
+        )
+        .dropDuplicates(["doi"])
     )
 
 

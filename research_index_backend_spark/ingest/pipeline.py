@@ -129,14 +129,23 @@ def build_graph_from_envelopes(envelopes: DataFrame,
                                existing_outputs: DataFrame,
                                countries: DataFrame | None = None,
                                existing_refers_to: DataFrame | None = None,
-                               exact_names: bool = True) -> dict[str, DataFrame]:
+                               exact_names: bool = True,
+                               openalex_landed: DataFrame | None = None,
+                               ) -> dict[str, DataFrame]:
     """Entry point 1's per-DOI loop (reference create_graph_from_doi.py:195-256)
-    as ONE composed plan: parse -> resolve authors -> upsert nodes ->
-    author_of edges -> refers_to country tagging.
+    as ONE composed plan: parse -> OpenAlex enrich -> resolve authors ->
+    upsert nodes -> author_of edges -> refers_to country tagging.
 
     envelopes: OPENAIRE_SCHEMA frames with query_doi set (landed JSONL).
     existing_authors/_outputs: current graph node tables (may be empty).
     countries: country nodes for the J6/J7 tagging pass (optional).
+    openalex_landed: FETCH_SCHEMA rows from the openalex source; every
+    article is enriched with `openalex` id + `cited_by_count`
+    (reference parser.py:183-186) via a doi left join — a missing/errored
+    response leaves nulls, the reference's `{"id": None}` except-branch.
+    counts_by_year stays null for reference parity (parser.py:188 passes
+    None; parse.parse_openalex exposes the parsed map for users who want
+    the real thing).
 
     Output uuids are minted as sha2(doi) — deterministic, so re-ingesting
     the same DOI is a no-op through the doi-keyed upsert (the reference's
@@ -146,18 +155,34 @@ def build_graph_from_envelopes(envelopes: DataFrame,
     from ..operators.resolve import resolve_authors
     from ..operators.theta import contains_tag
     from ..operators.upsert import upsert
-    from .parse import parse_articles, parse_authors
+    from .parse import parse_articles, parse_authors, parse_openalex
 
     articles = parse_articles(envelopes).withColumn(
         "uuid", F.sha2(F.col("doi"), 256))
+    if openalex_landed is not None:
+        oa = parse_openalex(openalex_landed).drop("counts_by_year")
+        articles = articles.join(oa, "doi", "left")
+    else:
+        articles = (articles
+                    .withColumn("openalex", F.lit(None).cast("string"))
+                    .withColumn("cited_by_count", F.lit(None).cast("int")))
+    # full OUTPUT_NODE column set, in schema order — no drift between the
+    # declared node schema and what the pipeline materializes
     outputs_new = articles.select(
-        "uuid", "doi", "title", "abstract", "journal",
+        "uuid", "doi", "title", "abstract", "journal", "issue", "volume",
         "publication_year", "publication_month", "publication_day",
-        "publisher", "result_type", "resource_type", "cited_by_count_date")
+        "publisher", "result_type", "resource_type",
+        "openalex", "cited_by_count", "cited_by_count_date",
+        F.lit(None).cast("map<int,int>").alias("counts_by_year"))
     outputs = upsert(existing_outputs, outputs_new, ["doi"])
 
+    # key includes result_idx: an envelope with multiple results has
+    # independent author lists, and (doi, author_pos) alone would collide
+    # them (round-2 ADVICE; the reference loops per result, parser.py:111)
     flat = parse_authors(envelopes).withColumn(
-        "in_id", F.concat_ws("#", "doi", F.col("author_pos").cast("string")))
+        "in_id", F.concat_ws("#", "doi",
+                             F.col("result_idx").cast("string"),
+                             F.col("author_pos").cast("string")))
     resolved = resolve_authors(flat, existing_authors, exact=exact_names)
     created = (
         resolved.filter(F.col("resolution") == "created")
@@ -178,13 +203,20 @@ def build_graph_from_envelopes(envelopes: DataFrame,
 
     tables = {"authors": authors, "outputs": outputs, "author_of": author_of}
     if countries is not None:
-        # J6+J7: case-sensitive CONTAINS, as the Cypher original
-        # (create_graph.py:244-258); guard drops already-linked pairs.
-        tagged = contains_tag(
-            outputs.select(F.col("uuid").alias("output_uuid"), "abstract"),
-            countries.select(F.col("id").alias("country_id"), "name"),
-            "abstract", "name", case_insensitive=False)
-        refers_to = tagged.select("output_uuid", "country_id").distinct()
+        # J6+J7: case-sensitive CONTAINS, as the Cypher original — TWO
+        # passes, abstract and title (the reference runs two statements,
+        # create_graph_from_doi.py:294-329); union + distinct, then the
+        # guard drops already-linked pairs. Both passes are one broadcast
+        # nested-loop join each over the same outputs scan.
+        dim = countries.select(F.col("id").alias("country_id"), "name")
+        tagged = None
+        for text_col in ("abstract", "title"):
+            t = contains_tag(
+                outputs.select(F.col("uuid").alias("output_uuid"), text_col),
+                dim, text_col, "name", case_insensitive=False)
+            t = t.select("output_uuid", "country_id")
+            tagged = t if tagged is None else tagged.unionByName(t)
+        refers_to = tagged.distinct()
         if existing_refers_to is not None:
             refers_to = refers_to.join(existing_refers_to,
                                        ["output_uuid", "country_id"],

@@ -82,6 +82,23 @@ OPENAIRE_SCHEMA = StructType([
 ])
 
 # ---------------------------------------------------------------------------
+# OpenAlex works body (the subset the reference reads: `id` and
+# `cited_by_count`, reference parser.py:183-186 fed by get_metadata.py:69-87;
+# counts_by_year parsed here as an engine extension — the reference always
+# stores None for it, models.py/parser.py:188)
+# ---------------------------------------------------------------------------
+
+OPENALEX_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("doi", StringType()),
+    StructField("cited_by_count", LongType()),
+    StructField("counts_by_year", ArrayType(StructType([
+        StructField("year", IntegerType()),
+        StructField("cited_by_count", IntegerType()),
+    ]))),
+])
+
+# ---------------------------------------------------------------------------
 # Property-graph node / edge tables (reference models.py:28-375)
 # ---------------------------------------------------------------------------
 

@@ -13,7 +13,7 @@ from research_index_backend_spark.ingest.parse import read_openaire_json
 from research_index_backend_spark.ingest.pipeline import (
     build_graph_from_envelopes,
 )
-from research_index_backend_spark.schemas import AUTHOR_NODE
+from research_index_backend_spark.schemas import AUTHOR_NODE, OUTPUT_NODE
 
 FIXTURE = "/root/reference/tests/fixtures/openaire_v2_simple.json"
 DOI = "10.5281/zenodo.4650794"
@@ -31,23 +31,9 @@ def empty_authors(spark):
 
 
 def _empty_outputs(spark):
-    from pyspark.sql.types import (IntegerType, StringType, StructField,
-                                   StructType)
-    schema = StructType([
-        StructField("uuid", StringType()),
-        StructField("doi", StringType()),
-        StructField("title", StringType()),
-        StructField("abstract", StringType()),
-        StructField("journal", StringType()),
-        StructField("publication_year", IntegerType()),
-        StructField("publication_month", IntegerType()),
-        StructField("publication_day", IntegerType()),
-        StructField("publisher", StringType()),
-        StructField("result_type", StringType()),
-        StructField("resource_type", StringType()),
-        StructField("cited_by_count_date", IntegerType()),
-    ])
-    return spark.createDataFrame([], schema)
+    # the pipeline now materializes the full OUTPUT_NODE column set —
+    # the existing-table side must carry the same schema
+    return spark.createDataFrame([], OUTPUT_NODE)
 
 
 class TestGraphBuild:
@@ -90,3 +76,89 @@ class TestGraphBuild:
         assert g2["author_of"].count() == 1
         assert (g1["outputs"].select("uuid").collect()
                 == g2["outputs"].select("uuid").collect())
+
+
+class TestOpenAlexMerge:
+    """The OpenAlex enrichment join (reference parser.py:183-186): outputs
+    carry openalex + cited_by_count; counts_by_year stays None for parity
+    (reference passes None, parser.py:188)."""
+
+    def test_outputs_carry_openalex_columns(self, spark, envelopes,
+                                            empty_authors):
+        import json
+
+        from research_index_backend_spark.ingest.fetch import FETCH_SCHEMA
+
+        body = json.dumps({"id": "https://openalex.org/W1",
+                           "cited_by_count": 7,
+                           "counts_by_year": [{"year": 2024,
+                                               "cited_by_count": 7}]})
+        landed = spark.createDataFrame(
+            [(DOI, "openalex", 200, None, body)], FETCH_SCHEMA)
+        g = build_graph_from_envelopes(envelopes, empty_authors,
+                                       _empty_outputs(spark),
+                                       openalex_landed=landed)
+        out = g["outputs"].collect()[0]
+        assert out["openalex"] == "https://openalex.org/W1"
+        assert out["cited_by_count"] == 7
+        assert out["counts_by_year"] is None  # reference parity
+
+    def test_missing_openalex_leaves_nulls(self, spark, envelopes,
+                                           empty_authors):
+        from research_index_backend_spark.ingest.fetch import FETCH_SCHEMA
+
+        landed = spark.createDataFrame([], FETCH_SCHEMA)
+        g = build_graph_from_envelopes(envelopes, empty_authors,
+                                      _empty_outputs(spark),
+                                      openalex_landed=landed)
+        out = g["outputs"].collect()[0]
+        assert out["openalex"] is None and out["cited_by_count"] is None
+
+
+class TestTitlePass:
+    def test_title_only_match_creates_refers_to(self, spark, envelopes,
+                                                empty_authors):
+        """reference create_graph_from_doi.py:294-329 runs TWO tagging
+        statements — abstract and title. 'Starter Data Kit' appears (case
+        sensitively) only in the title, not the lowercase abstract."""
+        countries = spark.createDataFrame(
+            [("XKT", "Starter Data Kit"), ("KEN", "Kenya")], ["id", "name"])
+        g = build_graph_from_envelopes(
+            envelopes, empty_authors, _empty_outputs(spark),
+            countries=countries)
+        refers = g["refers_to"].collect()
+        assert [(r["country_id"]) for r in refers] == ["XKT"]
+
+
+class TestMultiResultEnvelope:
+    def test_in_id_distinguishes_results(self, spark):
+        """An envelope with TWO results, each with an author at position 0,
+        must resolve the two authors independently (round-2 ADVICE: in_id
+        omitted result_idx and collided them)."""
+        from research_index_backend_spark.schemas import OPENAIRE_SCHEMA
+
+        def result(title, first, last):
+            return {
+                "mainTitle": title,
+                "descriptions": ["abs"],
+                "authors": [{"name": first, "surname": last, "rank": "1"}],
+                "publicationDate": "2021-05-13",
+                "publisher": "p",
+                "type": "publication",
+            }
+
+        env = spark.createDataFrame(
+            [{"results": [result("T1", "Alice", "Aardvark"),
+                          result("T2", "Bob", "Badger")],
+              "query_doi": "10.1234/multi"}],
+            OPENAIRE_SCHEMA)
+        g = build_graph_from_envelopes(env, _empty := spark.createDataFrame(
+            [], "uuid string, first_name string, last_name string, "
+                "orcid string, openalex string, rank int"),
+            _empty_outputs(spark))
+        authors = {(r["first_name"], r["last_name"])
+                   for r in g["authors"].collect()}
+        assert authors == {("Alice", "Aardvark"), ("Bob", "Badger")}
+        # two distinct author_of edges, one per created author
+        edges = g["author_of"].collect()
+        assert len({e["author_uuid"] for e in edges}) == 2

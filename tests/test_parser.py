@@ -140,3 +140,56 @@ class TestMetadataGolden:
             F.dayofmonth(F.to_date("d")).alias("dd"),
         ).collect()[0]
         assert (row["y"], row["m"], row["dd"]) == (2021, 5, 13)
+
+
+class TestDegenerateTrim:
+    """reference parser.py:26-29 — the empty-substring branch of the
+    mutual-substring repair still applies .strip() (round-2 ADVICE)."""
+
+    def test_whitespace_surname_empty_name_splits(self, spark):
+        # name='' -> '' in surname is True -> surname.strip() -> 'Ab Cd'
+        # -> surname-only fallback splits to ('Ab', 'Cd')
+        got = _parse_one(spark, {"name": "", "surname": " ab cd ",
+                                 "rank": "1"})
+        assert got == {"first_name": "Ab", "last_name": "Cd",
+                       "orcid": None, "rank": 1}
+
+    def test_nonempty_uncontained_names_keep_whitespace_path(self, spark):
+        # both non-empty, neither contains the other -> NO strip happens
+        # (the reference only strips inside the `in` branches)
+        got = _parse_one(spark, {"name": "Lucy", "surname": "Allington",
+                                 "rank": "2"})
+        assert got == {"first_name": "Lucy", "last_name": "Allington",
+                       "orcid": None, "rank": 2}
+
+
+class TestOpenAlex:
+    """reference parser.py:183-186 + get_metadata.py:69-87: the OpenAlex
+    body contributes `id` and `cited_by_count` per DOI."""
+
+    def test_parse_openalex_body(self, spark):
+        import json
+
+        from research_index_backend_spark.ingest.fetch import FETCH_SCHEMA
+        from research_index_backend_spark.ingest.parse import parse_openalex
+
+        body = json.dumps({
+            "id": "https://openalex.org/W2053522485",
+            "doi": "https://doi.org/10.5281/zenodo.4650794",
+            "cited_by_count": 42,
+            "counts_by_year": [
+                {"year": 2024, "cited_by_count": 30},
+                {"year": 2023, "cited_by_count": 12},
+            ],
+        })
+        landed = spark.createDataFrame(
+            [("10.5281/zenodo.4650794", "openalex", 200, None, body),
+             ("10.5281/zenodo.9999999", "openalex", 404, "HTTP 404", None)],
+            FETCH_SCHEMA)
+        rows = parse_openalex(landed).collect()
+        assert len(rows) == 1  # errored row drops out (the {"id": None} branch)
+        r = rows[0]
+        assert r["doi"] == "10.5281/zenodo.4650794"
+        assert r["openalex"] == "https://openalex.org/W2053522485"
+        assert r["cited_by_count"] == 42
+        assert r["counts_by_year"] == {2024: 30, 2023: 12}
