@@ -35,6 +35,36 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _salted_topk(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
+    """Deterministic two-stage top-k over (query_id, sim, neighbor_id).
+
+    A single row_number window partitioned by query_id funnels EVERY
+    candidate of a query into one task — with few queries that is a
+    |Q|-partition bottleneck (round-2 VERDICT). Stage 1 takes top-k within
+    (query_id, salt) where salt = hash(neighbor_id) % n_salts — candidates
+    spread over n_salts tasks per query, and any row outside its salt's
+    top-k is dominated by >= k rows globally, so the union is a superset of
+    the true top-k. Stage 2 ranks the <= k*n_salts survivors per query —
+    a tiny window. Ordering (round(sim,9) desc, neighbor_id) is total, so
+    the result is identical to the single-window plan on any engine.
+
+    quantize before ranking: cross-engine float folding can differ in the
+    last ulp; round(sim, 9) + id tiebreak makes ranks engine-stable.
+    """
+    order = [F.round("sim", 9).desc(), F.col("neighbor_id")]
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.hash("neighbor_id"), F.lit(n_salts)))
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(*order)
+    survivors = (salted.withColumn("__r", F.row_number().over(w1))
+                 .filter(F.col("__r") <= k))
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    )
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      k: int = 5) -> DataFrame:
@@ -51,15 +81,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine_sim(F.col("q_vec"), F.col("c_vec")))
     )
-    # quantize before ranking: cross-engine float folding can differ in the
-    # last ulp; round(sim, 9) + id tiebreak makes ranks engine-stable
-    w = Window.partitionBy("query_id").orderBy(F.round("sim", 9).desc(),
-                                               F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "sim")
-    )
+    return _salted_topk(scored, k)
 
 
 def sign_lsh_bucket(vec: Column, n_bits: int = 4) -> Column:
@@ -130,12 +152,4 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine_sim(F.col("q_vec"), F.col("c_vec")))
     )
-    # quantize before ranking: cross-engine float folding can differ in the
-    # last ulp; round(sim, 9) + id tiebreak makes ranks engine-stable
-    w = Window.partitionBy("query_id").orderBy(F.round("sim", 9).desc(),
-                                               F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "sim")
-    )
+    return _salted_topk(scored, k)

@@ -103,11 +103,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
-                      k: int = 8, bands: int = 4) -> DataFrame:
+                      k: int = 8, bands: int = 4,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """LSH banding over MinHash signatures: k hashes split into `bands`
     bands of k/bands rows; docs sharing any band bucket become a candidate
     pair. Returns distinct (id_a, id_b) candidates — verify with
     jaccard_pairs or a full signature comparison downstream.
+
+    max_bucket_size is the hot-bucket guard: a b-member bucket emits
+    b(b-1)/2 pairs, so ONE over-common band signature (boilerplate text,
+    empty-ish docs) melts the task that owns it at 100 TB. Buckets above
+    the cap are excluded from pairing entirely — the same hub-capping move
+    as TWO_HOP_DEGREE_CAP, and standard LSH practice (an over-full bucket
+    is a non-discriminative signature, not a dup cluster; route those to
+    the linear star-edge/components path instead, minhash_lsh_star_edges).
     """
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
@@ -121,6 +130,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     exploded = sig.select(
         F.col("id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        ok = (exploded.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_bucket_size)
+              .select("band", "bucket"))
+        exploded = exploded.join(ok, ["band", "bucket"], "left_semi")
     a = exploded.select("band", "bucket", F.col("id").alias("id_a"))
     b = exploded.select("band", "bucket", F.col("id").alias("id_b"))
     return (

@@ -676,19 +676,31 @@ sig AS (
 ORACLE_MINHASH = _oracle_minhash_cte(4) + "SELECT * FROM sig"
 
 
+LSH_BUCKET_CAP = 64  # hot-bucket guard: a b-member bucket emits b(b-1)/2
+# pairs — the sf0.1 corpus has 3000+-member buckets (5M pairs in ONE task);
+# over-full buckets are non-discriminative signatures, excluded before
+# pairing (mirrored in the oracle; the star-edge/components path still
+# covers their connectivity linearly)
+
+
 def q_dedup_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                             k=4, bands=2)
+                             k=4, bands=2, max_bucket_size=LSH_BUCKET_CAP)
 
 
-ORACLE_LSH = _oracle_minhash_cte(4) + """
+ORACLE_LSH = _oracle_minhash_cte(4) + f"""
 , buckets AS (
   SELECT id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
   UNION ALL
   SELECT id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sig
-)
+),
+ok AS (
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+capped AS (SELECT b.* FROM buckets b JOIN ok USING (band, bucket))
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM buckets a JOIN buckets b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 """
 
