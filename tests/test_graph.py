@@ -31,6 +31,23 @@ class TestConnectedComponents:
         got = {r["id"]: r["degree"] for r in degrees(edges).collect()}
         assert got == {1: 2, 2: 1, 3: 1}
 
+    def test_nonconverged_signals(self, spark):
+        """A truncated run must not look like a converged one (round-2
+        ADVICE): warn by default, raise on request."""
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], ["src", "dst"])  # 8-chain
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            connected_components(edges, max_iter=1)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=1, on_nonconverged="raise")
+        # a converged run emits nothing
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = {r["id"]: r["component"] for r in
+                   connected_components(edges).collect()}
+        assert set(got.values()) == {1}
+
 
 class TestPageRank:
     def test_mass_conserved_and_hub_ranked(self, spark):

@@ -87,6 +87,16 @@ class TestDoiList:
         p.write_text("\n".join(f"10.5281/zenodo.{i}" for i in range(10)))
         assert read_doi_list(spark, str(p), limit=3).count() == 3
 
+    def test_limit_is_first_n_in_file_order(self, spark, tmp_path):
+        """The cap must take the FIRST N lines deterministically
+        (reference list_of_dois[:limit], doi.py:104-110) — not an
+        arbitrary N from whichever split finishes first (round-2 ADVICE)."""
+        p = tmp_path / "dois.txt"
+        p.write_text("\n".join(f"10.5281/zenodo.{i}" for i in range(100)))
+        got = {r["doi"] for r in
+               read_doi_list(spark, str(p), limit=5).collect()}
+        assert got == {f"10.5281/zenodo.{i}" for i in range(5)}
+
 
 class TestIngestionMetrics:
     def test_report_fourteen_metrics(self, spark):
