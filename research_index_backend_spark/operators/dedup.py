@@ -34,6 +34,21 @@ def tokens_col(text: Column | str, pattern: str = r"\s+") -> Column:
                                      lambda t: t != ""))
 
 
+def shingles_col(text: Column | str, n: int = 5) -> Column:
+    """Distinct lowercase character n-grams (shingles) — the n-gram-Jaccard
+    unit. All JVM-side: sequence(1, len-n+1) + substr per position.
+
+    Shorter-than-n texts yield an empty set (Spark's sequence() would
+    count DOWN for start > stop, so the degenerate case is guarded
+    explicitly)."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    return F.when(F.length(low) < n, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length(low) - n + 1),
+            lambda i: low.substr(i, F.lit(n)))))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups: md5(content) with >1 member, reporting the
     canonical (min id) representative and the group size."""
@@ -48,15 +63,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.5,
-                  max_token_df: int | None = None) -> DataFrame:
+                  max_token_df: int | None = None,
+                  tokenizer=None) -> DataFrame:
     """Token-set Jaccard similarity join via inverted index.
 
     Returns (id_a, id_b, jaccard) for unordered pairs above threshold.
     max_token_df drops tokens appearing in more than N docs (stop-word
-    guard — essential at scale, optional at test SF).
+    guard — essential at scale, optional at test SF). tokenizer maps the
+    text column to an array of set elements (default whitespace words;
+    pass shingles for n-gram Jaccard — see ngram_jaccard_pairs).
     """
+    tokenizer = tokenizer or tokens_col
     toks = df.select(F.col(id_col).alias("id"),
-                     tokens_col(text_col).alias("toks"))
+                     tokenizer(text_col).alias("toks"))
     sizes = toks.select("id", F.size("toks").alias("sz"))
     inv = toks.select("id", F.explode("toks").alias("tok"))
     if max_token_df is not None:
@@ -80,6 +99,55 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                     (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 5, threshold: float = 0.5,
+                        max_token_df: int | None = None) -> DataFrame:
+    """Character-n-gram (shingle) Jaccard join — order-robust near-dup
+    detection (word-swap edits barely move the shingle set, unlike the
+    word-token set). Same inverted-index plan as jaccard_pairs with
+    shingles as the set elements; max_token_df is even more important
+    here: common n-grams ('the ', ' and ') appear in virtually every
+    document and would dominate sum(df^2) — cap them out, sizes stay
+    full-set so a capped pair can only be under-scored (safe for
+    >= threshold dedup)."""
+    return jaccard_pairs(df, text_col, id_col, threshold=threshold,
+                         max_token_df=max_token_df,
+                         tokenizer=lambda c: shingles_col(c, n))
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold_e6: int = 300_000,
+                             n_bits: int = 4,
+                             bucket_fn=None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim_e6) for
+    same-LSH-bucket pairs whose cosine similarity >= threshold.
+
+    The all-pairs O(N^2) cosine join becomes a per-bucket self-join (the
+    100 TB move: candidates drop ~2^bits-fold; recall is the LSH collision
+    probability — run multiple hash tables and union for higher recall).
+    sim is quantized to an e6 integer BEFORE thresholding so membership is
+    bit-stable across engines (both sides round the same double; a raw
+    float threshold could disagree in the last ulp at the boundary).
+    """
+    from .ann import cosine_sim, sign_lsh_bucket
+    bucket_fn = bucket_fn or sign_lsh_bucket
+    v = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("vec"),
+                      bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
+    a = v.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_e6",
+                    F.round(cosine_sim(F.col("va"), F.col("vb")) * 1e6)
+                    .cast("bigint"))
+        .filter(F.col("sim_e6") >= threshold_e6)
+        .select("id_a", "id_b", "sim_e6")
     )
 
 

@@ -738,6 +738,85 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Character-5-gram (shingle) Jaccard near-dup join — order-robust
+    (word swaps barely move the shingle set). Same inverted-index plan as
+    the token variant; the df cap matters even more (common n-grams live
+    in virtually every doc)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text",
+                               "doc_id", n=5, threshold=0.8,
+                               max_token_df=400)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, s AS tok FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 4, 0)),
+        i -> substr(lower(text), i, 5))) AS s
+    FROM documents)
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+rare AS (SELECT tok FROM sh GROUP BY tok HAVING count(*) <= 400),
+rtok AS (SELECT id, t.tok FROM sh t JOIN rare r ON t.tok = r.tok),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM rtok a JOIN rtok b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM co
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: per-LSH-bucket self-join, cosine
+    quantized to e6 BEFORE thresholding (bit-stable membership across
+    engines). The synthetic embeddings are near-orthogonal (max cosine
+    ~0.45), so the threshold sits at 0.30 to exercise the plan."""
+    from ..operators.dedup import embedding_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4)
+
+
+# the cosine is spelled out as a DOUBLE left-fold (not DuckDB's
+# list_cosine_similarity, which computes in float32 on FLOAT[] inputs and
+# differs from Spark's double math by an ulp — enough to flip an e6 digit):
+# fold order matches F.aggregate(zip_with(...)) exactly, so the doubles are
+# bit-identical before quantization.
+_DOT_D = ("list_reduce(list_transform(generate_series(1, len({a})), "
+          "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+          "(x, y) -> x + y)")
+_NORM_D = ("sqrt(list_reduce(list_transform({a}, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))")
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(round(
+           {_DOT_D.format(a='a.embedding', b='b.embedding')}
+           / ({_NORM_D.format(a='a.embedding')}
+              * {_NORM_D.format(a='b.embedding')}) * 1e6) AS BIGINT) AS sim_e6
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim_e6 FROM pairs WHERE sim_e6 >= 300000
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN similarity search
 # ---------------------------------------------------------------------------
@@ -1000,6 +1079,8 @@ QUERIES = {
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -1035,6 +1116,8 @@ ORACLE = {
     "dedup_minhash_sigs": ORACLE_MINHASH,
     "dedup_lsh_pairs": ORACLE_LSH,
     "dedup_jaccard": ORACLE_JACCARD,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "text_quality": ORACLE_QUALITY,

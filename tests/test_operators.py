@@ -278,3 +278,19 @@ class TestWindowOps:
                group_top1(df, ["k"],
                           [F.col("score").desc(), F.col("tag")]).collect()}
         assert got == {1: "x", 2: "z"}
+
+
+class TestShingles:
+    def test_short_text_yields_empty_set(self, spark):
+        from research_index_backend_spark.operators.dedup import shingles_col
+        df = spark.createDataFrame([("abcd",), ("abcdef",), ("",)], ["t"])
+        got = [r[0] for r in df.select(shingles_col("t", 5)).collect()]
+        assert got[0] == []          # len 4 < n: guarded (sequence would
+        assert got[2] == []          # otherwise count DOWN from 1 to 0)
+        assert got[1] == ["abcde", "bcdef"]
+
+    def test_shingles_are_distinct_and_lowercase(self, spark):
+        from research_index_backend_spark.operators.dedup import shingles_col
+        df = spark.createDataFrame([("AAAAAA",)], ["t"])
+        got = df.select(shingles_col("t", 5)).collect()[0][0]
+        assert got == ["aaaaa"]
