@@ -38,15 +38,21 @@ def shingles_col(text: Column | str, n: int = 5) -> Column:
     """Distinct lowercase character n-grams (shingles) — the n-gram-Jaccard
     unit. All JVM-side: sequence(1, len-n+1) + substr per position.
 
-    Shorter-than-n texts yield an empty set (Spark's sequence() would
-    count DOWN for start > stop, so the degenerate case is guarded
-    explicitly)."""
+    Two deliberate shapes:
+    - Shorter-than-n texts yield an empty set (Spark's sequence() would
+      count DOWN for start > stop, so the degenerate case is guarded).
+    - lower() is applied to each n-char shingle, NOT to the whole string
+      inside the lambda: higher-order-function lambdas are interpreted,
+      and an expression referencing lower(text) re-lowers the ENTIRE
+      string per element — O(len^2) per document (measured 5x the whole
+      explode cost). lower(substr) == substr(lower) for any per-character
+      case mapping (everything but locale oddities), and the SQL oracle
+      mirrors this exact form so parity is by construction."""
     c = F.col(text) if isinstance(text, str) else text
-    low = F.lower(c)
-    return F.when(F.length(low) < n, F.array().cast("array<string>")) \
+    return F.when(F.length(c) < n, F.array().cast("array<string>")) \
         .otherwise(F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.length(low) - n + 1),
-            lambda i: low.substr(i, F.lit(n)))))
+            F.sequence(F.lit(1), F.length(c) - n + 1),
+            lambda i: F.lower(c.substr(i, F.lit(n))))))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -64,7 +70,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.5,
                   max_token_df: int | None = None,
-                  tokenizer=None) -> DataFrame:
+                  tokenizer=None,
+                  sizes_on_filtered: bool = False) -> DataFrame:
     """Token-set Jaccard similarity join via inverted index.
 
     Returns (id_a, id_b, jaccard) for unordered pairs above threshold.
@@ -72,16 +79,48 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     guard — essential at scale, optional at test SF). tokenizer maps the
     text column to an array of set elements (default whitespace words;
     pass shingles for n-gram Jaccard — see ngram_jaccard_pairs).
+
+    sizes_on_filtered selects which set the Jaccard is over:
+    - False (default): sizes from the FULL sets; capped tokens only shrink
+      the measured intersection, so pairs can only be under-scored — the
+      conservative choice when the cap removes few elements.
+    - True: Jaccard over the FILTERED (discriminative) feature space —
+      sizes from the capped sets too. Required when the cap removes MOST
+      elements (char shingles: ubiquitous n-grams are the bulk of every
+      set, and full-set sizes would push every true dup below threshold).
     """
     tokenizer = tokenizer or tokens_col
     toks = df.select(F.col(id_col).alias("id"),
                      tokenizer(text_col).alias("toks"))
-    sizes = toks.select("id", F.size("toks").alias("sz"))
     inv = toks.select("id", F.explode("toks").alias("tok"))
+    sizes = None
+    if not (sizes_on_filtered and max_token_df is not None):
+        sizes = toks.select("id", F.size("toks").alias("sz"))
+    return _jaccard_from_inverted(inv, sizes, threshold, max_token_df)
+
+
+def _jaccard_from_inverted(inv: DataFrame, sizes: DataFrame | None,
+                           threshold: float,
+                           max_token_df: int | None) -> DataFrame:
+    """Common inverted-index Jaccard core over (id, tok) rows.
+
+    sizes: (id, sz) set sizes, or None to derive them from the (possibly
+    df-capped) index — the filtered-feature-space variant.
+    """
     if max_token_df is not None:
         rare = (inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_token_df).select("tok"))
         inv = inv.join(rare, "tok", "left_semi")
+        # The filtered index feeds sizes (optionally) and BOTH sides of the
+        # pair self-join — without materialization the tokenize+explode
+        # scan re-executes 3-4x (measured 17s -> 9s on the shingle query).
+        # Post-cap it is small by construction (only sub-cap-df tokens
+        # survive), so one localCheckpoint is the right trade; at cluster
+        # scale the equivalent move is writing the filtered index to a
+        # table once (one materialization, many readers).
+        inv = inv.localCheckpoint()
+    if sizes is None:
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = inv.select(F.col("tok"), F.col("id").alias("id_a"))
     b = inv.select(F.col("tok"), F.col("id").alias("id_b"))
     co = (
@@ -108,14 +147,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """Character-n-gram (shingle) Jaccard join — order-robust near-dup
     detection (word-swap edits barely move the shingle set, unlike the
     word-token set). Same inverted-index plan as jaccard_pairs with
-    shingles as the set elements; max_token_df is even more important
-    here: common n-grams ('the ', ' and ') appear in virtually every
-    document and would dominate sum(df^2) — cap them out, sizes stay
-    full-set so a capped pair can only be under-scored (safe for
-    >= threshold dedup)."""
-    return jaccard_pairs(df, text_col, id_col, threshold=threshold,
-                         max_token_df=max_token_df,
-                         tokenizer=lambda c: shingles_col(c, n))
+    shingles as the set elements.
+
+    max_token_df is load-bearing here, not optional: common n-grams live
+    in virtually every document, so sum(df^2) over uncapped shingles is
+    quadratic in corpus size (measured: cap 400 -> 92M pair-increments at
+    sf0.1, cap 100 -> 311k). The Jaccard is therefore computed over the
+    FILTERED feature space: discriminative shingles only — true dup pairs
+    share all of them (sim 1.0) while the ubiquitous bulk no longer drowns
+    the score.
+
+    Plan shape: the inverted index is built by exploding POSITIONS and
+    slicing in a plain projection — not via shingles_col's array
+    transform — because higher-order-function lambdas run interpreted
+    (outside whole-stage codegen) and dominate the query (measured ~3x
+    the whole remaining pipeline). explode+substr+distinct is all
+    codegen; per-doc distinct-ness comes from the global (id, tok)
+    distinct, which the downstream groupBys absorb into one shuffle."""
+    c = F.col(text_col)
+    positions = F.when(F.length(c) < n, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), F.length(c) - n + 1))
+    inv = (
+        df.select(F.col(id_col).alias("id"), c.alias("__t"),
+                  F.explode(positions).alias("__p"))
+        .select("id",
+                F.lower(F.col("__t").substr(F.col("__p"), F.lit(n)))
+                .alias("tok"))
+        .distinct()
+    )
+    return _jaccard_from_inverted(inv, None, threshold, max_token_df)
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
@@ -204,6 +264,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
               .filter(F.col("__n") <= max_bucket_size)
               .select("band", "bucket"))
         exploded = exploded.join(ok, ["band", "bucket"], "left_semi")
+        # both self-join sides + the cap agg read this — materialize the
+        # (small, post-cap) band table once instead of re-running the
+        # MinHash signature aggregation per consumer
+        exploded = exploded.localCheckpoint()
     a = exploded.select("band", "bucket", F.col("id").alias("id_a"))
     b = exploded.select("band", "bucket", F.col("id").alias("id_b"))
     return (

@@ -71,6 +71,14 @@ def _ensure_conf(spark: SparkSession) -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # These land as ONE small parquet file -> one input split -> every
+        # downstream expression (shingling, minhash, cosine) runs on a
+        # single core. At 100 TB scans split naturally; at test SF the
+        # parallelism must not be hostage to file count — a 5k-row
+        # repartition is microseconds and unlocks all 32 cores. Hash- and
+        # row-identical: every checked query is order-insensitive.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         # ts arrives as int64 nanos (nanosAsLong). Keep the exact nanos as
         # ts_ns for ordering/gap math (bit-identical to DuckDB epoch_ns) and
@@ -738,28 +746,33 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
 """
 
 
+NGRAM_DF_CAP = 100  # shingle df cap: sum(df^2) over uncapped shingles is
+# quadratic in corpus size (cap 400 measured 92M pair-increments at sf0.1
+# vs 311k at cap 100); Jaccard runs over the filtered feature space
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Character-5-gram (shingle) Jaccard near-dup join — order-robust
-    (word swaps barely move the shingle set). Same inverted-index plan as
-    the token variant; the df cap matters even more (common n-grams live
-    in virtually every doc)."""
+    (word swaps barely move the shingle set). Inverted-index plan over the
+    DISCRIMINATIVE shingle space: ubiquitous n-grams are df-capped out and
+    sizes come from the capped sets (see ngram_jaccard_pairs)."""
     from ..operators.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text",
                                "doc_id", n=5, threshold=0.8,
-                               max_token_df=400)
+                               max_token_df=NGRAM_DF_CAP)
 
 
-ORACLE_NGRAM_JACCARD = """
+ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id AS id, s AS tok FROM (
     SELECT doc_id, unnest(list_transform(
-        generate_series(1, greatest(length(lower(text)) - 4, 0)),
-        i -> substr(lower(text), i, 5))) AS s
+        generate_series(1, greatest(length(text) - 4, 0)),
+        i -> lower(substr(text, i, 5)))) AS s
     FROM documents)
 ),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-rare AS (SELECT tok FROM sh GROUP BY tok HAVING count(*) <= 400),
+rare AS (SELECT tok FROM sh GROUP BY tok HAVING count(*) <= {NGRAM_DF_CAP}),
 rtok AS (SELECT id, t.tok FROM sh t JOIN rare r ON t.tok = r.tok),
+sizes AS (SELECT id, count(*) AS sz FROM rtok GROUP BY id),
 co AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
   FROM rtok a JOIN rtok b ON a.tok = b.tok AND a.id < b.id

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no streaming machinery at all (SURVEY §2.9); the built-in
+windows in streaming/windows.py cover tumbling/sliding/session. This module
+demonstrates the remaining Structured Streaming capability a training-data
+pipeline needs: ARBITRARY keyed state the built-ins can't express —
+here a per-key running seen-set used for cross-micro-batch deduplication
+(emit a row only the FIRST time its id arrives, no matter which batch it
+lands in), the streaming twin of the keyed upsert's anti-join.
+
+Scale notes:
+- State is per-key (hash-partitioned by the grouping key) and lives in the
+  state store; memory is bounded by (#keys in state) not stream length —
+  set a state timeout for unbounded key domains (GroupStateTimeout), here
+  ProcessingTimeTimeout is left NoTimeout because the dedup domain == node
+  key domain, which the batch engine already holds as a table.
+- For very large seen-sets per key, swap the in-state python set for a
+  Bloom filter (bounded bytes, one-sided error = rare duplicate emitted —
+  downstream keyed upsert absorbs it). Noted, not needed at test scale.
+- applyInPandasWithState feeds each key's rows as Arrow batches (U1 "no
+  row-wise python" applies to the per-batch loop, which is vectorized
+  pandas filtering).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEDUP_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("event_type", StringType()),
+])
+
+# state = the sorted tuple of already-seen event ids per user
+DEDUP_STATE_SCHEMA = StructType([
+    StructField("seen", StringType()),   # comma-joined ids (Arrow-stable)
+])
+
+
+def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+    seen: set[int] = set()
+    if state.exists:
+        (packed,) = state.get
+        if packed:
+            seen = {int(x) for x in packed.split(",")}
+    out: list[pd.DataFrame] = []
+    for pdf in pdfs:
+        # vectorized: drop already-seen and intra-batch repeats (keep first)
+        pdf = pdf[~pdf["event_id"].isin(list(seen))]
+        pdf = pdf.drop_duplicates(subset=["event_id"], keep="first")
+        seen.update(int(x) for x in pdf["event_id"])
+        out.append(pdf[["user_id", "event_id", "event_type"]])
+    state.update((",".join(str(x) for x in sorted(seen)),))
+    for pdf in out:
+        if len(pdf):
+            yield pdf
+
+
+def stateful_dedup_stream(events: DataFrame) -> DataFrame:
+    """First-arrival-wins dedup on event_id within each user_id, across
+    micro-batches — state the built-in dropDuplicates cannot scope per-key
+    with custom packing. Returns the deduped event rows."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

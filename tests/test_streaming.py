@@ -83,3 +83,39 @@ class TestForeachBatchUpsert:
             ["event_id"], ckpt2)
         q2.awaitTermination(120)
         assert spark.read.parquet(target).count() == 40
+
+
+class TestStatefulDedup:
+    def test_cross_batch_first_arrival_wins(self, spark, tmp_path):
+        """applyInPandasWithState keyed dedup: an event_id replayed in a
+        LATER micro-batch must not re-emit (state persists across
+        batches); intra-batch repeats keep-first."""
+        from research_index_backend_spark.streaming.stateful import (
+            stateful_dedup_stream,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows1 = [(1, 100, "click"), (1, 101, "view"), (2, 200, "click"),
+                 (1, 100, "dup-in-batch")]
+        rows2 = [(1, 100, "replay"), (1, 102, "view"), (2, 200, "replay")]
+        cols = ["user_id", "event_id", "event_type"]
+        spark.createDataFrame(rows1, cols).coalesce(1) \
+            .write.parquet(str(src / "b1"))
+        spark.createDataFrame(rows2, cols).coalesce(1) \
+            .write.parquet(str(src / "b2"))
+
+        schema = ("user_id long, event_id long, event_type string")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = (stateful_dedup_stream(stream)
+             .writeStream.format("memory").queryName("dedup_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["user_id"], r["event_id"]): r["event_type"]
+               for r in spark.sql("SELECT * FROM dedup_out").collect()}
+        assert set(got) == {(1, 100), (1, 101), (1, 102), (2, 200)}
+        # first arrival won: the 'replay'/'dup-in-batch' copies lost
+        assert got[(1, 100)] == "click"
+        assert got[(2, 200)] == "click"
