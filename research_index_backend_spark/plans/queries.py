@@ -53,6 +53,7 @@ def _ensure_conf(spark: SparkSession) -> None:
     """
     if getattr(spark, "_rib_conf_done", False):
         return
+    failed = []
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -63,8 +64,15 @@ def _ensure_conf(spark: SparkSession) -> None:
     ):
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # non-runtime-settable on some builds; never fail a query
+        except Exception as exc:  # non-runtime-settable on some builds
+            failed.append(f"{k}: {exc}")
+    if failed:
+        # never fail a query over a conf — but leave a breadcrumb: a
+        # silently-missing nanosAsLong turns into five failing event
+        # queries with no visible cause (round-2 VERDICT note)
+        import warnings
+        warnings.warn("non-settable Spark confs (queries may misbehave): "
+                      + "; ".join(failed), RuntimeWarning, stacklevel=2)
     spark._rib_conf_done = True
 
 
