@@ -129,6 +129,50 @@ def hyperplane_lsh_bucket(vec: Column, n_planes: int = 4) -> Column:
     return bucket.cast("int")
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are assigned to their
+    nearest coarse centroid once; a query probes only its `nprobe` nearest
+    centroids' lists — the classic FAISS-style scale path, as pure
+    DataFrame ops.
+
+    Centroids here are a deterministic seed sample (the n_centroids
+    lowest-id vectors): the coarse quantizer is pluggable and a production
+    deployment would train k-means offline and broadcast the codebook —
+    the QUERY plan (assign once, probe few, brute-force within lists) is
+    identical, and the seed-sample variant keeps the whole operator
+    SQL-oracle-checkable. Candidate volume drops ~nprobe/n_centroids
+    vs brute force; the centroid table is broadcast everywhere.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cent = (c.orderBy("id").limit(n_centroids)
+            .select(F.col("id").alias("cid"), F.col("vec").alias("cvec")))
+
+    def nearest(df, key, n):
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "csim", cosine_sim(F.col("vec"), F.col("cvec")))
+        w = Window.partitionBy(key).orderBy(F.round("csim", 9).desc(),
+                                            F.col("cid"))
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n))
+
+    assign = nearest(c, "id", 1).select("id", "cid", "vec")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    probes = nearest(q.withColumnRenamed("q_vec", "vec")
+                     .withColumnRenamed("query_id", "id"), "id", nprobe) \
+        .select(F.col("id").alias("query_id"), "cid",
+                F.col("vec").alias("q_vec"))
+    scored = (
+        assign.join(probes, "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                cosine_sim(F.col("q_vec"), F.col("vec")).alias("sim"))
+    )
+    return _salted_topk(scored, k)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_bits: int = 4,

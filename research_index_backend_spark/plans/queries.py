@@ -905,6 +905,67 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: nearest-centroid inverted lists + nprobe=2 probing
+    (operators.ann.ivf_topk). Seed-sample coarse quantizer (8 lowest-id
+    vectors) keeps it oracle-checkable; the plan — assign once, probe few,
+    brute-force within lists — is the FAISS-style scale path."""
+    from ..operators.ann import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).select(
+        "query_id", "neighbor_id", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+def _cos_d(a: str, b: str) -> str:
+    """Double left-fold cosine between two embedding column refs (see the
+    _DOT_D note: DuckDB's list_cosine_similarity is float32)."""
+    return (f"{_DOT_D.format(a=a, b=b)}"
+            f" / ({_NORM_D.format(a=a)} * {_NORM_D.format(a=b)})")
+
+
+ORACLE_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT e.vec_id AS id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_d('e.embedding', 'c.cvec')}, 9) DESC,
+                                       c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos_d('q.embedding', 'c.cvec')}, 9) DESC,
+                                       c.cid) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         {_cos_d('qe.embedding', 'ne.embedding')} AS sim
+  FROM qprobe p
+  JOIN assign a ON p.cid = a.cid AND a.id <> p.query_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = a.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, 9) DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1104,6 +1165,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
     "graph_degree": q_graph_degree,
@@ -1141,6 +1203,7 @@ ORACLE = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "text_quality": ORACLE_QUALITY,
     "token_stats": ORACLE_TOKEN_STATS,
     "graph_degree": ORACLE_GRAPH_DEGREE,
