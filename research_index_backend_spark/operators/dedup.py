@@ -313,6 +313,41 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS algorithm): hash every k-gram, slide a w-hash window, keep
+    each window's minimum hash; the distinct kept hashes are the doc's
+    fingerprint set. Guarantees: any shared substring of length >= k+w-1
+    yields at least one shared fingerprint, while storing ~2/(w+1) of the
+    k-gram hashes — positional near-dup detection that sampling can't give.
+
+    Plan: explode positions -> md5 k-gram (plain projections, codegen — no
+    interpreted HOF lambdas) -> running min over (id ORDER BY pos ROWS w-1
+    FOLLOWING) -> distinct. One shuffle on id for the window, one for the
+    distinct; both hash-partitioned, no skew beyond document length.
+    """
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    positions = F.when(F.length(c) < k, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), F.length(c) - k + 1))
+    grams = (
+        df.select(F.col(id_col).alias("id"), c.alias("__t"),
+                  F.explode(positions).alias("pos"))
+        .select("id", "pos",
+                F.md5(F.lower(F.col("__t").substr(F.col("pos"), F.lit(k))))
+                .alias("h"))
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .withColumn("mx", F.max("pos").over(Window.partitionBy("id")))
+        .filter(F.col("pos") <= F.col("mx") - (w - 1))
+    )
+    return sel.select("id", F.col("wmin").alias("fp")).distinct()
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per token take `bits` bits of md5(token); each

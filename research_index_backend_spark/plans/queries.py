@@ -668,6 +668,35 @@ FROM documents
 """
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing (rolling k-gram hash + window-min) fingerprints — the
+    positional near-dup fingerprint family (operators.dedup.
+    winnow_fingerprints; k=5, w=4)."""
+    from ..operators.dedup import winnow_fingerprints
+    return (winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                                "text", "doc_id", k=5, w=4)
+            .select(F.col("id").cast("bigint").alias("doc_id"), "fp"))
+
+
+ORACLE_WINNOW = """
+WITH grams AS (
+  SELECT doc_id AS id, pos, md5(lower(substr(text, pos, 5))) AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 4, 0))) AS pos
+        FROM documents)
+),
+win AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         max(pos) OVER (PARTITION BY id) AS mx
+  FROM grams
+)
+SELECT DISTINCT CAST(id AS BIGINT) AS doc_id, wmin AS fp
+FROM win WHERE pos <= mx - 3
+"""
+
+
 def q_dedup_minhash_sigs(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id", k=4)
 
@@ -1158,6 +1187,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1196,6 +1226,7 @@ ORACLE = {
     "sessionize_events": ORACLE_SESSION,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "doc_fingerprint": ORACLE_FP,
+    "doc_winnow": ORACLE_WINNOW,
     "dedup_minhash_sigs": ORACLE_MINHASH,
     "dedup_lsh_pairs": ORACLE_LSH,
     "dedup_jaccard": ORACLE_JACCARD,

@@ -294,3 +294,26 @@ class TestShingles:
         df = spark.createDataFrame([("AAAAAA",)], ["t"])
         got = df.select(shingles_col("t", 5)).collect()[0][0]
         assert got == ["aaaaa"]
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        """Winnowing guarantee (Schleimer et al. 2003): documents sharing
+        a substring of length >= k+w-1 (= 8 for k=5,w=4) share at least
+        one fingerprint; disjoint-alphabet docs share none."""
+        from research_index_backend_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        df = spark.createDataFrame([
+            (1, "xxCOMMONSUBSTRINGxx"),
+            (2, "yyyCOMMONSUBSTRINGyyy"),
+            (3, "zzzzzzzzzzzzzzzzzz"),
+        ], ["doc_id", "text"])
+        fps = winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2]          # shared run -> shared fp
+        assert not (by_doc[1] & by_doc[3])    # disjoint alphabets
+        # storage bound sanity: far fewer fps than k-gram positions
+        assert len(by_doc[1]) < len("xxCOMMONSUBSTRINGxx") - 4
