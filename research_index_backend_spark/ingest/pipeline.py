@@ -131,6 +131,7 @@ def build_graph_from_envelopes(envelopes: DataFrame,
                                existing_refers_to: DataFrame | None = None,
                                exact_names: bool = True,
                                openalex_landed: DataFrame | None = None,
+                               upsert_mode: str = "insert",
                                ) -> dict[str, DataFrame]:
     """Entry point 1's per-DOI loop (reference create_graph_from_doi.py:195-256)
     as ONE composed plan: parse -> OpenAlex enrich -> resolve authors ->
@@ -174,7 +175,9 @@ def build_graph_from_envelopes(envelopes: DataFrame,
         "publisher", "result_type", "resource_type",
         "openalex", "cited_by_count", "cited_by_count_date",
         F.lit(None).cast("map<int,int>").alias("counts_by_year"))
-    outputs = upsert(existing_outputs, outputs_new, ["doi"])
+    # upsert_mode="update" is the -u flag: re-ingested DOIs REPLACE their
+    # existing rows instead of being dropped by the match-before-create
+    outputs = upsert(existing_outputs, outputs_new, ["doi"], mode=upsert_mode)
 
     # key includes result_idx: an envelope with multiple results has
     # independent author lists, and (doi, author_pos) alone would collide
