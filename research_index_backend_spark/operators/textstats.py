@@ -29,10 +29,25 @@ def token_count(text: Column | str) -> Column:
 
 
 def word_tokens(text: Column | str) -> Column:
-    """BPE-ish regex tokenization: word pieces OR single non-space symbols."""
+    """Word tokenization: alnum/apostrophe runs, lowercased."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(
         F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+# GPT-2-style pre-tokenizer, simplified to the portable subset (letter runs,
+# digit runs, symbol runs — each with an optional leading space). Java and
+# RE2 both support this dialect, so the count is oracle-checkable.
+BPE_PRETOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    pattern — the standard cheap proxy for LLM token budgets (a real
+    tokenizer refines each pre-token into subwords, so this is a lower
+    bound that tracks closely for English)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0))
 
 
 def stopword_ratio(text: Column | str,

@@ -1029,7 +1029,8 @@ FROM t
 
 
 def q_token_stats(spark, sf_dir):
-    """Token counting + stopword hits + heuristic language ID."""
+    """Token counting (whitespace + BPE-ish pre-tokenizer) + stopword hits
+    + heuristic language ID."""
     d = _t(spark, sf_dir, "documents")
     wt = TS.word_tokens("text")
     stop_hits = F.size(F.filter(wt, lambda t: t.isin(*TS.EN_STOPWORDS)))
@@ -1037,6 +1038,7 @@ def q_token_stats(spark, sf_dir):
         "doc_id",
         TS.token_count("text").cast("bigint").alias("ws_tokens"),
         F.size(wt).cast("bigint").alias("word_tokens"),
+        TS.bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
         stop_hits.cast("bigint").alias("stop_hits"),
         TS.lang_id("text").alias("lang_pred"),
     )
@@ -1045,7 +1047,7 @@ def q_token_stats(spark, sf_dir):
 _SW = "', '".join(TS.EN_STOPWORDS)
 ORACLE_TOKEN_STATS = rf"""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS wt
   FROM documents
@@ -1053,12 +1055,15 @@ WITH t AS (
 s AS (
   SELECT doc_id, ws_tokens,
          len(wt) AS word_tokens,
+         len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+             AS bpe_tokens,
          len(list_filter(wt, x -> x IN ('{_SW}'))) AS stop_hits
   FROM t
 )
 SELECT doc_id,
        CAST(ws_tokens AS BIGINT) AS ws_tokens,
        CAST(word_tokens AS BIGINT) AS word_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
        CAST(stop_hits AS BIGINT) AS stop_hits,
        CASE WHEN CAST(stop_hits AS DOUBLE) / greatest(word_tokens, 1) >= 0.05
             THEN 'en' ELSE 'unknown' END AS lang_pred
