@@ -317,3 +317,34 @@ class TestWinnowing:
         assert not (by_doc[1] & by_doc[3])    # disjoint alphabets
         # storage bound sanity: far fewer fps than k-gram positions
         assert len(by_doc[1]) < len("xxCOMMONSUBSTRINGxx") - 4
+
+
+class TestSaltedJoin:
+    def test_row_parity_with_plain_join(self, spark):
+        """Salting must not change the result set — inner and left."""
+        from research_index_backend_spark.operators.skew import salted_join
+        big = spark.createDataFrame(
+            [("hot", i) for i in range(500)] + [("cold", 0), ("miss", 1)],
+            ["k", "v"])
+        small = spark.createDataFrame(
+            [("hot", "H"), ("cold", "C"), ("other", "O")], ["k", "tag"])
+        for how in ("inner", "left"):
+            plain = big.join(small, "k", how).groupBy("k").count()
+            salted = salted_join(big, small, ["k"], n_salts=8, how=how) \
+                .groupBy("k").count()
+            assert ({(r["k"], r["count"]) for r in plain.collect()}
+                    == {(r["k"], r["count"]) for r in salted.collect()}), how
+
+    def test_hot_key_spreads_across_salts(self, spark):
+        from research_index_backend_spark.operators.skew import (
+            SALT_COL,
+            salted_join,
+        )
+        from pyspark.sql import functions as F
+        big = spark.createDataFrame([("hot", i) for i in range(500)],
+                                    ["k", "v"])
+        big_s = big.withColumn(
+            SALT_COL, F.pmod(F.hash(*[F.col(c) for c in big.columns]),
+                             F.lit(8)))
+        n_salts_used = big_s.select(SALT_COL).distinct().count()
+        assert n_salts_used >= 6  # the hot key's rows really do spread
