@@ -59,6 +59,13 @@ FRAME_SCHEMA = StructType([
     StructField("frame_payload", BinaryType()),
 ])
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
 
 def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Header-free metadata (length, content hash) as JVM expressions —
@@ -103,6 +110,35 @@ def extract_features(df: DataFrame,
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  resizer: Callable[[bytes, int, int], bytes] | None = None,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """Resize media payloads to (width, height) via mapInPandas (1 row ->
+    1 row, payload transformed).
+
+    resizer(payload, width, height) -> resized payload bytes; STUB like
+    extract_features (a real implementation wraps PIL/opencv). The output
+    carries the new dimensions as typed metadata so downstream scans can
+    verify/prune without decoding. Arrow batch sizing note: payload rows
+    are large — cap spark.sql.execution.arrow.maxRecordsPerBatch (e.g. 64)
+    so a batch holds O(batch * payload) not O(partition * payload).
+    """
+    _require_decoder(resizer)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].values,
+                "payload": [resizer(p, width, height)
+                            for p in pdf[payload_col]],
+                "width": pd.array([width] * len(pdf), dtype="int32"),
+                "height": pd.array([height] * len(pdf), dtype="int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,

@@ -66,3 +66,28 @@ def test_stubbed_decode_raises(spark, media):
         extract_features(media, decoder=None)
     with pytest.raises(NotImplementedError):
         sample_frames(media, splitter=None)
+
+
+def test_resize_images_fake_resizer(spark, media):
+    def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+        # deterministic fake: truncate/pad payload to w*h bytes
+        return (payload * (w * h))[: w * h]
+
+    from research_index_backend_spark.operators.multimodal import (
+        resize_images,
+    )
+    rows = resize_images(media, 4, 3, resizer=fake_resizer).collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert len(r["payload"]) == 12
+        assert (r["width"], r["height"]) == (4, 3)
+
+
+def test_resize_stub_raises(spark, media):
+    import pytest as _pytest
+
+    from research_index_backend_spark.operators.multimodal import (
+        resize_images,
+    )
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, 4, 3, resizer=None)
