@@ -53,7 +53,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     # Materialize the edge list ONCE: without this the upstream plan that
     # produced the edges (e.g. the whole MinHash-LSH pipeline) re-executes
     # on every iteration — the difference between O(iters * upstream) and
-    # O(upstream + iters * join).
+    # O(upstream + iters * join). Two checkpoints on purpose: the
+    # symmetrize union references `edges` TWICE, so the upstream pipeline
+    # would run twice inside the sym job without the first one.
+    edges = edges.select(src, dst).localCheckpoint()
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -304,6 +304,9 @@ def minhash_lsh_star_edges(df: DataFrame, text_col: str, id_col: str,
         F.col("id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    # rep-agg + join both read this — materialize so the MinHash signature
+    # aggregation runs once, not twice (same move as minhash_lsh_pairs)
+    exploded = exploded.localCheckpoint()
     rep = exploded.groupBy("band", "bucket").agg(F.min("id").alias("rep"))
     return (
         exploded.join(rep, ["band", "bucket"])
