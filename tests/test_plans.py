@@ -115,3 +115,30 @@ class TestPlanShapes:
         for q in (q_regex_filter, q_string_clean, q_text_quality):
             p = plan_of(q(spark, SF))
             assert "BatchEvalPython" not in p, q.__name__
+
+
+class TestBucketedJoin:
+    def test_same_bucket_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed by the same key into the same bucket count
+        must sort-merge join with ZERO exchanges — the at-rest co-location
+        that removes the recurring node-table probe shuffle."""
+        from research_index_backend_spark.sources.bucketed import (
+            read_table,
+            save_bucketed,
+        )
+        a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+        save_bucketed(a, "bkt_a", str(tmp_path / "a"), ["k"], n_buckets=4)
+        save_bucketed(b, "bkt_b", str(tmp_path / "b"), ["k"], n_buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_table(spark, "bkt_a").join(read_table(spark, "bkt_b"), "k")
+            p = plan_of(j)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p        # the whole point
+            assert j.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bkt_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_b")
