@@ -97,7 +97,10 @@ def run_ingest(spark: SparkSession, doi_file: str, data_dir: str,
     )
     processed_pred = (F.col("valid_pattern") if update_metadata
                       else F.col("valid_pattern") & ~F.col("already_exists"))
-    work = tracker.filter(processed_pred).select("doi")
+    # partition count is the fetch-concurrency knob (ingest/fetch.py): one
+    # HTTP call per row inside each task, tasks run in parallel
+    work = (tracker.filter(processed_pred).select("doi")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     # the HTTP boundary (S3/S4) — both sources fetched set-at-a-time
     landed_aire = fetch_metadata(work, source="openaire", token=token,
