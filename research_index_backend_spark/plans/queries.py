@@ -61,6 +61,12 @@ def _ensure_conf(spark: SparkSession) -> None:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # Test-SF split sizing: at the default 128m maxPartitionBytes every
+        # table here is ONE input split (sf0.1 lineitem is ~40 MB), so the
+        # scan side of every query runs on one core. 16m reproduces the
+        # multi-split shape production data has naturally; at 100 TB leave
+        # the default — the point is splits ~ a task-minute of work.
+        ("spark.sql.files.maxPartitionBytes", "16m"),
     ):
         try:
             spark.conf.set(k, v)
