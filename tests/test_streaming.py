@@ -119,3 +119,54 @@ class TestStatefulDedup:
         # first arrival won: the 'replay'/'dup-in-batch' copies lost
         assert got[(1, 100)] == "click"
         assert got[(2, 200)] == "click"
+
+
+class TestWatermarkLateData:
+    def test_late_event_beyond_watermark_is_dropped(self, spark, tmp_path):
+        """SS late-data semantics: after the watermark passes a window, a
+        late event for it is dropped — state stays bounded. File 1 pushes
+        the watermark to ~9h; file 2 replays an event at 2h (far beyond
+        the 1h watermark) which must not re-open its window."""
+        import datetime as dt
+
+        import time
+
+        src = tmp_path / "src"
+        src.mkdir()
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        cols = ["event_id", "user_id", "event_type", "ts", "props"]
+        # four ordered micro-batches (file mtimes order the file source):
+        # b1 the on-time events; b2 advances event time past their window;
+        # b3 lets the watermark update propagate (the input-side late
+        # filter uses the watermark computed one batch behind) and evicts
+        # the window state; b4 replays a late event AFTER eviction.
+        early = [(i, 1, "click", base + dt.timedelta(hours=2, minutes=i), "{}")
+                 for i in range(3)]
+        spark.createDataFrame(early, cols).coalesce(1) \
+            .write.parquet(str(src / "b1"))
+        time.sleep(1.1)
+        spark.createDataFrame(
+            [(99, 1, "click", base + dt.timedelta(hours=10), "{}")],
+            cols).coalesce(1).write.parquet(str(src / "b2"))
+        time.sleep(1.1)
+        spark.createDataFrame(
+            [(98, 1, "click", base + dt.timedelta(hours=10, minutes=30),
+              "{}")], cols).coalesce(1).write.parquet(str(src / "b3"))
+        time.sleep(1.1)
+        spark.createDataFrame(
+            [(100, 1, "click", base + dt.timedelta(hours=2, minutes=30),
+              "{}")], cols).coalesce(1).write.parquet(str(src / "b4"))
+
+        stream = read_events_stream(spark, str(src / "*"))
+        out = tumbling_counts_stream(stream, width="1 hour", watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("late_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = [(r["window_start"], r["n_events"])
+                for r in spark.sql("SELECT * FROM late_out").collect()]
+        two_h = base + dt.timedelta(hours=2)
+        # exactly ONE emission of the 02:00 window, with only the on-time
+        # events — the late replay was dropped (no duplicate window row,
+        # no count bump, state stayed evicted)
+        assert rows.count((two_h, 3)) == 1
+        assert all(n == 3 for (w, n) in rows if w == two_h)
