@@ -1034,6 +1034,60 @@ FROM t
 """
 
 
+_SW = "', '".join(TS.EN_STOPWORDS)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composite quality gate (operators.textstats.quality_score): the
+    standard web-corpus keep/drop filter — mean word length in [3,10]
+    (0.4), stopword presence (0.3), bounded symbol ratio (0.3); keep at
+    score >= 0.7. Scores quantized to e6 ints for cross-engine hashing
+    (the addends are double literals summed in the same order on both
+    engines, but int output removes the float column entirely)."""
+    from ..operators.textstats import quality_score
+    qs = quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return qs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("quality") * 1e6).cast("bigint").alias("quality_e6"),
+        (F.col("quality") >= 0.7).alias("keep"),
+    )
+
+
+ORACLE_QUALITY_FILTER = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS wt
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, n_tok,
+         length(regexp_replace(text, '\s+', '', 'g')) / greatest(n_tok, 1) AS mwl,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+             / greatest(length(text), 1) AS pr,
+         CAST(len(list_filter(wt, x -> x IN ('{_SW}'))) AS DOUBLE)
+             / greatest(len(wt), 1) AS swr
+  FROM t
+),
+scored AS (
+  SELECT doc_id, n_tok,
+         (CASE WHEN mwl >= 3 AND mwl <= 10 THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN swr >= 0.01 THEN CAST(0.3 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN pr <= 0.2 THEN CAST(0.3 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END) AS quality
+  FROM sig
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(round(quality * 1e6) AS BIGINT) AS quality_e6,
+       quality >= 0.7 AS keep
+FROM scored
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting (whitespace + BPE-ish pre-tokenizer) + stopword hits
     + heuristic language ID."""
@@ -1050,7 +1104,6 @@ def q_token_stats(spark, sf_dir):
     )
 
 
-_SW = "', '".join(TS.EN_STOPWORDS)
 ORACLE_TOKEN_STATS = rf"""
 WITH t AS (
   SELECT doc_id, text,
@@ -1208,6 +1261,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
     "token_stats": q_token_stats,
     "graph_degree": q_graph_degree,
     "graph_two_hop": q_graph_two_hop,
@@ -1247,6 +1301,7 @@ ORACLE = {
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "text_quality": ORACLE_QUALITY,
+    "quality_filter": ORACLE_QUALITY_FILTER,
     "token_stats": ORACLE_TOKEN_STATS,
     "graph_degree": ORACLE_GRAPH_DEGREE,
     "graph_two_hop": ORACLE_TWO_HOP,
