@@ -1204,6 +1204,31 @@ GROUP BY 1, 2
 """
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """operators.skew.salted_join end-to-end: lineitem (skewed big side —
+    some orders carry 7 lines) joined to its order dim with the big side
+    scattered across 8 salts. The oracle is the PLAIN join: salting must
+    be invisible in the result set, which is exactly the property worth
+    hash-checking."""
+    from ..operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"))
+    j = salted_join(li, o, ["l_orderkey"], n_salts=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty")))
+
+
+ORACLE_SKEW_SALTED = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # JSON navigation (F18)
 # ---------------------------------------------------------------------------
@@ -1265,6 +1290,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "graph_degree": q_graph_degree,
     "graph_two_hop": q_graph_two_hop,
+    "skew_salted_join": q_skew_salted_join,
     "json_extract": q_json_extract,
 }
 
@@ -1305,5 +1331,6 @@ ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
     "graph_degree": ORACLE_GRAPH_DEGREE,
     "graph_two_hop": ORACLE_TWO_HOP,
+    "skew_salted_join": ORACLE_SKEW_SALTED,
     "json_extract": ORACLE_JSON,
 }
