@@ -35,9 +35,12 @@ from .schemas import (
     AUTHOR_NODE,
     AUTHOR_OF_EDGE,
     COUNTRY_NODE,
+    MEMBER_OF_EDGE,
     OPENAIRE_SCHEMA,
     OUTPUT_NODE,
     REFERS_TO_EDGE,
+    UNIT_NODE,
+    UNIT_OF_EDGE,
 )
 from .sources.doi_list import read_doi_list
 
@@ -45,7 +48,10 @@ TABLE_SCHEMAS = {
     "authors": AUTHOR_NODE,
     "outputs": OUTPUT_NODE,
     "countries": COUNTRY_NODE,
+    "units": UNIT_NODE,
     "author_of": AUTHOR_OF_EDGE,
+    "member_of": MEMBER_OF_EDGE,
+    "unit_of": UNIT_OF_EDGE,
     "refers_to": REFERS_TO_EDGE,
 }
 
@@ -61,9 +67,16 @@ def run_ingest(spark: SparkSession, doi_file: str, data_dir: str,
                limit: int = 50, initialise: bool = False,
                update_metadata: bool = False, write_metadata: bool = False,
                transport: Transport | None = None,
-               token: str = "") -> DataFrame:
+               token: str = "", init_dir: str | None = None,
+               return_details: bool = False):
     """The main() flow (reference create_graph_from_doi.py:195-256) as lazy
-    plans + keyed upserts. Returns the 1-row metrics frame (doi.py:202-283).
+    plans + keyed upserts. Returns the 1-row metrics frame (doi.py:202-283);
+    with return_details=True also the per-DOI (category, doi) frame behind
+    the reference's printed failure lists (create_graph_from_doi.py:365-376).
+
+    initialise mirrors the reference -i exactly (create_graph_from_doi.py:
+    342-347): wipe the graph, then reload the consortium init CSVs from
+    init_dir (load_initial_data) when one is given.
     """
     start = time.time()
     if initialise:
@@ -73,6 +86,10 @@ def run_ingest(spark: SparkSession, doi_file: str, data_dir: str,
             p = Path(data_dir) / name
             if p.exists():
                 shutil.rmtree(p)
+        if init_dir:
+            from .ingest.pipeline import load_initial_data
+            for name, df in load_initial_data(spark, init_dir).items():
+                df.write.mode("overwrite").parquet(str(Path(data_dir) / name))
 
     # validate + cap (P1-P3); n_submitted tracks file multiplicity for the
     # duplicated_submissions metric (dict-keyed tracker, doi.py:108-110)
@@ -176,8 +193,29 @@ def run_ingest(spark: SparkSession, doi_file: str, data_dir: str,
     # author_of0 merged on disk by upsert_parquet (existing side read there)
     _ = author_of0
 
-    return ingestion_metrics(full, update_metadata=update_metadata,
-                             start_time=start, end_time=time.time())
+    metrics = ingestion_metrics(full, update_metadata=update_metadata,
+                                start_time=start, end_time=time.time())
+    if return_details:
+        return metrics, processing_details(full)
+    return metrics
+
+
+def processing_details(full: DataFrame) -> DataFrame:
+    """(category, doi) rows for the reference's per-DOI report lists
+    (create_graph_from_doi.py:365-376): failed metadata, invalid pattern,
+    duplicated submissions."""
+    proc = F.col("valid_pattern") & ~F.col("already_exists")
+    cats = {
+        "metadata_failure": proc & ~F.col("ingestion_success"),
+        "invalid_pattern_dois": ~F.col("valid_pattern"),
+        "duplicated_submissions": F.col("n_submitted") > 1,
+    }
+    out = None
+    for name, cond in cats.items():
+        part = full.filter(cond).select(F.lit(name).alias("category"),
+                                        F.col("doi").cast("string"))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _empty(df: DataFrame) -> bool:
@@ -192,6 +230,9 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="parquet table directory (the engine's 'database')")
     p.add_argument("-i", "--initialise", action="store_true",
                    help="delete the graph and reload")
+    p.add_argument("--init-dir", default=None,
+                   help="consortium CSV dir reloaded on -i (the reference's "
+                        "data/init, create_graph_from_doi.py:347)")
     p.add_argument("-l", "--limit", type=int, default=50,
                    help="Limit number of DOIs to process (default: 50)")
     p.add_argument("-u", "--update-metadata", action="store_true",
@@ -205,12 +246,30 @@ def main(argv: list[str] | None = None) -> int:
     args = argument_parser().parse_args(argv)
     from .session import get_spark
     spark = get_spark()
-    report = run_ingest(spark, args.list_of_dois, args.data_dir,
-                        limit=args.limit, initialise=args.initialise,
-                        update_metadata=args.update_metadata,
-                        write_metadata=args.write_metadata)
-    for k, v in report.collect()[0].asDict().items():
-        print(f"{k}: {v}")
+    report, details = run_ingest(
+        spark, args.list_of_dois, args.data_dir,
+        limit=args.limit, initialise=args.initialise,
+        update_metadata=args.update_metadata,
+        write_metadata=args.write_metadata, init_dir=args.init_dir,
+        return_details=True)
+    # the reference's report format (create_graph_from_doi.py:359-376)
+    metrics = report.collect()[0].asDict()
+    width = max(len(k) for k in metrics)
+    print(f"{'Metric'.ljust(width)} | Value")
+    print("-" * (width + 9))
+    for k, v in metrics.items():
+        print(f"{k.ljust(width)} | {v}")
+    by_cat: dict[str, list[str]] = {}
+    for r in details.collect():
+        by_cat.setdefault(r["category"], []).append(r["doi"])
+    print("\nProcessing Results:")
+    for cat, metric_key in (("metadata_failure", "metadata_failure"),
+                            ("invalid_pattern_dois", "invalid_pattern_dois"),
+                            ("duplicated_submissions",
+                             "duplicated_submissions")):
+        print(f"\n• {cat} ({metrics[metric_key]}):")
+        for doi in sorted(by_cat.get(cat, [])):
+            print(f"  - {doi}")
     return 0
 
 

@@ -84,3 +84,33 @@ class TestCliIngest:
                             initialise=True, transport=make_transport()).collect()[0]
         assert report["processed_dois"] == 1  # not 'existing' post-wipe
         assert spark.read.parquet(str(data_dir / "outputs")).count() == 1
+
+
+class TestInitialiseReload:
+    def test_init_dir_reloads_consortium_and_tags_real_countries(
+            self, spark, tmp_path):
+        """-i with --init-dir mirrors the reference exactly
+        (create_graph_from_doi.py:342-347): wipe, reload consortium CSVs,
+        then ingest — refers_to tags against the REAL countries table
+        ('Liberia' appears in the fixture abstract)."""
+        doi_file = tmp_path / "dois.txt"
+        doi_file.write_text(f"{DOI}\n{DOI}\n")  # duplicate submission
+        data_dir = tmp_path / "graph"
+        report, details = run_ingest(
+            spark, str(doi_file), str(data_dir), initialise=True,
+            init_dir="/root/reference/data/init",
+            transport=make_transport(), return_details=True)
+        r = report.collect()[0]
+        assert r["duplicated_submissions"] == 1
+        assert r["processed_dois"] == 1
+
+        import pyspark.sql.functions as F
+        countries = spark.read.parquet(str(data_dir / "countries"))
+        assert countries.count() == 250
+        units = spark.read.parquet(str(data_dir / "units"))
+        assert units.count() == 44
+        refers = spark.read.parquet(str(data_dir / "refers_to")).collect()
+        assert ("LBR",) in {(x["country_id"],) for x in refers}
+
+        det = {(x["category"], x["doi"]) for x in details.collect()}
+        assert ("duplicated_submissions", DOI) in det
