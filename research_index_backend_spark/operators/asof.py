@@ -1,0 +1,51 @@
+"""As-of join: for each left row, the latest right row with ts <= left.ts
+per key — the timeseries point-in-time lookup Spark has no built-in for
+(the task-brief example of an operator to compose from primitives).
+
+Plan shape — union + sorted carry-forward, NOT a join:
+a naive implementation joins on key with r.ts <= l.ts and takes max —
+quadratic in per-key density (every left row meets every earlier right
+row). Instead both sides are unioned with a side tag, sorted per key by
+(ts, side), and the right value is carried forward with
+last(ignorenulls) over an unbounded-preceding window: ONE shuffle on the
+key, linear work, and the window never materializes more than a
+partition. Right rows sort before left rows at equal ts, so the match is
+inclusive (ts_r <= ts_l), matching DuckDB's ASOF JOIN semantics.
+
+Determinism: callers must make the right side unique per (key, ts)
+(pre-aggregate, e.g. max of the value) — with duplicates the carried
+value would depend on sort ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              value_cols: list[str]) -> DataFrame:
+    """Left as-of join. Returns left's columns + value_cols filled from
+    the latest right row with right[ts] <= left[ts] (null when none).
+
+    left / right must both carry `on` and `ts`; right additionally the
+    value_cols, unique per (on, ts).
+    """
+    lcols = [c for c in left.columns if c not in (on, ts)]
+    l_tag = left.select(
+        on, ts, F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols])
+    r_tag = right.select(
+        on, ts, F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+    w = (Window.partitionBy(on).orderBy(ts, "__side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = l_tag.unionByName(r_tag).select(
+        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+               for c in value_cols])
+    return (carried.filter(F.col("__side") == 1)
+            .select(on, ts, *lcols,
+                    *[F.col(f"__c_{c}").alias(c) for c in value_cols]))

@@ -1229,6 +1229,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators.asof): each click paired with the user's
+    latest view at-or-before it. Event time compared in MICROSECONDS on
+    both engines — DuckDB reads TIMESTAMP_NS parquet at micro precision,
+    so a nano-precision Spark match key would disagree at sub-micro
+    boundaries; ts_ns div 1000 == epoch_us exactly. The right side is
+    pre-deduped to one row per (user, ts) (max event_id) so the as-of
+    match is deterministic. DuckDB verifies with its native ASOF JOIN."""
+    from ..operators.asof import asof_join
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts_us",
+                      F.col("event_id").alias("click_id")))
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts_us")
+             .agg(F.max("event_id").alias("view_id")))
+    out = asof_join(clicks, views, on="user_id", ts="ts_us",
+                    value_cols=["view_id"])
+    return out.select("user_id", "click_id",
+                      F.col("ts_us").alias("click_ts_us"),
+                      F.col("view_id").alias("last_view_id"))
+
+
+ORACLE_ASOF = """
+WITH l AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.user_id, l.click_id, l.ts AS click_ts_us,
+       r.view_id AS last_view_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # JSON navigation (F18)
 # ---------------------------------------------------------------------------
@@ -1291,6 +1330,7 @@ QUERIES = {
     "graph_degree": q_graph_degree,
     "graph_two_hop": q_graph_two_hop,
     "skew_salted_join": q_skew_salted_join,
+    "asof_join": q_asof_join,
     "json_extract": q_json_extract,
 }
 
@@ -1332,5 +1372,6 @@ ORACLE = {
     "graph_degree": ORACLE_GRAPH_DEGREE,
     "graph_two_hop": ORACLE_TWO_HOP,
     "skew_salted_join": ORACLE_SKEW_SALTED,
+    "asof_join": ORACLE_ASOF,
     "json_extract": ORACLE_JSON,
 }

@@ -348,3 +348,23 @@ class TestSaltedJoin:
                              F.lit(8)))
         n_salts_used = big_s.select(SALT_COL).distinct().count()
         assert n_salts_used >= 6  # the hot key's rows really do spread
+
+
+class TestAsofJoin:
+    def test_latest_prior_inclusive_and_null(self, spark):
+        from research_index_backend_spark.operators.asof import asof_join
+        left = spark.createDataFrame(
+            [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 7, "l3")],
+            ["k", "t", "lv"])
+        right = spark.createDataFrame(
+            [(1, 10, "r@10"), (1, 15, "r@15"), (2, 9, "r@9")],
+            ["k", "t", "rv"])
+        got = {r["lv"]: r["rv"] for r in
+               asof_join(left, right, on="k", ts="t",
+                         value_cols=["rv"]).collect()}
+        assert got == {
+            "l0": None,     # no right row at or before t=5
+            "l1": "r@10",   # equal ts matches (inclusive, ASOF semantics)
+            "l2": "r@15",   # latest prior, not first
+            "l3": None,     # right row is AFTER the left ts
+        }
