@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Harness-only split sizing (see queries._ensure_conf): the driver's
+# verify/bench runs read tiny single-file parquet that must still fan out
+# across cores. Production imports of the package never set this.
+os.environ.setdefault("RIB_TEST_SPLIT_MB", "16")
+
 from research_index_backend_spark.plans.queries import ORACLE, QUERIES  # noqa: E402
 from research_index_backend_spark.plans.queries_ext import (  # noqa: E402
     ORACLE_EXT,

@@ -21,6 +21,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Bench-only split sizing (see queries._ensure_conf): small files must
+# still fan out across cores at test SF. Production sessions never set
+# this, so they keep Spark's 128m default.
+os.environ.setdefault("RIB_TEST_SPLIT_MB", "16")
 
 
 def _sf_from_dir(d: str) -> float:

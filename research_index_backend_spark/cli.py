@@ -125,9 +125,20 @@ def run_ingest(spark: SparkSession, doi_file: str, data_dir: str,
     landed_alex = fetch_metadata(work, source="openalex",
                                  transport=transport).localCheckpoint()
     if write_metadata:
-        # S5: land raw envelopes once as partitioned JSONL
-        landed_aire.unionByName(landed_alex).write.mode("append") \
-            .partitionBy("source").json(str(Path(data_dir) / "json"))
+        # S5: land raw envelopes as partitioned JSONL. The reference writes
+        # one file per DOI (overwrite -> naturally deduplicated); an
+        # append-mode dataset would accumulate duplicate envelope rows on
+        # re-runs, so anti-join against the already-landed (query_doi,
+        # source) keys first — same shape as fetch.unfetched_dois.
+        to_land = landed_aire.unionByName(landed_alex)
+        json_dir = Path(data_dir) / "json"
+        if json_dir.exists():
+            landed_keys = (spark.read.json(str(json_dir))
+                           .select("query_doi", "source").distinct())
+            to_land = to_land.join(landed_keys, ["query_doi", "source"],
+                                   "left_anti")
+        to_land.write.mode("append") \
+            .partitionBy("source").json(str(json_dir))
 
     envelopes = (
         landed_aire.filter(F.col("error").isNull())
@@ -196,15 +207,23 @@ def run_ingest(spark: SparkSession, doi_file: str, data_dir: str,
     metrics = ingestion_metrics(full, update_metadata=update_metadata,
                                 start_time=start, end_time=time.time())
     if return_details:
-        return metrics, processing_details(full)
+        return metrics, processing_details(full,
+                                           update_metadata=update_metadata)
     return metrics
 
 
-def processing_details(full: DataFrame) -> DataFrame:
+def processing_details(full: DataFrame,
+                       update_metadata: bool = False) -> DataFrame:
     """(category, doi) rows for the reference's per-DOI report lists
     (create_graph_from_doi.py:365-376): failed metadata, invalid pattern,
-    duplicated submissions."""
-    proc = F.col("valid_pattern") & ~F.col("already_exists")
+    duplicated submissions.
+
+    The 'processed' predicate must match ingestion_metrics exactly: with
+    -u the reference re-processes existing DOIs (doi.py:219-224), so the
+    metadata_failure LIST must include them too, or the printed count and
+    the per-DOI list below it disagree (round-3 ADVICE item)."""
+    proc = (F.col("valid_pattern") if update_metadata
+            else F.col("valid_pattern") & ~F.col("already_exists"))
     cats = {
         "metadata_failure": proc & ~F.col("ingestion_success"),
         "invalid_pattern_dois": ~F.col("valid_pattern"),

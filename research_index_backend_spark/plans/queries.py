@@ -21,6 +21,8 @@ lineitem events documents embeddings.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -63,10 +65,15 @@ def _ensure_conf(spark: SparkSession) -> None:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         # Test-SF split sizing: at the default 128m maxPartitionBytes every
         # table here is ONE input split (sf0.1 lineitem is ~40 MB), so the
-        # scan side of every query runs on one core. 16m reproduces the
-        # multi-split shape production data has naturally; at 100 TB leave
-        # the default — the point is splits ~ a task-minute of work.
-        ("spark.sql.files.maxPartitionBytes", "16m"),
+        # scan side of every query runs on one core. A small split size
+        # reproduces the multi-split shape production data has naturally —
+        # but ONLY under the bench/test harness (round-3 ADVICE: pinning it
+        # unconditionally would inflate task counts ~8x at 100 TB and leak
+        # into every other query on the session). bench.py and tests/ set
+        # RIB_TEST_SPLIT_MB; production sessions keep Spark's default.
+        *(() if not os.environ.get("RIB_TEST_SPLIT_MB") else
+          (("spark.sql.files.maxPartitionBytes",
+            os.environ["RIB_TEST_SPLIT_MB"] + "m"),)),
     ):
         try:
             spark.conf.set(k, v)

@@ -168,10 +168,16 @@ def q_graph_pagerank(spark, sf_dir):
     graph, checked against a DuckDB oracle that unrolls the 5 iterations as
     CTE stages. Both engines run the identical IEEE-double recurrence
     (same literals, same coalesce-0 left join), so after integer
-    quantization (round(rank * 1e6) as BIGINT) the values hash-match —
+    quantization (round(rank * 1e4) as BIGINT) the values hash-match —
     float output itself is avoided because Spark rounds via BigDecimal
     HALF_UP while DuckDB rounds the binary double, which can differ in the
     last ulp at a decimal boundary; rounding to an integer sidesteps that.
+    e4 (not e6) quantization: the per-iteration sum(rank/out_deg) partial-
+    aggregation ORDER is not fixed in either engine, so the recurrence is
+    only identical up to summation order (round-3 ADVICE). The wobble is
+    ~1 ulp (~1e-16 relative); at e4 a value would need to land within
+    ~1e-12 of a 0.5*1e-4 rounding boundary to flip — astronomically less
+    likely than at e6, and ranks have no reason to cluster on boundaries.
 
     Perf shape: rank frame is |V| rows (tiny vs |E|) -> broadcast_ranks
     turns the per-iteration edge join into a map-side broadcast join, and
@@ -187,7 +193,7 @@ def q_graph_pagerank(spark, sf_dir):
     pr = pagerank(edges, n_iter=5, handle_dangling=False,
                   checkpoint_every=3, broadcast_ranks=True)
     return pr.select(
-        "id", F.round(F.col("rank") * 1e6).cast("bigint").alias("rank_e6"))
+        "id", F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
 
 
 def _oracle_pagerank(n_iter: int = 5, damping: float = 0.85) -> str:
@@ -222,7 +228,7 @@ r{i} AS (
          + {d} * COALESCE(c{i}.in_sum, CAST(0.0 AS DOUBLE)) AS rank
   FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id)""")
     parts.append(f"""
-SELECT id, CAST(round(rank * 1e6) AS BIGINT) AS rank_e6 FROM r{n_iter}
+SELECT id, CAST(round(rank * 1e4) AS BIGINT) AS rank_e4 FROM r{n_iter}
 """)
     return "".join(parts)
 

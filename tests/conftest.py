@@ -6,7 +6,13 @@ hand-sized frames; scale behavior is exercised by bench.py / the driver.
 
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# Test-harness split sizing (see queries._ensure_conf) — gated here so
+# production sessions keep Spark's default maxPartitionBytes.
+os.environ.setdefault("RIB_TEST_SPLIT_MB", "16")
 
 from research_index_backend_spark.session import get_spark
 
