@@ -29,6 +29,10 @@ from research_index_backend_spark.plans.queries_ext import (  # noqa: E402
     ORACLE_EXT,
     QUERIES_EXT,
 )
+from research_index_backend_spark.plans.queries_ext2 import (  # noqa: E402
+    ORACLE_EXT2,
+    QUERIES_EXT2,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,9 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {**QUERIES, **QUERIES_EXT}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_EXT2}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
-    return {**ORACLE, **ORACLE_EXT}
+    return {**ORACLE, **ORACLE_EXT, **ORACLE_EXT2}

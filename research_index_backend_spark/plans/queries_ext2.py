@@ -1,0 +1,604 @@
+"""Round-4 catalog extension: analytics + training-data-pipeline queries.
+
+Each entry follows the same contract as plans.queries / queries_ext:
+a (spark, sf_dir) -> DataFrame callable plus an ANSI-SQL DuckDB twin
+whose sorted-column value-hash must match exactly.
+
+New surface this module adds (all absent from the reference, which has no
+warehouse-style analytics at all — these are the first-class ops a 100 TB
+training-data pipeline layer needs on top of SURVEY §2):
+
+  rollup_report          hierarchical ROLLUP aggregation (region > nation)
+  pivot_report           groupBy().pivot() cross-tab
+  window_lag_delta       per-key LAG deltas (time-series differencing)
+  ntile_bucket           NTILE quartiles per group
+  stratified_sample      deterministic per-stratum hash sampling
+  tfidf_topk             per-document top-3 TF-IDF terms
+  bigram_topk            corpus top-20 bigrams
+  simhash_hamming_pairs  near-dup pairs via 4-band SimHash blocking
+  event_funnel           signup -> view -> purchase ordered funnel
+  retention_cohort       weekly cohort retention matrix
+  text_scrub             URL / e-mail scrubbing with removal counts
+  percentile_report      exact interpolated quartiles per group
+
+Determinism rules (same as the rest of the catalog): integer outputs
+wherever float summation order could differ (decimal-cast sums, e4
+quantization of interpolated quantiles), md5-based hashing for anything
+sampled or fingerprinted, and explicit tie-breaks on every rank/limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import simhash
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# rollup_report — hierarchical aggregation (ROLLUP), SURVEY §2.4 family
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue rolled up region > nation > grand total.
+
+    Spark `rollup()` == SQL GROUP BY ROLLUP — one shuffle, the partial
+    aggregates for the coarser levels are derived map-side by Catalyst
+    (Expand + single hash agg), not one pass per level. Sums go through
+    decimal(18,2) so partial-aggregation order cannot change the result
+    (IEEE double sums are order-sensitive; decimals are exact).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("revenue"))
+        .select(F.coalesce("r_name", F.lit("(all)")).alias("region"),
+                F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+                "n_orders", "revenue")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(r_name, '(all)') AS region,
+       coalesce(n_name, '(all)') AS nation,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot_report — cross-tab (groupBy().pivot())
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority pivoted across order status columns.
+
+    The pivot values are pinned explicitly — with an explicit list Spark
+    skips the extra distinct-values job AND the plan compiles to one
+    hash aggregate of conditional counts (same shape as the SQL oracle),
+    which is the form that scales: a pivot with discovered values is two
+    jobs and a driver collect.
+    """
+    o = _t(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1))))
+    return piv.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_lag_delta — time-series differencing (LAG), SURVEY §2.5 family
+# ---------------------------------------------------------------------------
+
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event deltas: value diff and inter-event gap.
+
+    One shuffle on user_id, then LAG inside the window — the canonical
+    time-series differencing shape. Gap math runs on exact int64
+    MICROseconds (ts_ns div 1000): DuckDB's parquet reader lands the
+    nano timestamp at micro precision, so micros is the finest grain
+    both engines agree on bit-for-bit (event_id tie-break keeps the
+    ordering deterministic either way). The value delta is a single
+    IEEE subtraction — exact and order-independent, unlike sums, so no
+    decimal cast is needed.
+    """
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+
+
+ORACLE_LAG_DELTA = """
+SELECT event_id, user_id,
+       value - lag(value) OVER w AS value_delta,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ntile_bucket — NTILE quartiles per group
+# ---------------------------------------------------------------------------
+
+
+def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment of order value within each priority class.
+
+    NTILE's distribution rule (first n%4 buckets get the extra row) is
+    identical in Spark and DuckDB; the orderBy carries o_orderkey as the
+    tie-break so equal prices can't permute bucket edges.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_NTILE = """
+SELECT o_orderkey, o_orderpriority AS priority,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — deterministic per-stratum hash sampling
+# ---------------------------------------------------------------------------
+
+# per-status sampling rate in percent — the stratified part: rare strata
+# ('P' is ~1% of orders) keep a much higher rate than common ones
+_STRATA_PCT = {"F": 10, "O": 5, "P": 50}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5(key) mod 100 under a
+    per-stratum threshold.
+
+    `df.sample()` is seed-dependent on partitioning (a repartition changes
+    the sample!), so pipelines that must be re-runnable sample by content
+    hash instead: the same row is in or out forever, across engines,
+    partition counts, and retries. That idempotence is what makes the
+    sample auditable at 100 TB — and DuckDB-checkable here.
+    """
+    o = _t(spark, sf_dir, "orders")
+    h = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16, 10).cast("bigint") % 100)
+    thr = F.when(F.col("o_orderstatus") == "F", _STRATA_PCT["F"]) \
+           .when(F.col("o_orderstatus") == "O", _STRATA_PCT["O"]) \
+           .otherwise(_STRATA_PCT["P"])
+    return (o.filter(h < thr)
+            .select("o_orderkey", F.col("o_orderstatus").alias("stratum")))
+
+
+ORACLE_STRATIFIED = f"""
+SELECT o_orderkey, o_orderstatus AS stratum
+FROM orders
+WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+           AS BIGINT) % 100
+      < CASE o_orderstatus WHEN 'F' THEN {_STRATA_PCT["F"]}
+                           WHEN 'O' THEN {_STRATA_PCT["O"]}
+                           ELSE {_STRATA_PCT["P"]} END
+"""
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk — per-document top TF-IDF terms (text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Shape: explode tokens (codegen split, no UDF) -> tf hash-agg ->
+    df hash-agg -> broadcast the tiny (token, df) side back -> window
+    top-3. The corpus size joins in via a broadcast 1-row agg, never a
+    driver .count() (a count() is a separate job and a scale smell).
+
+    Output is integers/strings only: the float score is rank-only,
+    compared after round(…, 9) with the token as tie-break, so a last-ulp
+    ln() difference between engines cannot flip the result row set.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != "")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = (tok.distinct().groupBy("tok")
+               .agg(F.count(F.lit(1)).alias("df")))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_docs), "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log((F.col("n_docs") + 1)
+                                                 / (F.col("df") + 1)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("tok"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "tok", "tf", "df", "rnk"))
+
+
+ORACLE_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+    FROM documents)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfd AS (SELECT tok, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfd.df,
+         tf.tf * ln((nd.n_docs + 1) / (dfd.df + 1)) AS score
+  FROM tf JOIN dfd USING (tok) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 9) DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram_topk — corpus-level top-k n-grams
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word bigrams.
+
+    Bigrams are built with sequence+transform over the token array (all
+    codegen — the same guarded-sequence shape as dedup.shingles_col: a
+    <2-token doc yields an empty array, because sequence(1, 0) would
+    count DOWN, not produce nothing). Count is map-side combined; the
+    final top-20 is a tiny global sort with a lexicographic tie-break so
+    the cut is deterministic.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1))))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+ORACLE_BIGRAM = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)
+)
+SELECT bigram, count(*) AS n FROM b
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs — near-dup pairs via SimHash band blocking
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 16
+_SH_BANDS = 4          # 4 bands x 4 bits
+_SH_MAX_HAMMING = 3    # pigeonhole: <=3 flipped bits leave >=1 band intact
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: Hamming(simhash_a, simhash_b) <= 3.
+
+    Scale shape: never all-pairs. The 16-bit fingerprint splits into 4
+    bands of 4 bits; by pigeonhole any pair within Hamming distance 3
+    agrees exactly on >=1 band, so candidates come from an equi-join on
+    (band_id, band_value) — same blocking idea as MinHash-LSH but on the
+    fingerprint itself, then the exact bit_count(xor) filter keeps no
+    false positives. The oracle brute-forces all pairs (fine at oracle
+    SF; the POINT of banding is not doing that at 100 TB).
+    """
+    d = _t(spark, sf_dir, "documents")
+    fp = simhash(d, "text", "doc_id", bits=_SH_BITS).select(
+        F.col("id").alias("doc_id"), F.col("simhash").cast("long"))
+    width = _SH_BITS // _SH_BANDS
+    mask = (1 << width) - 1
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_id"),
+                     F.shiftright("simhash", i * width)
+                      .bitwiseAND(F.lit(mask)).alias("band_val"))
+            for i in range(_SH_BANDS)])).alias("b"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.b.band_id") == F.col("b.b.band_id"))
+                   & (F.col("a.b.band_val") == F.col("b.b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("fp_a"),
+                    F.col("b.simhash").alias("fp_b"))
+            .distinct())
+    return (cand
+            .withColumn("hamming", F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+            .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def _oracle_hamming_pairs() -> str:
+    from .queries_ext import _oracle_simhash
+    return f"""
+WITH fp AS ({_oracle_simhash(_SH_BITS)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_funnel — ordered multi-step funnel
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who signed up, then viewed, then purchased — in that order.
+
+    One hash-agg with conditional mins (no join per step, no window):
+    min ts per step per user, then the strict ordering filter. Exact
+    int64 MICROsecond arithmetic (truncation is monotone, so
+    min(trunc(x)) == trunc(min(x)) — micros is the finest grain DuckDB's
+    parquet reader preserves). This is the funnel shape that scales — a
+    per-step self-join would be k shuffles of the full event log.
+    """
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000"))
+
+    def step_min(step: str):
+        return F.min(F.when(F.col("event_type") == step,
+                            F.col("ts_us"))).alias(f"t_{step}")
+
+    return (
+        e.groupBy("user_id")
+        .agg(step_min("signup"), step_min("view"), step_min("purchase"))
+        .filter(F.col("t_signup").isNotNull()
+                & F.col("t_view").isNotNull()
+                & F.col("t_purchase").isNotNull()
+                & (F.col("t_signup") < F.col("t_view"))
+                & (F.col("t_view") < F.col("t_purchase")))
+        .select("user_id", "t_signup", "t_view", "t_purchase")
+    )
+
+
+ORACLE_FUNNEL = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+       min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+       min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+FROM events GROUP BY user_id
+HAVING t_signup IS NOT NULL AND t_view IS NOT NULL
+   AND t_purchase IS NOT NULL
+   AND t_signup < t_view AND t_view < t_purchase
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention_cohort — weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort (first-seen week) x week-offset distinct-user counts.
+
+    Two hash-aggs and one join on user_id; the per-user first-seen frame
+    is |users| rows (tiny vs |events|) so it broadcasts. Week truncation
+    uses date_trunc('week') — Monday-start in both engines.
+    """
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts_ns").alias("first_ns"))
+    cohort = first.select(
+        "user_id",
+        F.date_trunc("week", F.timestamp_micros(
+            F.expr("first_ns div 1000"))).alias("cohort_w"))
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_w")).distinct()
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_w", "active_w")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            ((F.datediff(F.to_date("active_w"), F.to_date("cohort_w")) / 7)
+             .cast("int")).alias("week_index"),
+            "n_users")
+    )
+
+
+ORACLE_COHORT = """
+WITH f AS (SELECT user_id, min(epoch_ns(ts)) AS first_ns
+           FROM events GROUP BY 1),
+c AS (SELECT user_id,
+             date_trunc('week', make_timestamp(first_ns // 1000)) AS cohort_w
+      FROM f),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_w FROM events)
+SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', CAST(cohort_w AS DATE),
+                      CAST(active_w AS DATE)) // 7 AS INT) AS week_index,
+       count(DISTINCT user_id) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_scrub — URL / e-mail scrubbing (PII-style cleaning)
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"https?://\S+"
+_EMAIL_RE = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9_.-]+"
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub URLs and e-mail addresses from documents, reporting removal
+    counts and an md5 of the cleaned text.
+
+    The synthetic corpus contains neither, so the query salts a
+    deterministic contact line into each document first — the point is
+    proving the scrub operators (regexp_count + global regexp_replace)
+    behave identically across engines, on text that actually exercises
+    them. Patterns use explicit ASCII classes, not \\w, so Java-regex vs
+    RE2 class-semantics differences can't bite.
+    """
+    d = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or https://ex.org/d/"),
+        F.col("doc_id").cast("string"))
+    cleaned = F.regexp_replace(F.regexp_replace(salted, _URL_RE, ""),
+                               _EMAIL_RE, "")
+    return d.select(
+        "doc_id",
+        F.regexp_count(salted, F.lit(_URL_RE)).alias("n_urls"),
+        F.regexp_count(salted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+ORACLE_SCRUB = rf"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.org/d/'
+              || CAST(doc_id AS VARCHAR) AS salted
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(salted, '{_URL_RE}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(salted, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       md5(regexp_replace(regexp_replace(salted, '{_URL_RE}', '', 'g'),
+                          '{_EMAIL_RE}', '', 'g')) AS clean_md5
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# percentile_report — exact interpolated quantiles per group
+# ---------------------------------------------------------------------------
+
+
+def q_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of extended price per return flag — EXACT percentiles
+    (Spark `percentile`, linear interpolation at h = (n-1)p), not the
+    approx sketch: approx_percentile/t-digest output is
+    implementation-defined and can't oracle-match. e4 integer
+    quantization absorbs last-ulp interpolation differences.
+
+    Scale note: exact percentile needs the group sorted — at 100 TB you'd
+    reach for approx_percentile and accept sketch error; this entry is
+    the correctness anchor the sketch gets compared against.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+
+    def p(q: float, name: str):
+        return F.round(F.percentile("l_extendedprice", F.lit(q)) * 1e4) \
+                .cast("bigint").alias(name)
+
+    return (li.groupBy("l_returnflag")
+            .agg(p(0.25, "p25_e4"), p(0.5, "p50_e4"), p(0.75, "p75_e4")))
+
+
+ORACLE_PERCENTILE = """
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_extendedprice, 0.25) * 1e4) AS BIGINT) AS p25_e4,
+       CAST(round(quantile_cont(l_extendedprice, 0.50) * 1e4) AS BIGINT) AS p50_e4,
+       CAST(round(quantile_cont(l_extendedprice, 0.75) * 1e4) AS BIGINT) AS p75_e4
+FROM lineitem GROUP BY 1
+"""
+
+
+QUERIES_EXT2 = {
+    "rollup_report": q_rollup_report,
+    "pivot_report": q_pivot_report,
+    "window_lag_delta": q_window_lag_delta,
+    "ntile_bucket": q_ntile_bucket,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_topk": q_tfidf_topk,
+    "bigram_topk": q_bigram_topk,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "event_funnel": q_event_funnel,
+    "retention_cohort": q_retention_cohort,
+    "text_scrub": q_text_scrub,
+    "percentile_report": q_percentile_report,
+}
+
+ORACLE_EXT2 = {
+    "rollup_report": ORACLE_ROLLUP,
+    "pivot_report": ORACLE_PIVOT,
+    "window_lag_delta": ORACLE_LAG_DELTA,
+    "ntile_bucket": ORACLE_NTILE,
+    "stratified_sample": ORACLE_STRATIFIED,
+    "tfidf_topk": ORACLE_TFIDF,
+    "bigram_topk": ORACLE_BIGRAM,
+    "simhash_hamming_pairs": _oracle_hamming_pairs(),
+    "event_funnel": ORACLE_FUNNEL,
+    "retention_cohort": ORACLE_COHORT,
+    "text_scrub": ORACLE_SCRUB,
+    "percentile_report": ORACLE_PERCENTILE,
+}

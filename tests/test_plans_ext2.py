@@ -1,0 +1,127 @@
+"""Plan + semantics tests for the round-4 catalog extension
+(plans.queries_ext2). Value-level correctness is pinned by the DuckDB
+oracles (tools/check.py / the driver's CORRECTNESS gate); these tests pin
+the SCALE properties of each plan and the handful of semantics the
+oracles can't see (determinism under repartitioning, banding recall).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from research_index_backend_spark.plans import queries_ext2 as Q2
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_rollup_is_single_expand_agg(self, spark):
+        """ROLLUP must compile to Expand + one aggregate chain — not one
+        scan/shuffle per hierarchy level."""
+        p = plan_of(Q2.q_rollup_report(spark, SF))
+        assert p.count("Expand") >= 1
+        assert "Scan parquet" in p
+        # one orders scan only: per-level re-scans would repeat the
+        # Location line
+        assert sum("orders.parquet" in ln
+                   for ln in p.splitlines() if "Location" in ln) == 1
+
+    def test_rollup_dims_broadcast(self, spark):
+        p = plan_of(Q2.q_rollup_report(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_pivot_is_one_aggregate_chain(self, spark):
+        """Pinned pivot values compile to pivotfirst aggregation over one
+        scan — no distinct-values pass over the data (an unpinned pivot
+        runs a whole extra job just to discover the columns)."""
+        p = plan_of(Q2.q_pivot_report(spark, SF))
+        assert "pivotfirst" in p.lower()
+        assert sum("orders.parquet" in ln
+                   for ln in p.splitlines() if "Location" in ln) == 1
+
+    def test_funnel_is_single_agg_no_join(self, spark):
+        """The funnel is one hash-agg over events — a per-step self-join
+        would shuffle the full log k times."""
+        p = plan_of(Q2.q_event_funnel(spark, SF))
+        assert "Join" not in p
+        assert p.count("HashAggregate") >= 2  # partial + final
+
+    def test_simhash_pairs_is_equi_join_not_cross(self, spark):
+        """Band blocking must plan as an equi-join on (band_id, band_val);
+        a cross/nested-loop product over docs is the anti-pattern."""
+        p = plan_of(Q2.q_simhash_hamming_pairs(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_tfidf_broadcasts_df_side(self, spark):
+        """(token, df) and the 1-row corpus count are tiny — both must
+        broadcast back onto the tf side."""
+        p = plan_of(Q2.q_tfidf_topk(spark, SF))
+        assert p.count("BroadcastExchange") >= 2
+
+    def test_cohort_broadcasts_first_seen(self, spark):
+        p = plan_of(Q2.q_retention_cohort(spark, SF))
+        assert "BroadcastHashJoin" in p
+
+
+class TestSemantics:
+    def test_stratified_sample_partitioning_invariant(self, spark):
+        """The content-hash sample must be identical under any physical
+        partitioning — the property that makes it re-runnable (unlike
+        df.sample, whose output depends on partition layout)."""
+        base = Q2.q_stratified_sample(spark, SF)
+        o = spark.read.parquet(f"{SF}/orders.parquet").repartition(7)
+        h = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                                1, 8), 16, 10).cast("bigint") % 100)
+        thr = F.when(F.col("o_orderstatus") == "F", 10) \
+               .when(F.col("o_orderstatus") == "O", 5).otherwise(50)
+        again = o.filter(h < thr).select(
+            "o_orderkey", F.col("o_orderstatus").alias("stratum"))
+        assert sorted(map(tuple, base.collect())) \
+            == sorted(map(tuple, again.collect()))
+
+    def test_stratified_rates_differ_by_stratum(self, spark):
+        rows = Q2.q_stratified_sample(spark, SF).groupBy("stratum") \
+            .count().collect()
+        got = {r["stratum"]: r["count"] for r in rows}
+        # F sampled at 10%, O at 5% — F rate must exceed O rate
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        tot = {r["o_orderstatus"]: r["count"]
+               for r in o.groupBy("o_orderstatus").count().collect()}
+        assert got["F"] / tot["F"] > got["O"] / tot["O"]
+
+    def test_simhash_banding_recall_exact(self, spark):
+        """Pigeonhole guarantee: banded candidates + exact filter find
+        EVERY pair with hamming <= 3 (compare against brute force)."""
+        banded = {(r["doc_a"], r["doc_b"])
+                  for r in Q2.q_simhash_hamming_pairs(spark, SF).collect()}
+        from research_index_backend_spark.operators.dedup import simhash
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        fp = {r["id"]: r["simhash"]
+              for r in simhash(d, "text", "doc_id", bits=16).collect()}
+        ids = sorted(fp)
+        brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin(fp[a] ^ fp[b]).count("1") <= 3}
+        assert banded == brute
+
+    def test_funnel_requires_strict_order(self, spark):
+        """A user with purchase before view must not qualify."""
+        rows = Q2.q_event_funnel(spark, SF).collect()
+        for r in rows:
+            assert r["t_signup"] < r["t_view"] < r["t_purchase"]
+
+    def test_scrub_removes_all_urls_and_emails(self, spark):
+        df = Q2.q_text_scrub(spark, SF)
+        assert df.filter((F.col("n_urls") < 1) | (F.col("n_emails") < 1)) \
+            .isEmpty()
