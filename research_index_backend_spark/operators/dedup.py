@@ -361,10 +361,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     candidates are docs whose fingerprints differ in <=3 bits (compare via
     bit_count(xor) downstream).
     """
+    if bits % 4 or not 4 <= bits <= 60:
+        # 60-bit ceiling keeps every intermediate (h, 2**i weights, the
+        # assembled fingerprint) inside a signed 64-bit long in both
+        # engines; nibble-aligned so the hex-prefix hash is exact.
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60]: {bits}")
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens_col(text_col)).alias("tok"))
-    # bits from the first 4 hex chars of md5 (16 bits)
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    # bits from the first bits/4 hex chars of md5
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4),
+               16, 10).cast("long")
     toks = toks.withColumn("h", h)
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,

@@ -506,7 +506,8 @@ def _oracle_simhash(bits: int = 16) -> str:
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(bits))
     fp = " + ".join(
-        f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+        f"CASE WHEN v{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+        for i in range(bits))
     return rf"""
 WITH tok AS (
   SELECT DISTINCT doc_id AS id, t AS tok FROM (
@@ -515,7 +516,8 @@ WITH tok AS (
   ) WHERE t <> ''
 ),
 h AS (
-  SELECT id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER) AS h
+  SELECT id,
+         CAST(concat('0x', substr(md5(tok), 1, {bits // 4})) AS BIGINT) AS h
   FROM tok
 ),
 votes AS (

@@ -338,48 +338,80 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
 # simhash_hamming_pairs — near-dup pairs via SimHash band blocking
 # ---------------------------------------------------------------------------
 
-_SH_BITS = 16
-_SH_BANDS = 4          # 4 bands x 4 bits
+_SH_BITS = 60          # the Manku/Jain/Sarma web-dedup config is 64-bit
+#                        fingerprints at hamming <= 3; 60 is the closest
+#                        nibble-aligned width that keeps every intermediate
+#                        in a signed 64-bit long in both engines.
+_SH_BANDS = 4          # 4 bands x 15 bits
 _SH_MAX_HAMMING = 3    # pigeonhole: <=3 flipped bits leave >=1 band intact
 
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: Hamming(simhash_a, simhash_b) <= 3.
+    """Near-duplicate pairs: Hamming(simhash_a, simhash_b) <= 3
+    (the SimHash web-dedup design of Manku, Jain & Das Sarma, WWW'07 —
+    64-bit fingerprint, k=3, block-permuted candidate lookup; banding is
+    the join-friendly expression of their table-permutation scheme).
 
-    Scale shape: never all-pairs. The 16-bit fingerprint splits into 4
-    bands of 4 bits; by pigeonhole any pair within Hamming distance 3
-    agrees exactly on >=1 band, so candidates come from an equi-join on
-    (band_id, band_value) — same blocking idea as MinHash-LSH but on the
-    fingerprint itself, then the exact bit_count(xor) filter keeps no
-    false positives. The oracle brute-forces all pairs (fine at oracle
-    SF; the POINT of banding is not doing that at 100 TB).
+    Scale shape, two layers:
+    1. Never all-pairs: by pigeonhole a pair within Hamming distance 3
+       agrees exactly on >=1 of 4 bands, so candidates come from an
+       equi-join on (band_id, band_value), then the exact bit_count(xor)
+       filter keeps no false positives.
+    2. Band at FINGERPRINT granularity, not document granularity. Real
+       corpora (and this one: 5000 docs -> 3812 distinct fingerprints at
+       sf0.1) carry large identical-fingerprint cliques; doc-level
+       banding would push every clique through the join as a quadratic
+       candidate blob and re-discover the same fp-pair thousands of
+       times (measured: 6M candidates + a 6M-row distinct, ~10s).
+       Collapsing to distinct fingerprints first makes the band join
+       tiny, and the doc-level pairs come back via two expansion joins
+       that emit exactly the output rows — no distinct needed:
+         - cross-fp pairs: fp_pairs x members(fp_a) x members(fp_b)
+         - within-fp pairs (hamming 0): members self-join on fp
     """
     d = _t(spark, sf_dir, "documents")
+    # The fingerprint frame feeds THREE consumers (band join + both
+    # expansion joins); without materialization Spark recomputes the
+    # whole tokenize+vote aggregation per consumer (measured: 3x ~3s =
+    # the entire query cost). One eager localCheckpoint makes it
+    # compute-once — same lineage-truncation pattern as the iterative
+    # graph queries. |fp| = one row per doc id+fingerprint, tiny.
     fp = simhash(d, "text", "doc_id", bits=_SH_BITS).select(
-        F.col("id").alias("doc_id"), F.col("simhash").cast("long"))
+        F.col("id").alias("doc_id"),
+        F.col("simhash").cast("long").alias("fp")).localCheckpoint()
     width = _SH_BITS // _SH_BANDS
     mask = (1 << width) - 1
-    bands = fp.select(
-        "doc_id", "simhash",
+    ufp = fp.select("fp").distinct()
+    bands = ufp.select(
+        "fp",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band_id"),
-                     F.shiftright("simhash", i * width)
+                     F.shiftright("fp", i * width)
                       .bitwiseAND(F.lit(mask)).alias("band_val"))
             for i in range(_SH_BANDS)])).alias("b"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.b.band_id") == F.col("b.b.band_id"))
-                   & (F.col("a.b.band_val") == F.col("b.b.band_val"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash").alias("fp_a"),
-                    F.col("b.simhash").alias("fp_b"))
-            .distinct())
-    return (cand
-            .withColumn("hamming", F.bit_count(
-                F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-            .filter(F.col("hamming") <= _SH_MAX_HAMMING)
-            .select("doc_a", "doc_b", "hamming"))
+    fp_pairs = (
+        a.join(b, (F.col("a.b.band_id") == F.col("b.b.band_id"))
+               & (F.col("a.b.band_val") == F.col("b.b.band_val"))
+               & (F.col("a.fp") < F.col("b.fp")))
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(
+            F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING))
+    ma, mb = fp.alias("ma"), fp.alias("mb")
+    cross = (fp_pairs
+             .join(ma, F.col("ma.fp") == F.col("fp_a"))
+             .join(mb, F.col("mb.fp") == F.col("fp_b"))
+             .select(F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+                     F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+                     "hamming"))
+    within = (ma.join(mb, (F.col("ma.fp") == F.col("mb.fp"))
+                      & (F.col("ma.doc_id") < F.col("mb.doc_id")))
+              .select(F.col("ma.doc_id").alias("doc_a"),
+                      F.col("mb.doc_id").alias("doc_b"),
+                      F.lit(0).alias("hamming")))
+    return cross.unionByName(within)
 
 
 def _oracle_hamming_pairs() -> str:
@@ -555,13 +587,16 @@ def q_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correctness anchor the sketch gets compared against.
     """
     li = _t(spark, sf_dir, "lineitem")
-
-    def p(q: float, name: str):
-        return F.round(F.percentile("l_extendedprice", F.lit(q)) * 1e4) \
-                .cast("bigint").alias(name)
-
-    return (li.groupBy("l_returnflag")
-            .agg(p(0.25, "p25_e4"), p(0.5, "p50_e4"), p(0.75, "p75_e4")))
+    # ONE percentile(col, array(...)) aggregate, not three: the exact
+    # percentile buffers every group value, so three separate aggs hold
+    # (and sort) the buffer three times — the array form shares it.
+    pcts = F.percentile("l_extendedprice",
+                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (li.groupBy("l_returnflag").agg(pcts.alias("ps"))
+            .select("l_returnflag", *[
+                F.round(F.element_at("ps", i + 1) * 1e4).cast("bigint")
+                 .alias(n)
+                for i, n in enumerate(("p25_e4", "p50_e4", "p75_e4"))]))
 
 
 ORACLE_PERCENTILE = """

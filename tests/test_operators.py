@@ -368,3 +368,24 @@ class TestAsofJoin:
             "l2": "r@15",   # latest prior, not first
             "l3": None,     # right row is AFTER the left ts
         }
+
+
+class TestCosineBackends:
+    def test_fold_and_numpy_agree_after_quantization(self, spark):
+        """The JVM fold and the Arrow-numpy cosine are the same operator
+        up to summation order; round(sim, 9) — the catalog's comparison
+        grain — must make them identical on real embeddings."""
+        from research_index_backend_spark.operators.ann import (
+            cosine_sim, cosine_sim_np)
+        import pyspark.sql.functions as F
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.limit(3).select(F.col("vec_id").alias("qid"),
+                              F.col("embedding").alias("qv"))
+        pairs = e.crossJoin(F.broadcast(q))
+        both = pairs.select(
+            "vec_id", "qid",
+            F.round(cosine_sim(F.col("embedding"), F.col("qv")), 9)
+             .alias("fold"),
+            F.round(cosine_sim_np(F.col("embedding"), F.col("qv")), 9)
+             .alias("np"))
+        assert both.filter(F.col("fold") != F.col("np")).isEmpty()

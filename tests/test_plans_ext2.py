@@ -109,7 +109,8 @@ class TestSemantics:
         from research_index_backend_spark.operators.dedup import simhash
         d = spark.read.parquet(f"{SF}/documents.parquet")
         fp = {r["id"]: r["simhash"]
-              for r in simhash(d, "text", "doc_id", bits=16).collect()}
+              for r in simhash(d, "text", "doc_id",
+                               bits=Q2._SH_BITS).collect()}
         ids = sorted(fp)
         brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
                  if bin(fp[a] ^ fp[b]).count("1") <= 3}
