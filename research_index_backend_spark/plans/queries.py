@@ -1183,7 +1183,12 @@ def q_graph_two_hop(spark, sf_dir):
     consortium paper would otherwise emit 50M pairs alone). The cap is
     mirrored in the oracle; at test SF no part reaches it.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # The distinct edge list feeds the degree agg and both self-join
+    # sides, but needs no explicit materialization: Catalyst plans the
+    # repeats as ReusedExchange off the distinct's shuffle (verified by
+    # A/B: an eager localCheckpoint changes nothing at sf0.1).
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey") \
+        .distinct()
     ok_parts = (li.groupBy("l_partkey")
                 .agg(F.count(F.lit(1)).alias("__deg"))
                 .filter(F.col("__deg") <= TWO_HOP_DEGREE_CAP)

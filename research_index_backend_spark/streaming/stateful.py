@@ -82,3 +82,78 @@ def stateful_dedup_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: per-key ordered-step state machine
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+FUNNEL_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("t_signup", LongType()),
+    StructField("t_view", LongType()),
+    StructField("t_purchase", LongType()),
+])
+
+# per-step earliest micro-ts + emitted flag (0/1)
+FUNNEL_STATE_SCHEMA = StructType([
+    StructField("t_signup", LongType()),
+    StructField("t_view", LongType()),
+    StructField("t_purchase", LongType()),
+    StructField("emitted", LongType()),
+])
+
+
+def _funnel_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+               state: GroupState) -> "Iterator[pd.DataFrame]":
+    """Advance the per-user funnel state with each micro-batch; emit the
+    completion row the FIRST time signup < view < purchase holds.
+
+    Parity contract with the batch funnel (plans.queries_ext2
+    q_event_funnel): per-step UNCONDITIONAL mins, strict-order check on
+    top. Under event-time-ordered arrival (per key) the completion
+    predicate is monotone — a min, once set, can only be matched by
+    later-or-equal timestamps — so emit-once streaming output equals the
+    batch result. Out-of-order arrival would need watermark-delayed
+    finalization instead of emit-on-first-truth; that variant belongs in
+    a window-closed foreachBatch, noted here deliberately.
+    """
+    mins: list[Any] = [None, None, None, 0]
+    if state.exists:
+        mins = list(state.get)
+    for pdf in pdfs:
+        for i, step in enumerate(FUNNEL_STEPS):
+            vals = pdf.loc[pdf["event_type"] == step, "ts_us"]
+            if len(vals):
+                m = int(vals.min())
+                mins[i] = m if mins[i] is None else min(mins[i], m)
+    done = (mins[0] is not None and mins[1] is not None
+            and mins[2] is not None and mins[0] < mins[1] < mins[2])
+    if done and not mins[3]:
+        mins[3] = 1
+        state.update(tuple(mins))
+        yield pd.DataFrame([{
+            "user_id": key[0], "t_signup": mins[0],
+            "t_view": mins[1], "t_purchase": mins[2]}])
+    else:
+        state.update(tuple(mins))
+        return
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch event_funnel query: emits
+    (user_id, t_signup, t_view, t_purchase) once per user, the first
+    micro-batch in which the ordered completion holds. Expects columns
+    user_id, event_type, ts_us (micros)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

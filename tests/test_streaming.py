@@ -170,3 +170,74 @@ class TestWatermarkLateData:
         # no count bump, state stayed evicted)
         assert rows.count((two_h, 3)) == 1
         assert all(n == 3 for (w, n) in rows if w == two_h)
+
+
+class TestStreamingFunnel:
+    def test_funnel_stream_matches_batch(self, spark, tmp_path):
+        """The stateful streaming funnel must equal the batch funnel query
+        when events arrive in ts order across micro-batches (the
+        documented parity contract)."""
+        from research_index_backend_spark.plans.queries_ext2 import (
+            q_event_funnel,
+        )
+        from research_index_backend_spark.streaming.stateful import (
+            streaming_funnel,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        batch = {(r["user_id"], r["t_signup"], r["t_view"], r["t_purchase"])
+                 for r in q_event_funnel(spark, sf).collect()}
+        assert batch  # the fixture data must actually complete funnels
+
+        # replay the same events in ts order, split into 3 micro-batches
+        from research_index_backend_spark.plans.queries import _t
+        ev = (_t(spark, sf, "events")
+              .withColumn(
+                  "ts_us", F.expr("ts_ns div 1000"))
+              .select("user_id", "event_type", "ts_us")
+              .orderBy("ts_us").coalesce(1).collect())
+        src = tmp_path / "src"
+        src.mkdir()
+        n = len(ev)
+        for i in range(3):
+            chunk = ev[i * n // 3:(i + 1) * n // 3]
+            spark.createDataFrame(chunk).coalesce(1) \
+                .write.parquet(str(src / f"b{i}"))
+
+        stream = (spark.readStream
+                  .schema("user_id long, event_type string, ts_us long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = (streaming_funnel(stream)
+             .writeStream.format("memory").queryName("funnel_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r["user_id"], r["t_signup"], r["t_view"], r["t_purchase"])
+               for r in spark.sql("SELECT * FROM funnel_out").collect()}
+        assert got == batch
+
+    def test_funnel_emits_once_across_batches(self, spark, tmp_path):
+        """A user completing in batch 1 must not re-emit when more of
+        their events arrive in batch 2."""
+        from research_index_backend_spark.streaming.stateful import (
+            streaming_funnel,
+        )
+        cols = ["user_id", "event_type", "ts_us"]
+        b1 = [(1, "signup", 10), (1, "view", 20), (1, "purchase", 30)]
+        b2 = [(1, "view", 40), (1, "purchase", 50), (2, "signup", 60)]
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, rows in enumerate((b1, b2)):
+            spark.createDataFrame(rows, cols).coalesce(1) \
+                .write.parquet(str(src / f"b{i}"))
+        stream = (spark.readStream
+                  .schema("user_id long, event_type string, ts_us long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = (streaming_funnel(stream)
+             .writeStream.format("memory").queryName("funnel_once")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM funnel_once").collect()
+        assert [(r["user_id"], r["t_signup"], r["t_view"], r["t_purchase"])
+                for r in rows] == [(1, 10, 20, 30)]
