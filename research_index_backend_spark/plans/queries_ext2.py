@@ -20,6 +20,9 @@ training-data pipeline layer needs on top of SURVEY §2):
   retention_cohort       weekly cohort retention matrix
   text_scrub             URL / e-mail scrubbing with removal counts
   percentile_report      exact interpolated quartiles per group
+  running_total          cumulative window sums (decimal-exact)
+  argmax_latest          arg-max aggregate with composite-key tie-break
+  sequence_islands       gaps-and-islands run detection
 
 Determinism rules (same as the rest of the catalog): integer outputs
 wherever float summation order could differ (decimal-cast sums, e4
@@ -637,3 +640,128 @@ ORACLE_EXT2 = {
     "text_scrub": ORACLE_SCRUB,
     "percentile_report": ORACLE_PERCENTILE,
 }
+
+
+# ---------------------------------------------------------------------------
+# running_total — cumulative window aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative order revenue in order-date order.
+
+    ROWS UNBOUNDED PRECEDING running sum — one shuffle on o_custkey, then
+    a sorted streaming frame per partition (no quadratic re-aggregation:
+    Spark's WindowExec computes rows-frames incrementally). The sum runs
+    in decimal(18,2): a running DOUBLE sum is order-dependent and the
+    orderBy fixes the order, but decimal keeps it exact under any
+    partial-aggregation Spark might introduce — and matches DuckDB
+    digit-for-digit.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("running_revenue"))
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# argmax_latest — arg-max aggregate (max_by / arg_max)
+# ---------------------------------------------------------------------------
+
+
+def q_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's most recent order key: max_by with a composite
+    (o_orderdate, o_orderkey) ordering — the tie-break is part of the
+    aggregate itself, so the result is deterministic without a window.
+    One hash-agg, map-side combined; the window-based group_top1 twin
+    shuffles whole rows, this shuffles one value per group.
+
+    The composite key is encoded as ONE bigint (days-since-epoch * 1e12
+    + orderkey): DuckDB's arg_max takes scalar ordering only, and an
+    integer encoding is also the cheapest thing to partial-aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    ordk = (F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint") * F.lit(1_000_000_000_000)
+            + F.col("o_orderkey"))
+    return (o.groupBy("o_custkey")
+            .agg(F.max_by("o_orderkey", ordk).alias("latest_orderkey"),
+                 F.max("o_orderdate").alias("latest_date"))
+            .select("o_custkey", "latest_orderkey",
+                    F.date_format("latest_date", "yyyy-MM-dd")
+                     .alias("latest_date")))
+
+
+ORACLE_ARGMAX = """
+SELECT o_custkey,
+       arg_max(o_orderkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+               * 1000000000000 + o_orderkey) AS latest_orderkey,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS latest_date
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence_islands — gaps-and-islands detection
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous o_orderkey runs per order status (gaps-and-islands):
+    island_id = key - row_number() is constant within a consecutive run —
+    the classic trick, one window + one hash-agg, all integer arithmetic.
+    Emits runs of length >= 3 (start, end, length).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    runs = (o.select("o_orderstatus", "o_orderkey")
+            .withColumn("island",
+                        F.col("o_orderkey") - F.row_number().over(w)))
+    return (runs.groupBy("o_orderstatus", "island")
+            .agg(F.min("o_orderkey").alias("run_start"),
+                 F.max("o_orderkey").alias("run_end"),
+                 F.count(F.lit(1)).alias("run_len"))
+            .filter(F.col("run_len") >= 3)
+            .select("o_orderstatus", "run_start", "run_end", "run_len"))
+
+
+ORACLE_ISLANDS = """
+WITH runs AS (
+  SELECT o_orderstatus, o_orderkey,
+         o_orderkey - row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_orderkey) AS island
+  FROM orders
+)
+SELECT o_orderstatus, min(o_orderkey) AS run_start,
+       max(o_orderkey) AS run_end, count(*) AS run_len
+FROM runs GROUP BY o_orderstatus, island
+HAVING count(*) >= 3
+"""
+
+
+QUERIES_EXT2.update({
+    "running_total": q_running_total,
+    "argmax_latest": q_argmax_latest,
+    "sequence_islands": q_sequence_islands,
+})
+
+ORACLE_EXT2.update({
+    "running_total": ORACLE_RUNNING_TOTAL,
+    "argmax_latest": ORACLE_ARGMAX,
+    "sequence_islands": ORACLE_ISLANDS,
+})
