@@ -23,6 +23,9 @@ training-data pipeline layer needs on top of SURVEY §2):
   running_total          cumulative window sums (decimal-exact)
   argmax_latest          arg-max aggregate with composite-key tie-break
   sequence_islands       gaps-and-islands run detection
+  doc_chunk              overlapping context-window chunking (no shuffle)
+  sequence_pack          greedy per-source packing into token budgets
+  dedup_survivors        end-to-end dedup verdict (LSH -> CC -> keep-min)
 
 Determinism rules (same as the rest of the catalog): integer outputs
 wherever float summation order could differ (decimal-cast sums, e4
@@ -764,4 +767,156 @@ ORACLE_EXT2.update({
     "running_total": ORACLE_RUNNING_TOTAL,
     "argmax_latest": ORACLE_ARGMAX,
     "sequence_islands": ORACLE_ISLANDS,
+})
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk — context-window chunking with overlap (training-data prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 100
+_CHUNK_STEP = 90  # 10-token overlap between consecutive chunks
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping token chunks (100-token
+    windows, stride 90) — the standard context-window prep step before
+    tokenized training shards.
+
+    All codegen: token split, sequence() of chunk starts, posexplode for
+    the chunk index, slice() for the window — no UDF and no shuffle at
+    all until a downstream consumer asks for one (the output is
+    embarrassingly parallel per document, which is exactly what you want
+    when this runs over 100 TB of text). Chunk text leaves the query as
+    md5 — the narrow-output discipline every text query here follows.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    with_toks = (d.select("doc_id", toks.alias("toks"))
+                 .filter(F.size("toks") >= 1))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_STEP))
+    return (with_toks
+            .select("doc_id", "toks",
+                    F.posexplode(starts).alias("chunk_idx", "start"))
+            .select(
+                "doc_id", "chunk_idx",
+                F.size(F.slice("toks", F.col("start"), _CHUNK_TOKENS))
+                 .alias("n_tokens"),
+                F.md5(F.concat_ws(
+                    " ", F.slice("toks", F.col("start"), _CHUNK_TOKENS)))
+                 .alias("chunk_md5")))
+
+
+ORACLE_DOC_CHUNK = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, g.i AS start,
+         CAST((g.i - 1) // {_CHUNK_STEP} AS INT) AS chunk_idx
+  FROM t, unnest(generate_series(1, len(toks), {_CHUNK_STEP})) AS g(i)
+  WHERE len(toks) >= 1
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(toks[start:least(start + {_CHUNK_TOKENS} - 1, len(toks))])
+            AS INT) AS n_tokens,
+       md5(array_to_string(
+           toks[start:least(start + {_CHUNK_TOKENS} - 1, len(toks))], ' '))
+         AS chunk_md5
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack — greedy sequential packing into token budgets
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to training-shard packs of <= ~4096 tokens:
+    pack_id = floor(running-token-count-before-me / budget), packed in
+    doc_id order WITHIN EACH SOURCE.
+
+    Sequential packing is inherently order-dependent, so a global
+    ordering would serialize the whole corpus through one window
+    partition; packing per source keeps the exact greedy semantics
+    within each stream while partitioning the work — the practical
+    sharding choice for a 100 TB corpus (sources are the natural unit
+    training shards come from anyway). Integer token counts + integer
+    division: exact in any engine.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                            lambda t: t != ""))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (d.select("doc_id", "source", n_tok.alias("n_tokens"))
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .select("doc_id", "source", "n_tokens",
+                    (F.col("cum_before") / _PACK_BUDGET).cast("int")
+                    .alias("pack_id")))
+
+
+ORACLE_SEQUENCE_PACK = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_PACK_BUDGET} AS INT) AS pack_id
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivors — end-to-end corpus dedup verdict
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE dedup pipeline output: for every document, its canonical
+    representative (min doc_id of its near-dup component) and whether it
+    survives dedup. Composes MinHash-LSH star edges (linear in bucket
+    size) -> connected components (min-label propagation) -> keep-min
+    rule; no new shuffle beyond what components already does.
+    """
+    from .queries_ext import q_graph_components
+    comp = q_graph_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("canonical_id"),
+        (F.col("doc_id") == F.col("component")).alias("kept"))
+
+
+def _oracle_survivors() -> str:
+    from .queries_ext import ORACLE_COMPONENTS
+    return f"""
+WITH comp AS ({ORACLE_COMPONENTS})
+SELECT doc_id, component AS canonical_id,
+       doc_id = component AS kept
+FROM comp
+"""
+
+
+QUERIES_EXT2.update({
+    "doc_chunk": q_doc_chunk,
+    "sequence_pack": q_sequence_pack,
+    "dedup_survivors": q_dedup_survivors,
+})
+
+ORACLE_EXT2.update({
+    "doc_chunk": ORACLE_DOC_CHUNK,
+    "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "dedup_survivors": _oracle_survivors(),
 })

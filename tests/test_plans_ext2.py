@@ -126,3 +126,68 @@ class TestSemantics:
         df = Q2.q_text_scrub(spark, SF)
         assert df.filter((F.col("n_urls") < 1) | (F.col("n_emails") < 1)) \
             .isEmpty()
+
+
+class TestPipelineOps:
+    def test_doc_chunk_is_shuffle_free(self, spark):
+        """Chunking is embarrassingly parallel per document — no hash or
+        range repartitioning anywhere (the only Exchange allowed is the
+        round-robin one _t() injects for test-SF file fan-out)."""
+        p = plan_of(Q2.q_doc_chunk(spark, SF))
+        assert "hashpartitioning" not in p
+        assert "rangepartitioning" not in p
+
+    def test_doc_chunk_overlap_semantics(self, spark):
+        """Consecutive chunks overlap by CHUNK-STEP tokens and cover the
+        whole token stream."""
+        import pyspark.sql.functions as F
+        rows = (Q2.q_doc_chunk(spark, SF)
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_chunks"),
+                     F.sum("n_tokens").alias("tok_sum"),
+                     F.max("chunk_idx").alias("max_idx"))
+                .collect())
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        toks = {r["doc_id"]: r["n"] for r in d.select(
+            "doc_id", F.size(F.filter(
+                F.split(F.lower("text"), r"\s+"),
+                lambda t: t != "")).alias("n")).collect()}
+        for r in rows:
+            n = toks[r["doc_id"]]
+            # chunk count = number of stride starts
+            assert r["n_chunks"] == (n + Q2._CHUNK_STEP - 1) // Q2._CHUNK_STEP
+            assert r["max_idx"] == r["n_chunks"] - 1
+            # total chunked tokens = n + overlap re-emissions
+            overlap = sum(
+                max(0, min(Q2._CHUNK_TOKENS, n - s) - Q2._CHUNK_STEP)
+                for s in range(0, n, Q2._CHUNK_STEP)
+                if n - s > Q2._CHUNK_STEP)
+            assert r["tok_sum"] == n + overlap
+
+    def test_sequence_pack_budget_respected(self, spark):
+        """No pack's preceding-cumulative start may exceed its pack_id
+        boundary, and pack ids are dense from 0 per source."""
+        import pyspark.sql.functions as F
+        df = Q2.q_sequence_pack(spark, SF)
+        per_pack = (df.groupBy("source", "pack_id")
+                    .agg(F.sum("n_tokens").alias("tok"))
+                    .collect())
+        by_source = {}
+        for r in per_pack:
+            by_source.setdefault(r["source"], []).append(r["pack_id"])
+        for packs in by_source.values():
+            assert sorted(packs) == list(range(len(packs)))
+
+    def test_dedup_survivors_canonical_is_member_min(self, spark):
+        """Every canonical id is the min doc_id of its group and is
+        itself kept."""
+        rows = Q2.q_dedup_survivors(spark, SF).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["canonical_id"], []).append(
+                (r["doc_id"], r["kept"]))
+        for canon, members in groups.items():
+            ids = [m[0] for m in members]
+            assert canon == min(ids)
+            kept = [m[0] for m in members if m[1]]
+            assert kept == [canon]
