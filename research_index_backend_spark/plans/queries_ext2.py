@@ -26,6 +26,11 @@ training-data pipeline layer needs on top of SURVEY §2):
   doc_chunk              overlapping context-window chunking (no shuffle)
   sequence_pack          greedy per-source packing into token budgets
   dedup_survivors        end-to-end dedup verdict (LSH -> CC -> keep-min)
+  intersect_except       INTERSECT / EXCEPT set operations
+  unpivot_report         wide-to-long unpivot (pivot inverse)
+  rank_suite             rank/dense_rank/percent_rank/cume_dist
+  bool_agg_report        bool_and / bool_or / count_if aggregates
+  date_functions         quarter / ISO week / dow / last_day
 
 Determinism rules (same as the rest of the catalog): integer outputs
 wherever float summation order could differ (decimal-cast sums, e4
@@ -919,4 +924,191 @@ ORACLE_EXT2.update({
     "doc_chunk": ORACLE_DOC_CHUNK,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "dedup_survivors": _oracle_survivors(),
+})
+
+
+# ---------------------------------------------------------------------------
+# intersect_except — set-operation coverage (X-family)
+# ---------------------------------------------------------------------------
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both an open AND a finished order, minus any with a
+    'P' order: INTERSECT then EXCEPT, the two set ops the catalog's
+    anti/semi splits don't already cover. Set semantics (DISTINCT rows)
+    in both engines; each input is a pre-distinct single column so the
+    set ops run on minimal shuffles.
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def custs(status: str) -> DataFrame:
+        return (o.filter(F.col("o_orderstatus") == status)
+                .select("o_custkey").distinct())
+
+    return custs("F").intersect(custs("O")).exceptAll(custs("P")) \
+        .select(F.col("o_custkey").alias("custkey"))
+
+
+ORACLE_INTERSECT_EXCEPT = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+# ---------------------------------------------------------------------------
+# unpivot_report — wide-to-long reshaping (the pivot inverse)
+# ---------------------------------------------------------------------------
+
+
+def q_unpivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt per-priority status counts back to long form: pivot's inverse
+    (DataFrame.unpivot == ANSI UNPIVOT). The unpivot itself is a
+    zero-shuffle Expand over the aggregated frame — reshaping is free;
+    only the upstream aggregation shuffles.
+    """
+    wide = q_pivot_report(spark, sf_dir)
+    return (wide.unpivot("priority", ["n_f", "n_o", "n_p"],
+                         "status_col", "n_orders")
+            .select("priority",
+                    F.upper(F.substring("status_col", 3, 1)).alias("status"),
+                    "n_orders"))
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderpriority AS priority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+  FROM orders GROUP BY 1
+)
+SELECT priority, status, n_orders FROM (
+  SELECT priority, 'F' AS status, n_f AS n_orders FROM wide
+  UNION ALL SELECT priority, 'O', n_o FROM wide
+  UNION ALL SELECT priority, 'P', n_p FROM wide
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rank_suite — the remaining ranking window functions in one pass
+# ---------------------------------------------------------------------------
+
+
+def q_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist over one window —
+    ONE sort per partition serves all four (WindowExec evaluates every
+    function over the shared frame). Ties are real here (prices repeat
+    per priority at integer cents), which is exactly what distinguishes
+    rank from dense_rank; floats percent_rank/cume_dist are exact
+    rationals computed identically ((rank-1)/(n-1), peers/n) so they
+    hash-match without quantization.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.round("o_totalprice", 0))
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+ORACLE_RANK_SUITE = """
+SELECT o_orderkey, o_orderpriority AS priority,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY round(o_totalprice, 0))
+"""
+
+
+# ---------------------------------------------------------------------------
+# bool_agg_report — boolean / conditional aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_bool_agg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if per order status — the predicate
+    aggregates monitoring queries are made of, one hash-agg with map-side
+    partials (each is a tiny commutative accumulator).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+                 F.bool_or(F.col("o_orderpriority") == "1-URGENT")
+                  .alias("any_urgent"),
+                 F.count_if(F.col("o_totalprice") > 200000)
+                  .alias("n_big")))
+
+
+ORACLE_BOOL_AGG = """
+SELECT o_orderstatus AS status,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       count_if(o_totalprice > 200000) AS n_big
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# date_functions — calendar decomposition beyond year/month/day
+# ---------------------------------------------------------------------------
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter / ISO week / day-of-week / last-day-of-month / month-end
+    flag per order date — the calendar helpers date_decompose (F8)
+    doesn't cover. All pure projections over the scan; the distinct at
+    the end keeps the checked output at calendar granularity.
+    weekday(): Spark's dayofweek is 1=Sunday while DuckDB's is 0=Sunday —
+    both sides are normalized to ISO (1=Monday..7=Sunday) explicitly.
+    """
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (o.select(
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        (((F.dayofweek(d) + 5) % 7) + 1).alias("iso_dow"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        (d == F.last_day(d)).alias("is_month_end"))
+        .distinct())
+
+
+ORACLE_DATE_FUNCS = """
+SELECT DISTINCT
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+         AS is_month_end
+FROM orders
+"""
+
+
+QUERIES_EXT2.update({
+    "intersect_except": q_intersect_except,
+    "unpivot_report": q_unpivot_report,
+    "rank_suite": q_rank_suite,
+    "bool_agg_report": q_bool_agg_report,
+    "date_functions": q_date_functions,
+})
+
+ORACLE_EXT2.update({
+    "intersect_except": ORACLE_INTERSECT_EXCEPT,
+    "unpivot_report": ORACLE_UNPIVOT,
+    "rank_suite": ORACLE_RANK_SUITE,
+    "bool_agg_report": ORACLE_BOOL_AGG,
+    "date_functions": ORACLE_DATE_FUNCS,
 })

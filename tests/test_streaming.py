@@ -241,3 +241,54 @@ class TestStreamingFunnel:
         rows = spark.sql("SELECT * FROM funnel_once").collect()
         assert [(r["user_id"], r["t_signup"], r["t_view"], r["t_purchase"])
                 for r in rows] == [(1, 10, 20, 30)]
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream interval join (view -> purchase attribution)
+        must equal the equivalent batch join when events arrive in ts
+        order within the watermark."""
+        from research_index_backend_spark.plans.queries import _t
+        from research_index_backend_spark.streaming.joins import (
+            views_to_purchases_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ev = (_t(spark, sf, "events")
+              .select("event_id", "user_id", "event_type", "ts"))
+
+        # batch twin: plain interval join
+        v = ev.filter(F.col("event_type") == "view") \
+            .select(F.col("event_id").alias("view_id"),
+                    "user_id", F.col("ts").alias("v_ts"))
+        p = ev.filter(F.col("event_type") == "purchase") \
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("p_ts"))
+        batch = {(r["user_id"], r["view_id"], r["purchase_id"])
+                 for r in v.join(
+                     p, (F.col("user_id") == F.col("p_user"))
+                     & (F.col("p_ts") >= F.col("v_ts"))
+                     & (F.col("p_ts") <= F.col("v_ts")
+                        + F.expr("interval 1 hour"))).collect()}
+        assert batch  # fixture must produce matches
+
+        rows = ev.orderBy("ts").collect()
+        src = tmp_path / "src"
+        src.mkdir()
+        n = len(rows)
+        for i in range(3):
+            chunk = rows[i * n // 3:(i + 1) * n // 3]
+            spark.createDataFrame(
+                chunk, ev.schema).coalesce(1) \
+                .write.parquet(str(src / f"b{i}"))
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = (views_to_purchases_stream(stream)
+             .writeStream.format("memory").queryName("ssj_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r["user_id"], r["view_id"], r["purchase_id"])
+               for r in spark.sql("SELECT * FROM ssj_out").collect()}
+        assert got == batch
