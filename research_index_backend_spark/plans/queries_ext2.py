@@ -31,6 +31,8 @@ training-data pipeline layer needs on top of SURVEY §2):
   rank_suite             rank/dense_rank/percent_rank/cume_dist
   bool_agg_report        bool_and / bool_or / count_if aggregates
   date_functions         quarter / ISO week / dow / last_day
+  full_outer_merge       FULL OUTER reconciliation of two fact tables
+  frame_functions        first/last/nth_value with explicit frames
 
 Determinism rules (same as the rest of the catalog): integer outputs
 wherever float summation order could differ (decimal-cast sums, e4
@@ -1111,4 +1113,94 @@ ORACLE_EXT2.update({
     "rank_suite": ORACLE_RANK_SUITE,
     "bool_agg_report": ORACLE_BOOL_AGG,
     "date_functions": ORACLE_DATE_FUNCS,
+})
+
+
+# ---------------------------------------------------------------------------
+# full_outer_merge — FULL OUTER join (the one join family still unchecked)
+# ---------------------------------------------------------------------------
+
+
+def q_full_outer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity across two fact tables that only partially
+    share an id domain: orders per customer FULL OUTER events per user.
+    Either side may be absent — the coalesced key + zero-filled counts
+    is the canonical reconciliation-report shape. Both inputs aggregate
+    BEFORE the join (two small keyed frames), so the outer join shuffles
+    |keys| rows, not |facts|.
+    """
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    per_cust = o.groupBy(F.col("o_custkey").alias("id")) \
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    per_user = e.groupBy(F.col("user_id").alias("id")) \
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    return (per_cust.join(per_user, "id", "full_outer")
+            .select(F.col("id").alias("entity_id"),
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
+ORACLE_FULL_OUTER = """
+WITH pc AS (SELECT o_custkey AS id, count(*) AS n_orders
+            FROM orders GROUP BY 1),
+pu AS (SELECT user_id AS id, count(*) AS n_events
+       FROM events GROUP BY 1)
+SELECT coalesce(pc.id, pu.id) AS entity_id,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_events, 0) AS n_events
+FROM pc FULL OUTER JOIN pu ON pc.id = pu.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# frame_functions — value-position window functions with explicit frames
+# ---------------------------------------------------------------------------
+
+
+def q_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value / lead per user over the full
+    partition frame. last_value needs the explicit UNBOUNDED FOLLOWING
+    frame in BOTH engines — the default frame ends at CURRENT ROW, which
+    silently turns last_value into "current value" (a classic window
+    bug; the explicit frame here is the regression pin). Values are
+    selected, not computed, so doubles pass through bit-identical.
+    """
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000"))
+    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    full = (Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    cur = Window.partitionBy("user_id").orderBy(*order)
+    return e.select(
+        "event_id", "user_id",
+        F.first_value("value").over(full).alias("first_val"),
+        F.last_value("value").over(full).alias("last_val"),
+        F.nth_value("value", 2).over(full).alias("second_val"),
+        F.lead("value").over(cur).alias("next_val"),
+    )
+
+
+ORACLE_FRAME_FUNCS = """
+SELECT event_id, user_id,
+       first_value(value) OVER wf AS first_val,
+       last_value(value) OVER wf AS last_val,
+       nth_value(value, 2) OVER wf AS second_val,
+       lead(value) OVER wc AS next_val
+FROM events
+WINDOW wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wc AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+QUERIES_EXT2.update({
+    "full_outer_merge": q_full_outer_merge,
+    "frame_functions": q_frame_functions,
+})
+
+ORACLE_EXT2.update({
+    "full_outer_merge": ORACLE_FULL_OUTER,
+    "frame_functions": ORACLE_FRAME_FUNCS,
 })
