@@ -389,3 +389,40 @@ class TestCosineBackends:
             F.round(cosine_sim_np(F.col("embedding"), F.col("qv")), 9)
              .alias("np"))
         assert both.filter(F.col("fold") != F.col("np")).isEmpty()
+
+
+class TestCompaction:
+    def test_compact_preserves_content_and_reduces_files(self, spark,
+                                                         tmp_path):
+        from research_index_backend_spark.operators.compact import (
+            compact_parquet)
+        src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        tdir = tmp_path / "orders"
+        # fragment: 40 tiny files
+        src.repartition(40).write.parquet(str(tdir))
+        before = sorted(map(tuple, spark.read.parquet(str(tdir)).collect()))
+        n_before = len(list(tdir.glob("*.parquet")))
+        assert n_before >= 40
+        compact_parquet(spark, str(tdir), target_mb=128)
+        files = list(tdir.glob("*.parquet"))
+        assert len(files) == 1  # tiny table -> one target-sized file
+        after = sorted(map(tuple, spark.read.parquet(str(tdir)).collect()))
+        assert after == before
+        assert not (tmp_path / "orders.old").exists()
+        assert not (tmp_path / "orders.new").exists()
+
+    def test_compact_sort_clusters_rows(self, spark, tmp_path):
+        """sort_cols must cluster rows inside the output file so row-group
+        min/max pruning has something to prune on."""
+        from research_index_backend_spark.operators.compact import (
+            compact_parquet)
+        src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        tdir = tmp_path / "orders"
+        src.repartition(8).write.parquet(str(tdir))
+        compact_parquet(spark, str(tdir), target_mb=128,
+                        sort_cols=["o_orderkey"])
+        import pyarrow.parquet as pq
+        f = list(tdir.glob("*.parquet"))[0]
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"] \
+            .to_pylist()
+        assert keys == sorted(keys)
