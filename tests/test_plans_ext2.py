@@ -191,3 +191,25 @@ class TestPipelineOps:
             assert canon == min(ids)
             kept = [m[0] for m in members if m[1]]
             assert kept == [canon]
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_at_scan(self, spark, tmp_path):
+        """A table partitioned by a coarse key must show partition
+        filters at the scan — the planner reads only matching dirs, the
+        move that turns a 100 TB scan into a 100 GB one. Also pins that
+        the pruned column survives as partition metadata (no data-file
+        read for it)."""
+        src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        tdir = str(tmp_path / "orders_by_status")
+        src.write.partitionBy("o_orderstatus").parquet(tdir)
+        df = (spark.read.parquet(tdir)
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderstatus"))
+        p = plan_of(df)
+        assert "PartitionFilters" in p
+        line = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+        assert "o_orderstatus" in line
+        # pruning really dropped rows: only status-F rows come back
+        n_f = src.filter(F.col("o_orderstatus") == "F").count()
+        assert df.count() == n_f
