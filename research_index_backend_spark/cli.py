@@ -125,20 +125,16 @@ def run_ingest(spark: SparkSession, doi_file: str, data_dir: str,
     landed_alex = fetch_metadata(work, source="openalex",
                                  transport=transport).localCheckpoint()
     if write_metadata:
-        # S5: land raw envelopes as partitioned JSONL. The reference writes
-        # one file per DOI (overwrite -> naturally deduplicated); an
-        # append-mode dataset would accumulate duplicate envelope rows on
-        # re-runs, so anti-join against the already-landed (query_doi,
-        # source) keys first — same shape as fetch.unfetched_dois.
+        # S5: land raw envelopes as one partitioned dataset with the
+        # reference's per-DOI open(..., 'w') overwrite semantics: a fresh
+        # envelope REPLACES a previously-landed one for the same
+        # (query_doi, source) — critical under -u, where the whole point
+        # is refreshed metadata. land_envelopes handles the empty-dir
+        # guard, explicit schema, and staging-dir swap (never scans its
+        # own write target).
+        from .sources.json_sink import land_envelopes
         to_land = landed_aire.unionByName(landed_alex)
-        json_dir = Path(data_dir) / "json"
-        if json_dir.exists():
-            landed_keys = (spark.read.json(str(json_dir))
-                           .select("query_doi", "source").distinct())
-            to_land = to_land.join(landed_keys, ["query_doi", "source"],
-                                   "left_anti")
-        to_land.write.mode("append") \
-            .partitionBy("source").json(str(json_dir))
+        land_envelopes(spark, to_land, str(Path(data_dir) / "json"))
 
     envelopes = (
         landed_aire.filter(F.col("error").isNull())

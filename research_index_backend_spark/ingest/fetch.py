@@ -133,9 +133,27 @@ def fetch_metadata(dois: DataFrame, source: str = "openaire",
     return dois.select("doi").mapInPandas(run, FETCH_SCHEMA)
 
 
-def unfetched_dois(dois: DataFrame, landed: DataFrame) -> DataFrame:
+def unfetched_dois(dois: DataFrame, landed: DataFrame,
+                   max_age: float | None = None,
+                   now: float | None = None) -> DataFrame:
     """S6 idempotence: only DOIs with no landed envelope are fetched on a
-    re-run (anti-join against the landed query_doi keys)."""
+    re-run (anti-join against the landed query_doi keys).
+
+    max_age (seconds) is the cache-TTL semantics of the reference's
+    `requests_cache(expire_after=30)` (create_graph_from_doi.py:215): a
+    landed envelope older than max_age — judged by the `landed_at` column
+    the JSON sink stamps (sources/json_sink.py) — no longer counts as
+    landed, so the DOI is re-fetched. Rows with a NULL landed_at (datasets
+    landed before the stamp existed) are treated as expired: age unknown
+    -> refetch is the conservative choice. max_age=None keeps the
+    never-expires behavior.
+    """
+    covered = landed
+    if max_age is not None:
+        import time as _time
+        cutoff = (now if now is not None else _time.time()) - max_age
+        covered = landed.filter(F.col("landed_at").isNotNull()
+                                & (F.col("landed_at") >= cutoff))
     return dois.join(
-        landed.select(F.col("query_doi").alias("doi")).distinct(),
+        covered.select(F.col("query_doi").alias("doi")).distinct(),
         "doi", "left_anti")

@@ -13,7 +13,10 @@ Design for scale:
   to end below ~10^5 candidate rows, 2x faster above ~10^6, and the gap
   grows with row count and dim). The catalog queries run at bench scale
   and use the fold; a 100 TB all-pairs scorer should pass
-  use_numpy=True / call cosine_sim_np.
+  use_numpy=True to brute_force_topk / lsh_topk / ivf_topk (it switches
+  the candidate-scoring stage to cosine_sim_np; the round(sim, 9)
+  quantization inside _salted_topk makes the two backends
+  rank-identical).
 - Engine parity: numpy's sum order differs from a strict left fold, so
   raw sims can differ from the DuckDB oracle's fold in the last ulp;
   every checked output therefore quantizes (round(sim, 9) rank-only or
@@ -106,11 +109,14 @@ def _salted_topk(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     k: int = 5) -> DataFrame:
+                     k: int = 5, use_numpy: bool = False) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, rnk, sim). Self-matches excluded.
+    use_numpy switches the scoring stage to the Arrow-batched backend
+    (see module docstring for the measured crossover).
     """
+    score = cosine_sim_np if use_numpy else cosine_sim
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -118,7 +124,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine_sim(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", score(F.col("q_vec"), F.col("c_vec")))
     )
     return _salted_topk(scored, k)
 
@@ -170,7 +176,8 @@ def hyperplane_lsh_bucket(vec: Column, n_planes: int = 4) -> Column:
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> DataFrame:
+             k: int = 5, n_centroids: int = 8, nprobe: int = 2,
+             use_numpy: bool = False) -> DataFrame:
     """IVF (inverted-file) ANN: corpus vectors are assigned to their
     nearest coarse centroid once; a query probes only its `nprobe` nearest
     centroids' lists — the classic FAISS-style scale path, as pure
@@ -183,7 +190,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     identical, and the seed-sample variant keeps the whole operator
     SQL-oracle-checkable. Candidate volume drops ~nprobe/n_centroids
     vs brute force; the centroid table is broadcast everywhere.
+    use_numpy switches the candidate-scoring stage (the hot path; the
+    tiny centroid assignment stays on the JVM fold either way) to the
+    Arrow-batched backend.
     """
+    score = cosine_sim_np if use_numpy else cosine_sim
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # cent feeds BOTH nearest() calls and assign feeds the list join —
     # without materialization each consumer re-runs the corpus sort /
@@ -214,7 +225,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         assign.join(probes, "cid")
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"),
-                cosine_sim(F.col("q_vec"), F.col("vec")).alias("sim"))
+                score(F.col("q_vec"), F.col("vec")).alias("sim"))
     )
     return _salted_topk(scored, k)
 
@@ -222,15 +233,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 def lsh_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_bits: int = 4,
-             bucket_fn=None) -> DataFrame:
+             bucket_fn=None, use_numpy: bool = False) -> DataFrame:
     """Approximate top-k: only score candidates in the query's LSH bucket.
 
     The cross join becomes an equi-join on bucket — at 100 TB this is the
     difference between |Q|x|C| and |Q|x|C|/2^bits with a shuffle instead of
     a broadcast nested loop. bucket_fn defaults to the cheap
     sign_lsh_bucket; pass hyperplane_lsh_bucket for real cosine-LSH recall.
+    use_numpy switches candidate scoring to the Arrow-batched backend.
     """
     bucket_fn = bucket_fn or sign_lsh_bucket
+    score = cosine_sim_np if use_numpy else cosine_sim
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
                        bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
@@ -240,6 +253,6 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine_sim(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", score(F.col("q_vec"), F.col("c_vec")))
     )
     return _salted_topk(scored, k)

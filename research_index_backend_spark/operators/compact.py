@@ -28,19 +28,45 @@ Design:
 from __future__ import annotations
 
 import math
+import re
 import shutil
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+_PART_DIR = re.compile(r"^([^=/]+)=([^/]*)$")
+
+
+def _partition_cols(target: Path) -> list[str]:
+    """Hive-style partition columns of a dataset dir, outermost first.
+    Walks down the first key=value chain — Spark writes a homogeneous
+    layout, so one branch determines the scheme. [] for unpartitioned."""
+    cols: list[str] = []
+    cur = target
+    while True:
+        sub = next((d for d in cur.iterdir()
+                    if d.is_dir() and _PART_DIR.match(d.name)), None)
+        if sub is None:
+            return cols
+        cols.append(_PART_DIR.match(sub.name).group(1))
+        cur = sub
+
 
 def compact_parquet(spark: SparkSession, path: str,
                     target_mb: int = 128,
                     sort_cols: list[str] | None = None) -> int:
-    """Rewrite the Parquet dir at `path` into ceil(bytes/target_mb) files.
-    Returns the new file count. Content is row-identical (asserted by the
-    caller's tests, not re-read here — re-reading the whole table to
-    verify would double the I/O this operator exists to save)."""
+    """Rewrite the Parquet dir at `path` into ~ceil(bytes/target_mb) files.
+    Returns the shuffle-partition count used. Content is row-identical
+    (asserted by the caller's tests, not re-read here — re-reading the
+    whole table to verify would double the I/O this operator exists to
+    save).
+
+    A Hive-partitioned layout (key=value dirs) is detected and PRESERVED:
+    the rewrite repartitions on the partition columns (so each output
+    task holds few partition values) and writes with the same
+    partitionBy — the directory scheme, and the PartitionFilters pruning
+    that depends on it, survive compaction (round-4 ADVICE: the old code
+    silently flattened partition columns into data columns)."""
     from .upsert import _recover
 
     target = Path(path)
@@ -51,13 +77,25 @@ def compact_parquet(spark: SparkSession, path: str,
         if stale.exists():
             shutil.rmtree(stale)
 
+    part_cols = _partition_cols(target)
     total_bytes = sum(f.stat().st_size
                       for f in target.rglob("*.parquet"))
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(str(target)).repartition(n_files)
+    df = spark.read.parquet(str(target))
+    if part_cols:
+        # hash-cluster on the partition columns so each task writes few
+        # partition dirs (a plain round-robin repartition would scatter
+        # every partition value across every task -> n_files small files
+        # PER partition value, re-fragmenting what we just compacted)
+        df = df.repartition(n_files, *part_cols)
+    else:
+        df = df.repartition(n_files)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
-    df.write.mode("overwrite").parquet(str(new))
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(str(new))
 
     target.rename(old)
     new.rename(target)

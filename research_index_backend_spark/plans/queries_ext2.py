@@ -1004,14 +1004,20 @@ def q_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / cume_dist over one window —
     ONE sort per partition serves all four (WindowExec evaluates every
     function over the shared frame). Ties are real here (prices repeat
-    per priority at integer cents), which is exactly what distinguishes
+    per priority at integer dollars), which is exactly what distinguishes
     rank from dense_rank; floats percent_rank/cume_dist are exact
     rationals computed identically ((rank-1)/(n-1), peers/n) so they
     hash-match without quantization.
+
+    The tie key is floor(), NOT round(): Spark rounds doubles via
+    BigDecimal HALF_UP while DuckDB rounds the binary double, so a
+    round()-keyed window's tie groups would depend on engine rounding
+    mode for .5-boundary prices (round-4 ADVICE). floor() of the same
+    binary double is bit-identical on both engines.
     """
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority") \
-        .orderBy(F.round("o_totalprice", 0))
+        .orderBy(F.floor("o_totalprice"))
     return o.select(
         "o_orderkey",
         F.col("o_orderpriority").alias("priority"),
@@ -1029,7 +1035,7 @@ SELECT o_orderkey, o_orderpriority AS priority,
        percent_rank() OVER w AS prnk,
        cume_dist() OVER w AS cdist
 FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY round(o_totalprice, 0))
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice))
 """
 
 

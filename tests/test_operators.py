@@ -426,3 +426,33 @@ class TestCompaction:
         keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"] \
             .to_pylist()
         assert keys == sorted(keys)
+
+    def test_compact_preserves_partition_layout(self, spark, tmp_path):
+        """Compacting a partitionBy-written dataset must keep the
+        key=value directory scheme (and so PartitionFilters pruning),
+        not flatten partition columns into data columns (round-4
+        ADVICE)."""
+        from research_index_backend_spark.operators.compact import (
+            compact_parquet)
+        src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        tdir = tmp_path / "orders_part"
+        (src.repartition(10).write.partitionBy("o_orderpriority")
+         .parquet(str(tdir)))
+        before = sorted(map(tuple, spark.read.parquet(str(tdir))
+                            .select("o_orderkey", "o_orderpriority")
+                            .collect()))
+        n_before = len(list(tdir.rglob("*.parquet")))
+        compact_parquet(spark, str(tdir), target_mb=128)
+        # layout survives: key=value dirs still present, fewer files
+        part_dirs = [d.name for d in tdir.iterdir() if d.is_dir()]
+        assert all("=" in d for d in part_dirs) and part_dirs
+        assert len(list(tdir.rglob("*.parquet"))) < n_before
+        after = sorted(map(tuple, spark.read.parquet(str(tdir))
+                           .select("o_orderkey", "o_orderpriority")
+                           .collect()))
+        assert after == before
+        # pruning still works: a partition filter reaches the scan
+        plan = (spark.read.parquet(str(tdir))
+                .filter(F.col("o_orderpriority") == "1-URGENT")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters: [" in plan and "o_orderpriority" in plan
