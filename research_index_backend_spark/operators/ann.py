@@ -141,13 +141,19 @@ def sign_lsh_bucket(vec: Column, n_bits: int = 4) -> Column:
     return bit.cast("int")
 
 
-def hyperplane_lsh_bucket(vec: Column, n_planes: int = 4) -> Column:
+def hyperplane_lsh_bucket(vec: Column, n_planes: int = 4,
+                          plane_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket (the real thing, not coordinate signs):
     bit i = sign of dot(s_i, x) where hyperplane s_i has deterministic
     pseudo-random +-1 weights s_ij = +1 iff the first hex digit of
     md5('{i}:{j}') is < '8' (j 0-based). Every coordinate contributes, so
     similar vectors collide with the cosine-LSH guarantee — unlike
     sign_lsh_bucket, which only looks at the first n coordinates.
+
+    plane_offset shifts the plane indices (table t uses planes
+    [t*n_planes, (t+1)*n_planes)), giving INDEPENDENT hash families for
+    multi-table LSH — union the candidates of L tables for
+    1-(1-p^b)^L recall instead of one table's p^b.
 
     Deterministic md5 weights keep the operator SQL-oracle-expressible.
     At production scale you would materialize the (n_planes x dim) weight
@@ -167,7 +173,7 @@ def hyperplane_lsh_bucket(vec: Column, n_planes: int = 4) -> Column:
 
     bucket = None
     for i in range(n_planes):
-        weighted = F.transform(vec, weight_lambda(i))
+        weighted = F.transform(vec, weight_lambda(plane_offset + i))
         dot = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
         bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i)
         bucket = bit if bucket is None else bucket + bit

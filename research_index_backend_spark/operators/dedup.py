@@ -182,26 +182,70 @@ def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold_e6: int = 300_000,
                              n_bits: int = 4,
-                             bucket_fn=None) -> DataFrame:
+                             bucket_fn=None,
+                             max_bucket_size: int | None = None,
+                             n_tables: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim_e6) for
     same-LSH-bucket pairs whose cosine similarity >= threshold.
 
     The all-pairs O(N^2) cosine join becomes a per-bucket self-join (the
-    100 TB move: candidates drop ~2^bits-fold; recall is the LSH collision
-    probability — run multiple hash tables and union for higher recall).
-    sim is quantized to an e6 integer BEFORE thresholding so membership is
-    bit-stable across engines (both sides round the same double; a raw
-    float threshold could disagree in the last ulp at the boundary).
+    100 TB move: candidates drop ~2^bits-fold). sim is quantized to an e6
+    integer BEFORE thresholding so membership is bit-stable across engines
+    (both sides round the same double; a raw float threshold could
+    disagree in the last ulp at the boundary).
+
+    max_bucket_size is the hot-bucket guard (same semantics as
+    minhash_lsh_pairs): a b-member bucket emits b(b-1)/2 pairs, so one
+    degenerate bucket — near-zero vectors, a dominant embedding
+    direction — is a quadratic blob that melts the task owning it at
+    100 TB. Buckets above the cap are excluded from pairing (an over-full
+    bucket is a non-discriminative hash region, not a dup cluster).
+
+    n_tables > 1 is the recall knob that pays back what bucketing and the
+    cap cost: L INDEPENDENT hyperplane families (plane_offset = t*n_bits)
+    each bucket the corpus, candidates are the union — collision
+    probability 1-(1-p^b)^L instead of one table's p^b. All L buckets
+    come from ONE corpus scan (explode over an L-struct array) and join
+    on (table, bucket) in ONE shuffle; the cap applies per (table,
+    bucket). Pairs caught by several tables are deduped after scoring.
     """
-    from .ann import cosine_sim, sign_lsh_bucket
-    bucket_fn = bucket_fn or sign_lsh_bucket
-    v = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).alias("vec"),
-                      bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
-    a = v.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    return (
-        a.join(b, "bucket")
+    from .ann import cosine_sim, hyperplane_lsh_bucket, sign_lsh_bucket
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    if n_tables == 1:
+        bucket_fn = bucket_fn or sign_lsh_bucket
+        tagged = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.lit(0).alias("table"),
+            bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
+    else:
+        tbl = F.array(*[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_lsh_bucket(F.col(vec_col), n_bits,
+                                      plane_offset=t * n_bits)
+                .alias("bucket"))
+            for t in range(n_tables)])
+        tagged = (corpus.select(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("vec"),
+                                F.explode(tbl).alias("tb"))
+                  .select("id", "vec", F.col("tb.table").alias("table"),
+                          F.col("tb.bucket").alias("bucket")))
+    if max_bucket_size is not None:
+        ok = (tagged.groupBy("table", "bucket")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_bucket_size)
+              .select("table", "bucket"))
+        # both self-join sides read the capped table — materialize once
+        # instead of re-bucketing the corpus per consumer
+        tagged = tagged.join(ok, ["table", "bucket"], "left_semi") \
+            .localCheckpoint()
+    a = tagged.select("table", "bucket", F.col("id").alias("id_a"),
+                      F.col("vec").alias("va"))
+    b = tagged.select("table", "bucket", F.col("id").alias("id_b"),
+                      F.col("vec").alias("vb"))
+    pairs = (
+        a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim_e6",
                     F.round(cosine_sim(F.col("va"), F.col("vb")) * 1e6)
@@ -209,6 +253,9 @@ def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
         .filter(F.col("sim_e6") >= threshold_e6)
         .select("id_a", "id_b", "sim_e6")
     )
+    # one table -> each id holds one bucket, pairs are already unique;
+    # multi-table unions need the dedup (sim_e6 is deterministic per pair)
+    return pairs.distinct() if n_tables > 1 else pairs
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,

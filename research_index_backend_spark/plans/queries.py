@@ -841,10 +841,14 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: per-LSH-bucket self-join, cosine
     quantized to e6 BEFORE thresholding (bit-stable membership across
     engines). The synthetic embeddings are near-orthogonal (max cosine
-    ~0.45), so the threshold sits at 0.30 to exercise the plan."""
+    ~0.45), so the threshold sits at 0.30 to exercise the plan.
+    max_bucket_size=100 keeps the hot-bucket guard ACTIVE (mirrored in
+    the oracle's HAVING): one degenerate bucket must never go quadratic
+    at scale."""
     from ..operators.dedup import embedding_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4)
+    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4,
+                                    max_bucket_size=100)
 
 
 # the cosine is spelled out as a DOUBLE left-fold (not DuckDB's
@@ -867,13 +871,15 @@ WITH bucketed AS (
        + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
   FROM embeddings
 ),
+ok AS (SELECT bucket FROM bucketed GROUP BY bucket HAVING count(*) <= 100),
+capped AS (SELECT b.* FROM bucketed b JOIN ok USING (bucket)),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(round(
            {_DOT_D.format(a='a.embedding', b='b.embedding')}
            / ({_NORM_D.format(a='a.embedding')}
               * {_NORM_D.format(a='b.embedding')}) * 1e6) AS BIGINT) AS sim_e6
-  FROM bucketed a JOIN bucketed b
+  FROM capped a JOIN capped b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, sim_e6 FROM pairs WHERE sim_e6 >= 300000

@@ -1210,3 +1210,78 @@ ORACLE_EXT2.update({
     "full_outer_merge": ORACLE_FULL_OUTER,
     "frame_functions": ORACLE_FRAME_FUNCS,
 })
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_multi — multi-table hyperplane LSH near-dup (recall knob)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with L=2 INDEPENDENT hyperplane LSH tables
+    (plane offsets 0 and 4) unioned for recall — the knob that pays back
+    what bucketing + the hot-bucket cap cost. One corpus scan produces
+    both tables' buckets (explode over a 2-struct array); the candidate
+    self-join keys on (table, bucket) in one shuffle; the cap applies
+    per (table, bucket); pairs caught by both tables dedupe after
+    scoring. Deterministic md5-parity hyperplanes keep the whole thing
+    SQL-oracle-checkable."""
+    from ..operators.dedup import embedding_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4,
+                                    n_tables=2, max_bucket_size=100)
+
+
+def _hp_dot(plane: int) -> str:
+    # DuckDB twin of ann.hyperplane_lsh_bucket's weighted dot: j is
+    # 1-based in DuckDB lambdas, the md5 seed uses 0-based coords
+    return (
+        "list_reduce(list_transform(embedding, (x, j) -> "
+        "CAST(x AS DOUBLE) * CASE WHEN substr(md5("
+        f"'{plane}:' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8' "
+        "THEN 1.0 ELSE -1.0 END), (acc, v) -> acc + v)")
+
+
+def _hp_bucket(offset: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_hp_dot(offset + i)} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(4))
+
+
+_DOT_D2 = ("list_reduce(list_transform(generate_series(1, len({a})), "
+           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+_NORM_D2 = ("sqrt(list_reduce(list_transform({a}, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))")
+
+ORACLE_DEDUP_EMB_MULTI = f"""
+WITH tagged AS (
+  SELECT vec_id, embedding, 0 AS tbl, {_hp_bucket(0)} AS bucket
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS tbl, {_hp_bucket(4)} AS bucket
+  FROM embeddings
+),
+ok AS (SELECT tbl, bucket FROM tagged GROUP BY 1, 2
+       HAVING count(*) <= 100),
+capped AS (SELECT t.* FROM tagged t JOIN ok USING (tbl, bucket)),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(round(
+           {_DOT_D2.format(a='a.embedding', b='b.embedding')}
+           / ({_NORM_D2.format(a='a.embedding')}
+              * {_NORM_D2.format(a='b.embedding')}) * 1e6) AS BIGINT) AS sim_e6
+  FROM capped a JOIN capped b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b, sim_e6 FROM pairs WHERE sim_e6 >= 300000
+"""
+
+
+QUERIES_EXT2.update({
+    "dedup_embedding_multi": q_dedup_embedding_multi,
+})
+
+ORACLE_EXT2.update({
+    "dedup_embedding_multi": ORACLE_DEDUP_EMB_MULTI,
+})

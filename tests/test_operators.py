@@ -81,6 +81,49 @@ class TestDedup:
                                             k=8, bands=4).collect()}
         assert (1, 2) in pairs  # identical docs always share every band
 
+    def test_embedding_hot_bucket_cap(self, spark):
+        """A degenerate LSH bucket above max_bucket_size is excluded from
+        pairing entirely (the quadratic-blob guard); normal buckets still
+        pair. 20 near-identical vectors land in one bucket (190 pairs
+        uncapped); 2 vectors of the opposite sign land in another."""
+        from research_index_backend_spark.operators.dedup import (
+            embedding_near_dup_pairs)
+        hot = [(i, [1.0, 1.0, 1.0, 1.0, float(i) * 1e-3])
+               for i in range(20)]
+        cold = [(100, [-1.0, -1.0, -1.0, -1.0, 0.5]),
+                (101, [-1.0, -1.0, -1.0, -1.0, 0.6])]
+        emb = spark.createDataFrame(hot + cold,
+                                    "vec_id long, embedding array<double>")
+        uncapped = embedding_near_dup_pairs(emb, threshold_e6=900_000,
+                                            n_bits=4)
+        assert uncapped.count() == 190 + 1
+        capped = embedding_near_dup_pairs(emb, threshold_e6=900_000,
+                                          n_bits=4, max_bucket_size=10)
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert got == {(100, 101)}  # hot bucket gone, cold pair survives
+
+    def test_embedding_multi_table_recall_superset(self, spark):
+        """L=2 hyperplane tables return a SUPERSET of either single
+        table's pairs, with no duplicate (id_a, id_b) rows."""
+        from research_index_backend_spark.operators.ann import (
+            hyperplane_lsh_bucket)
+        from research_index_backend_spark.operators.dedup import (
+            embedding_near_dup_pairs)
+        emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+               .filter(F.col("vec_id") < 100))
+        multi = embedding_near_dup_pairs(emb, threshold_e6=200_000,
+                                         n_bits=4, n_tables=2).collect()
+        pairs_multi = {(r["id_a"], r["id_b"]) for r in multi}
+        assert len(pairs_multi) == len(multi)  # deduped
+        for offset in (0, 4):
+            single = embedding_near_dup_pairs(
+                emb, threshold_e6=200_000, n_bits=4,
+                bucket_fn=lambda v, n, o=offset: hyperplane_lsh_bucket(
+                    v, n, plane_offset=o))
+            pairs_single = {(r["id_a"], r["id_b"])
+                            for r in single.collect()}
+            assert pairs_single <= pairs_multi
+
 
 class TestExists:
     def test_semi_anti_split_disjoint(self, spark):
