@@ -647,3 +647,71 @@ ORACLE_EXT = {
     "binary_meta": ORACLE_BINARY_META,
     "ann_hyperplane_topk": ORACLE_ANN_HYPERPLANE,
 }
+
+
+# ---------------------------------------------------------------------------
+# PageRank on a DIRECTED graph with sinks — in-plan dangling-mass path
+# ---------------------------------------------------------------------------
+
+
+def q_graph_pagerank_dangling(spark, sf_dir):
+    """PageRank over the DIRECTED supplier->part graph: every part is a
+    sink (no out-edges), so the dangling-mass redistribution path is
+    exercised for real — and it runs IN-PLAN (1-row sink-rank aggregate
+    crossJoin-broadcast into the update), zero driver round-trips in the
+    loop, unlike the collect()-per-round shape this replaced (round-4
+    VERDICT #2). Same e4 quantization rationale as graph_pagerank: both
+    engines run the identical IEEE recurrence up to summation order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey",
+                                              "l_suppkey").distinct()
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+    pr = pagerank(edges, n_iter=5, handle_dangling=True,
+                  checkpoint_every=2, broadcast_ranks=True)
+    return pr.select(
+        "id", F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
+
+
+def _oracle_pagerank_dangling(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank WITH the dangling term: each stage computes the
+    sink-node rank mass dm{i} (nodes absent from deg) and folds dm/n into
+    the update — the SQL twin of the crossJoin-broadcast plan. Literal
+    parity rules as _oracle_pagerank."""
+    d = ("CAST(0.85 AS DOUBLE)" if damping == 0.85
+         else f"CAST({damping!r} AS DOUBLE)")
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM li),
+nodes AS (SELECT DISTINCT src AS id FROM edges
+          UNION SELECT DISTINCT dst AS id FROM edges),
+deg AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+  FROM edges e JOIN r{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+  GROUP BY e.dst),
+d{i} AS (
+  SELECT COALESCE(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+  FROM r{i - 1} r LEFT JOIN deg ON r.id = deg.id
+  WHERE deg.id IS NULL),
+r{i} AS (
+  SELECT nodes.id,
+         (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c{i}.in_sum, CAST(0.0 AS DOUBLE))
+                  + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id)""")
+    parts.append(f"""
+SELECT id, CAST(round(rank * 1e4) AS BIGINT) AS rank_e4 FROM r{n_iter}
+""")
+    return "".join(parts)
+
+
+ORACLE_PAGERANK_DANGLING = _oracle_pagerank_dangling(5)
+
+QUERIES_EXT["graph_pagerank_dangling"] = q_graph_pagerank_dangling
+ORACLE_EXT["graph_pagerank_dangling"] = ORACLE_PAGERANK_DANGLING

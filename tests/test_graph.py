@@ -59,6 +59,35 @@ class TestPageRank:
         assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
         assert ranks[1] == max(ranks.values())
 
+    def test_dangling_in_plan_matches_reference(self, spark):
+        """handle_dangling=True on a directed graph WITH sinks: the
+        in-plan (crossJoin-broadcast) dangling path must reproduce the
+        textbook per-round recurrence exactly (Python reference below)
+        and conserve total rank mass. Sparse checkpoints (cadence 3)
+        must not change the numbers — the old collect()-based path
+        forced cadence 1."""
+        # 1->2->3 chain plus 4->3: node 3 is a sink holding mass
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 3)], ["src", "dst"])
+        d, n, n_iter = 0.85, 4, 7
+
+        ref = {i: 1.0 / n for i in (1, 2, 3, 4)}
+        out_deg = {1: 1, 2: 1, 3: 0, 4: 1}
+        for _ in range(n_iter):
+            in_sum = {i: 0.0 for i in ref}
+            for s, t in [(1, 2), (2, 3), (4, 3)]:
+                in_sum[t] += ref[s] / out_deg[s]
+            dang = sum(r for i, r in ref.items() if out_deg[i] == 0)
+            ref = {i: (1 - d) / n + d * (in_sum[i] + dang / n)
+                   for i in ref}
+
+        got = {r["id"]: r["rank"] for r in
+               pagerank(edges, n_iter=n_iter, handle_dangling=True,
+                        checkpoint_every=3).collect()}
+        for i in ref:
+            assert got[i] == pytest.approx(ref[i], rel=1e-12), i
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
 
 class TestResolveCascade:
     def test_three_paths_exact(self, spark):
