@@ -101,6 +101,98 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     return comp
 
 
+def connected_components_star(edges: DataFrame,
+                              nodes: DataFrame | None = None,
+                              src: str = "src", dst: str = "dst",
+                              max_iter: int = 30,
+                              on_nonconverged: str = "warn") -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", two-phase
+    algorithm). Returns (id, component) with component = min node id.
+
+    Why it exists next to connected_components: min-label propagation
+    converges in O(diameter) rounds — a 100 TB web-dedup graph with long
+    chains blows any iteration budget (a 10M-node chain needs 10M
+    rounds). Star contraction converges in O(log n) rounds REGARDLESS of
+    diameter: each round pointers jump toward the component minimum, so
+    chains collapse geometrically. Per round it costs two grouped
+    aggregations + two joins (vs label-prop's one), so on shallow graphs
+    (near-clique dedup buckets) plain propagation is cheaper — pick by
+    topology, same contract.
+
+    Requires a total order on node ids (component = minimum); ids may be
+    any orderable type. Convergence = edge-set fixpoint, detected with a
+    two-sided anti-join count (exact, no hash false-positives); at scale
+    run a fixed budget with a periodic probe, as with label propagation.
+
+    large-star: for each u, hook every neighbor v > u to
+    m = min(N(u) ∪ {u}). small-star: with edges oriented u > v, hook u
+    and every neighbor onto m = min(N(u)). Both emit (child, parent)
+    edges oriented child > parent; at the fixpoint the edges are stars
+    centered on component minima.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    # canonical orientation u > v, deduped — the small-star input shape
+    e = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .distinct().localCheckpoint())
+    if nodes is None:
+        all_nodes = (e.select(F.col("u").alias("id"))
+                     .unionAll(e.select(F.col("v").alias("id"))).distinct()
+                     .localCheckpoint())
+    else:
+        all_nodes = nodes.select(
+            F.col(nodes.columns[0]).alias("id")).distinct().localCheckpoint()
+
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: symmetrize, hook larger neighbors to the min
+        sym = e.unionAll(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
+                .select("u", F.least("__mn", F.col("u")).alias("m")))
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: edges oriented u > v, hook u and all its
+        # smaller neighbors onto the neighborhood min
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = small.localCheckpoint()
+        changed = (nxt.join(e, ["u", "v"], "left_anti").count()
+                   + e.join(nxt, ["u", "v"], "left_anti").count())
+        e = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        msg = (f"connected_components_star did not converge within "
+               f"{max_iter} rounds; labels are TRUNCATED, not final")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # fixpoint edges are (member, component-min) stars; roots and
+    # isolated nodes map to themselves
+    return (all_nodes.join(e.select(F.col("u").alias("id"),
+                                    F.col("v").alias("component")),
+                           "id", "left")
+            .select("id", F.coalesce("component", F.col("id"))
+                    .alias("component")))
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              n_iter: int = 10, damping: float = 0.85,
              handle_dangling: bool = True,

@@ -715,3 +715,27 @@ ORACLE_PAGERANK_DANGLING = _oracle_pagerank_dangling(5)
 
 QUERIES_EXT["graph_pagerank_dangling"] = q_graph_pagerank_dangling
 ORACLE_EXT["graph_pagerank_dangling"] = ORACLE_PAGERANK_DANGLING
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction connected components (O(log n) rounds, any diameter)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_components_star(spark, sf_dir):
+    """Same component semantics as graph_components (and verified by the
+    SAME recursive-CTE oracle), computed with alternating large-star /
+    small-star contraction (Kiveris et al.) instead of min-label
+    propagation: O(log n) rounds regardless of graph diameter — the
+    variant that survives long-chain topologies a 100 TB web-dedup graph
+    contains and label propagation cannot finish."""
+    from ..graph.analytics import connected_components_star
+    docs = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_star_edges(docs, "text", "doc_id", k=4, bands=2)
+    comp = connected_components_star(edges, nodes=docs.select("doc_id"))
+    return comp.select(F.col("id").cast("bigint").alias("doc_id"),
+                       F.col("component").cast("bigint").alias("component"))
+
+
+QUERIES_EXT["graph_components_star"] = q_graph_components_star
+ORACLE_EXT["graph_components_star"] = ORACLE_COMPONENTS

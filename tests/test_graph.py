@@ -119,3 +119,45 @@ class TestResolveCascade:
         again = {r["in_id"]: r["resolved_uuid"] for r in
                  resolve_authors(incoming, existing, exact=True).collect()}
         assert again[4] == got[4]["resolved_uuid"]
+
+
+class TestStarComponents:
+    def test_matches_label_propagation(self, spark):
+        """Star contraction and label propagation agree on a mixed
+        topology (chain + clique + isolated node)."""
+        from research_index_backend_spark.graph.analytics import (
+            connected_components_star)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+            ["src", "dst"])
+        nodes = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 99)], ["id"])
+        star = {r["id"]: r["component"] for r in
+                connected_components_star(edges, nodes=nodes).collect()}
+        prop = {r["id"]: r["component"] for r in
+                connected_components(edges, nodes=nodes).collect()}
+        assert star == prop
+        assert star[99] == 99
+
+    def test_chain_converges_in_log_rounds(self, spark):
+        """The reason this variant exists: a 64-node chain needs ~63
+        label-propagation rounds (O(diameter)) but must finish star
+        contraction within 2*log2(n) = 12 rounds (O(log n)). Warnings
+        are errors here, so a truncated (non-converged) run fails."""
+        import math
+        import warnings
+        from research_index_backend_spark.graph.analytics import (
+            connected_components_star)
+        n = 64
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], ["src", "dst"])
+        budget = int(2 * math.log2(n))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = {r["id"]: r["component"] for r in
+                   connected_components_star(edges,
+                                             max_iter=budget).collect()}
+        assert got == {i: 1 for i in range(1, n + 1)}
+        # label propagation genuinely cannot do this in the same budget
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            connected_components(edges, max_iter=budget)
