@@ -64,3 +64,36 @@ def test_missing_backend_raises(spark, abstracts):
         classify(abstracts, "abstract", "doc_id", ["x"], clf_fn=None)
     with pytest.raises(NotImplementedError):
         entities(abstracts, "abstract", "doc_id", ner_fn=None)
+
+
+class TestRealBackends:
+    """The optional public-model adapters: fail fast with a clear error
+    when the extra dependency is absent; run for real when present
+    (skipped in this container, which bundles neither)."""
+
+    def test_missing_dependency_raises_driver_side(self):
+        from research_index_backend_spark.operators import nlp_backends
+        for factory, module in (
+                (nlp_backends.hf_qa_backend, "transformers"),
+                (nlp_backends.hf_zero_shot_backend, "transformers"),
+                (nlp_backends.spacy_ner_backend, "spacy")):
+            try:
+                __import__(module)
+            except ImportError:
+                with pytest.raises(ImportError, match="pip install"):
+                    factory()
+            else:  # dependency present: the factory must return a callable
+                assert callable(factory())
+
+    def test_real_qa_if_transformers_installed(self, spark):
+        pytest.importorskip("transformers")
+        from research_index_backend_spark.operators.nlp import ask
+        from research_index_backend_spark.operators.nlp_backends import (
+            hf_qa_backend)
+        df = spark.createDataFrame(
+            [("d1", "Solar capacity in Kenya reached 400 MW in 2023.")],
+            ["doc_id", "abstract"])
+        rows = ask(df, "abstract", "doc_id",
+                   ["What country is mentioned?"],
+                   qa_fn=hf_qa_backend()).collect()
+        assert rows and rows[0]["answer"]
