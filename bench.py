@@ -2,7 +2,14 @@
 (default /root/testdata/sf0.1) and print ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {...}, "sf": 0.1}
+     "queries": {...}, "sf": 0.1, ...}
+
+The stdout line is kept under 1900 characters (the recording harness
+retains only the last 2000 chars of stdout): queries are listed slowest
+first and the fastest entries are dropped once the line would overflow,
+with the dropped remainder summarized in queries_omitted/omitted_sec.
+Full per-query timings are always written to BENCH_FULL.json alongside
+this script.
 
 Each query executes fully through the noop sink (format("noop")) — the
 whole plan runs, nothing is collected to the driver, so timings measure
@@ -79,14 +86,43 @@ def main() -> int:
             pass  # keep the first timing
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    line = json.dumps({
-        "metric": "total_query_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
-    })
-    print(line, flush=True)
+    sf = _sf_from_dir(SF_DIR)
+
+    # Full per-query detail, for humans and BENCH_HISTORY.md.
+    full = {"metric": "total_query_sec", "value": total, "unit": "sec",
+            "queries": timings, "sf": sf}
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+
+    # The ONE stdout JSON line. The harness that records it keeps only the
+    # last 2000 characters of stdout, so the line must stay comfortably
+    # under that or it truncates into unparseable JSON (observed r4/r5:
+    # 71/81 queries -> >2000 chars -> parsed=null). Emit compact JSON,
+    # slowest queries first, and drop the fastest entries until the line
+    # fits a 1900-char budget; the dropped remainder is summarized so the
+    # total still reconciles.
+    by_slow = sorted(timings, key=lambda n: -timings[n])
+
+    def _line(n_keep: int) -> str:
+        keep, omit = by_slow[:n_keep], by_slow[n_keep:]
+        return json.dumps({
+            "metric": "total_query_sec", "value": total, "unit": "sec",
+            "queries": {n: round(timings[n], 2) for n in keep},
+            "sf": sf, "n_queries": len(timings),
+            "queries_omitted": len(omit),
+            "omitted_sec": round(
+                sum(timings[n] for n in omit if timings[n] >= 0), 2),
+        }, separators=(",", ":"))
+
+    n_keep = len(by_slow)
+    while n_keep > 0 and len(_line(n_keep)) > 1900:
+        n_keep -= 1
+    print(_line(n_keep), flush=True)
     return 0
 
 

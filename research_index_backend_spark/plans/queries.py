@@ -101,15 +101,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # row-identical: every checked query is order-insensitive.
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
-        # ts arrives as int64 nanos (nanosAsLong). Keep the exact nanos as
-        # ts_ns for ordering/gap math (bit-identical to DuckDB epoch_ns) and
-        # derive a micros timestamp for window bucketing — bucket boundaries
-        # are whole seconds, so the floor-to-micros truncation can never
-        # move an event across a bucket edge.
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+        # ts usually arrives as int64 nanos (nanosAsLong). Keep the exact
+        # nanos as ts_ns for ordering/gap math (bit-identical to DuckDB
+        # epoch_ns) and derive a micros timestamp for window bucketing —
+        # bucket boundaries are whole seconds, so the floor-to-micros
+        # truncation can never move an event across a bucket edge. Some
+        # dataset builds store ts as a parquet timestamp instead (observed:
+        # sf0.001 lands TIMESTAMP_NTZ); normalize that to the same pair.
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            )
+        else:
+            df = df.withColumn(
+                "ts_ns",
+                F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000).cast("long"),
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
