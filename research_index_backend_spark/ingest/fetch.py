@@ -42,7 +42,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-OPENAIRE_API = "https://api.openaire.eu"
+from ..config import get_config
+
 OPENALEX_API = "https://api.openalex.org"
 
 FETCH_SCHEMA = StructType([
@@ -65,7 +66,9 @@ def default_transport(url: str, headers: dict) -> tuple[int, str]:
 
 
 def openaire_url(doi: str) -> str:
-    return f"{OPENAIRE_API}/researchProducts?originalId={doi}"
+    # base is (RIB_)OPENAIRE_API, default https://api.openaire.eu/graph/v2 —
+    # reference get_metadata.py:44 builds f"{config.openaire_api}/researchProducts".
+    return f"{get_config().openaire_api}/researchProducts?originalId={doi}"
 
 
 def openalex_url(doi: str) -> str:

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.pytext import clean_html_udf, py_title_udf
-from ..schemas import OPENAIRE_SCHEMA, OPENALEX_SCHEMA
+from ..schemas import OPENAIRE_SCHEMA, OPENALEX_SCHEMA, ZENODO_V1_SCHEMA
 
 
 def read_openaire_json(spark: SparkSession, path: str,
@@ -143,6 +143,104 @@ def parse_authors(envelopes: DataFrame) -> DataFrame:
         F.col("p.last_name").alias("last_name"),
         F.col("p.orcid").alias("orcid"),
         F.col("p.rank").alias("rank"),
+    )
+
+
+def read_zenodo_v1_json(spark: SparkSession, path: str,
+                        multiline: bool = True) -> DataFrame:
+    """Read legacy v1 envelopes (reference tests/fixtures/zenodo.json) with
+    the explicit schema — same no-inference contract as the v2 reader."""
+    return (spark.read
+            .option("multiLine", "true" if multiline else "false")
+            .json(path, schema=ZENODO_V1_SCHEMA))
+
+
+def parse_zenodo_v1(envelopes: DataFrame) -> DataFrame:
+    """Legacy v1 oaf envelope → the same article shape as parse_articles.
+
+    The v1 shape (response.results.result[].metadata.oaf:entity.oaf:result,
+    attributes as @keys, text as $) predates the Graph API the reference's
+    parser.py consumes; the reference exercises it via its zenodo fixture.
+    Creators are adapted onto the v2 author struct so the full parse_author
+    cascade (_author_cols: pid/orcid coalesce, .title(), mutual-substring
+    repair, $-fallback split) applies unchanged — one behavior, two
+    envelope dialects.
+    """
+    rows = envelopes.select(
+        F.col("query_doi"),
+        F.posexplode(F.col("response")["results"]["result"])
+        .alias("result_idx", "res"),
+    ).select(
+        "query_doi", "result_idx",
+        F.col("res")["metadata"]["oaf:entity"]["oaf:result"].alias("r"),
+    )
+    r = F.col("r")
+    doi_pid = F.element_at(
+        F.filter(r["pid"], lambda p: p["@classid"] == "doi"), 1)
+    resource = r["resourcetype"]
+    journal_raw = r["journal"]["$"]
+    pub_date = F.to_date(r["dateofacceptance"]["$"])
+    arts = rows.select(
+        F.coalesce(F.col("query_doi"), doi_pid["$"]).alias("doi"),
+        "result_idx",
+        clean_html_udf(clean_html_udf(r["title"]["$"])).alias("title"),
+        r["description"]["$"].alias("abstract"),
+        F.when(journal_raw.isNotNull() & (journal_raw != ""),
+               clean_html_udf(journal_raw)).otherwise(F.lit("")).alias("journal"),
+        F.lit(None).cast("int").alias("issue"),
+        F.lit(None).cast("int").alias("volume"),
+        F.year(pub_date).alias("publication_year"),
+        F.month(pub_date).alias("publication_month"),
+        F.dayofmonth(pub_date).alias("publication_day"),
+        r["publisher"]["$"].alias("publisher"),
+        r["resulttype"]["@classid"].alias("result_type"),
+        F.when(resource["@schemeid"].isin("dnet:result_typologies",
+                                          "dnet:publication_resource"),
+               resource["@classname"]).alias("resource_type"),
+        F.year(F.current_date()).cast("int").alias("cited_by_count_date"),
+        r["creator"].alias("creators"),
+    )
+    # Adapt v1 creator attrs onto the v2 author struct (@orcid wins over
+    # @orcid_pending, matching the pid-scheme precedence in _author_cols).
+    pid_t = ("struct<id:struct<scheme:string,value:string>,"
+             "provenance:string>")
+    exploded = arts.select(
+        "doi", "result_idx",
+        F.posexplode_outer("creators").alias("author_pos", "c"),
+    )
+    c = F.col("c")
+    adapted = exploded.select(
+        "doi", "result_idx", "author_pos",
+        _author_cols(F.struct(
+            c["@name"].alias("name"),
+            c["@surname"].alias("surname"),
+            F.coalesce(F.nullif(c["@orcid"], F.lit("")),
+                       F.nullif(c["@orcid_pending"], F.lit("")))
+            .alias("orcid"),
+            c["@rank"].alias("rank"),
+            F.lit(None).cast(pid_t).alias("pid"),
+            c["$"].alias("$"),
+        )).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    grouped = (
+        adapted.groupBy("doi", "result_idx")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("author_pos"), F.col("p"),
+        ))).alias("ordered"))
+        .select("doi", "result_idx",
+                F.transform("ordered", lambda s: s["p"]).alias("authors"))
+    )
+    return (
+        arts.drop("creators")
+        .join(grouped, ["doi", "result_idx"], "left")
+        .withColumn(
+            "authors",
+            F.coalesce(
+                "authors",
+                F.array().cast(
+                    "array<struct<first_name:string,last_name:string,"
+                    "orcid:string,rank:int>>"),
+            ))
     )
 
 

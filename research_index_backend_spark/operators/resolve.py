@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..config import get_config
 from ..functions.names import (
     full_name_col,
     initial_name_col,
@@ -40,7 +41,7 @@ ORCID_NAME_SIMILARITY_THRESHOLD = 0.8  # reference config.py:20-25
 
 
 def resolve_authors(incoming: DataFrame, existing: DataFrame,
-                    threshold: float = ORCID_NAME_SIMILARITY_THRESHOLD,
+                    threshold: float | None = None,
                     exact: bool = False) -> DataFrame:
     """Resolve incoming author rows against the existing author table.
 
@@ -54,7 +55,12 @@ def resolve_authors(incoming: DataFrame, existing: DataFrame,
 
     exact=True scores with the reference's difflib algorithm (pandas UDF);
     exact=False uses the JVM levenshtein ratio (SQL-oracle checkable).
+
+    threshold=None reads (RIB_)ORCID_NAME_SIMILARITY_THRESHOLD from the
+    environment, defaulting to 0.8 (reference config.py:20-25).
     """
+    if threshold is None:
+        threshold = get_config().orcid_name_similarity_threshold
     score_fn = name_similarity_udf if exact else levenshtein_ratio
 
     ex = existing.select(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..config import get_config
 from ..functions.names import levenshtein_ratio, name_similarity_udf
 
 
@@ -48,14 +49,19 @@ def blocked_pairs(left: DataFrame, right: DataFrame, block_key: Column | str,
 def similarity_join(left: DataFrame, right: DataFrame,
                     left_name: str, right_name: str,
                     block_left: Column, block_right: Column,
-                    threshold: float = 0.8,
+                    threshold: float | None = None,
                     exact: bool = False,
                     score_col: str = "similarity") -> DataFrame:
     """Candidate-pairs-then-score similarity join.
 
     exact=True uses the reference's difflib algorithm (pandas UDF, no SQL
     oracle); exact=False uses the JVM levenshtein ratio (oracle-checkable).
+
+    threshold=None reads (RIB_)NAME_SIMILARITY_THRESHOLD from the
+    environment, defaulting to 0.8 (reference config.py:22-25).
     """
+    if threshold is None:
+        threshold = get_config().name_similarity_threshold
     l = left.withColumn("__bk", block_left)
     r = right.withColumn("__bk", block_right)
     rsel = r.select(F.col("__bk"),

@@ -82,6 +82,71 @@ OPENAIRE_SCHEMA = StructType([
 ])
 
 # ---------------------------------------------------------------------------
+# Legacy OpenAire "v1" envelope (XML-to-JSON oaf shape:
+# response.results.result[].metadata.oaf:entity.oaf:result, attributes as
+# @keys, text as $ — reference tests/fixtures/zenodo.json). The subset
+# mirrors what the v2 parse extracts so both land in the same article shape.
+# ---------------------------------------------------------------------------
+
+_CLASSIFIED = StructType([               # @classid/@classname/@schemeid attrs
+    StructField("@classid", StringType()),
+    StructField("@classname", StringType()),
+    StructField("@schemeid", StringType()),
+    StructField("@schemename", StringType()),
+    StructField("$", StringType()),
+])
+
+ZENODO_V1_CREATOR = StructType([
+    StructField("@rank", StringType()),
+    StructField("@name", StringType()),
+    StructField("@surname", StringType()),
+    StructField("@orcid", StringType()),
+    StructField("@orcid_pending", StringType()),
+    StructField("$", StringType()),      # "Surname, Name" fallback
+])
+
+ZENODO_V1_RESULT = StructType([
+    StructField("header", StructType([
+        StructField("dri:objIdentifier", StructType([
+            StructField("$", StringType()),
+        ])),
+    ])),
+    StructField("metadata", StructType([
+        StructField("oaf:entity", StructType([
+            StructField("oaf:result", StructType([
+                StructField("pid", ArrayType(_CLASSIFIED)),
+                StructField("title", _CLASSIFIED),
+                StructField("creator", ArrayType(ZENODO_V1_CREATOR)),
+                StructField("dateofacceptance", StructType([
+                    StructField("$", StringType()),
+                ])),
+                StructField("description", StructType([
+                    StructField("$", StringType()),
+                ])),
+                StructField("publisher", StructType([
+                    StructField("$", StringType()),
+                ])),
+                StructField("journal", StructType([
+                    StructField("$", StringType()),
+                ])),
+                StructField("resulttype", _CLASSIFIED),
+                StructField("resourcetype", _CLASSIFIED),
+            ])),
+        ])),
+    ])),
+])
+
+ZENODO_V1_SCHEMA = StructType([
+    StructField("response", StructType([
+        StructField("results", StructType([
+            StructField("result", ArrayType(ZENODO_V1_RESULT)),
+        ])),
+    ])),
+    # side-channel: which DOI this response was fetched for (added at landing)
+    StructField("query_doi", StringType()),
+])
+
+# ---------------------------------------------------------------------------
 # OpenAlex works body (the subset the reference reads: `id` and
 # `cited_by_count`, reference parser.py:183-186 fed by get_metadata.py:69-87;
 # counts_by_year parsed here as an engine extension — the reference always
