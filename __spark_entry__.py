@@ -57,7 +57,7 @@ _VERIFY_FIRST = (
     "argmax_latest", "sequence_islands", "doc_chunk", "sequence_pack",
     "dedup_survivors", "intersect_except", "unpivot_report", "rank_suite",
     "bool_agg_report", "date_functions", "full_outer_merge",
-    "frame_functions", "dedup_embedding_multi",
+    "frame_functions", "dedup_embedding_multi", "sequence_pack_sharded",
 )
 
 

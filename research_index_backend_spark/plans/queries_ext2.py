@@ -25,6 +25,7 @@ training-data pipeline layer needs on top of SURVEY §2):
   sequence_islands       gaps-and-islands run detection
   doc_chunk              overlapping context-window chunking (no shuffle)
   sequence_pack          greedy per-source packing into token budgets
+  sequence_pack_sharded  two-level packing with bounded window partitions
   dedup_survivors        end-to-end dedup verdict (LSH -> CC -> keep-min)
   intersect_except       INTERSECT / EXCEPT set operations
   unpivot_report         wide-to-long unpivot (pivot inverse)
@@ -886,6 +887,83 @@ FROM t
 """
 
 
+# Two-level packing: sub-shard each source, pack greedily WITHIN a shard,
+# then renumber shard-local packs to a per-source global id. Bounds the
+# window partition at _PACK_SHARD_ROWS docs — a single giant source no
+# longer serializes one task (the documented weak spot of q_sequence_pack).
+_PACK_SHARD_ROWS = 64
+
+
+def q_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-partition sequence packing.
+
+    Level 1: shard = doc_id div _PACK_SHARD_ROWS — deterministic, dense
+    or sparse ids alike. Greedy cum-sum packing runs per (source, shard),
+    so no window partition exceeds the shard width regardless of how
+    skewed sources are. Level 2: per-shard pack counts are cum-summed per
+    source (a tiny window over n_shards rows) and broadcast-joined back
+    as offsets, renumbering local packs into one contiguous per-source
+    pack sequence.
+
+    Semantics differ from q_sequence_pack only in that the greedy
+    accumulator resets at shard boundaries (each shard's first doc opens
+    a fresh pack) — the price of boundedness, and exactly what a
+    distributed packer does at 100 TB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                            lambda t: t != ""))
+    base = d.select(
+        "doc_id", "source", n_tok.alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_SHARD_ROWS).alias("shard"))
+    w_local = (Window.partitionBy("source", "shard").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = base.withColumn(
+        "local_pack",
+        (F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+         / _PACK_BUDGET).cast("int"))
+    w_shard = (Window.partitionBy("source").orderBy("shard")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (local.groupBy("source", "shard")
+               .agg((F.max("local_pack") + 1).alias("n_packs"))
+               .withColumn("offset",
+                           F.coalesce(F.sum("n_packs").over(w_shard),
+                                      F.lit(0)))
+               .select("source", "shard", "offset"))
+    return (local.join(F.broadcast(offsets), ["source", "shard"])
+            .select("doc_id", "source", "n_tokens",
+                    (F.col("offset") + F.col("local_pack")).cast("int")
+                    .alias("pack_id")))
+
+
+ORACLE_SEQUENCE_PACK_SHARDED = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS INT) AS n_tokens,
+         doc_id // {_PACK_SHARD_ROWS} AS shard
+  FROM documents
+), local AS (
+  SELECT doc_id, source, n_tokens, shard,
+         CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY source, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {_PACK_BUDGET} AS INT) AS local_pack
+  FROM t
+), offsets AS (
+  SELECT source, shard,
+         coalesce(sum(max_pack + 1) OVER (
+             PARTITION BY source ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT source, shard, max(local_pack) AS max_pack
+        FROM local GROUP BY source, shard)
+)
+SELECT l.doc_id, l.source, l.n_tokens,
+       CAST(o.off + l.local_pack AS INT) AS pack_id
+FROM local l JOIN offsets o USING (source, shard)
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup_survivors — end-to-end corpus dedup verdict
 # ---------------------------------------------------------------------------
@@ -919,12 +997,14 @@ FROM comp
 QUERIES_EXT2.update({
     "doc_chunk": q_doc_chunk,
     "sequence_pack": q_sequence_pack,
+    "sequence_pack_sharded": q_sequence_pack_sharded,
     "dedup_survivors": q_dedup_survivors,
 })
 
 ORACLE_EXT2.update({
     "doc_chunk": ORACLE_DOC_CHUNK,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "sequence_pack_sharded": ORACLE_SEQUENCE_PACK_SHARDED,
     "dedup_survivors": _oracle_survivors(),
 })
 

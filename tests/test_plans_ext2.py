@@ -193,6 +193,40 @@ class TestPipelineOps:
             assert kept == [canon]
 
 
+class TestSequencePackSharded:
+    def test_window_partitions_by_shard(self, spark):
+        """The greedy cum-sum window must partition on (source, shard),
+        not source alone — otherwise a single giant source serializes
+        one task (the exact bound this variant exists to provide)."""
+        p = plan_of(Q2.q_sequence_pack_sharded(spark, SF))
+        win_parts = [ln for ln in p.splitlines()
+                     if "hashpartitioning" in ln and "shard" in ln]
+        assert win_parts, f"no (source, shard) exchange in plan:\n{p}"
+        assert "BroadcastHashJoin" in p      # offsets join side is tiny
+        assert "SortMergeJoin" not in p
+
+    def test_single_source_corpus_still_fans_out(self, spark):
+        """A one-source corpus — the degenerate case for per-source
+        packing — must still produce many window partitions."""
+        d = (spark.read.parquet(f"{SF}/documents.parquet")
+             .withColumn("source", F.lit("only")))
+        n_shards = d.select(
+            (F.floor(F.col("doc_id") / Q2._PACK_SHARD_ROWS))
+            .alias("shard")).distinct().count()
+        assert n_shards > 1
+
+    def test_pack_ids_contiguous_per_source(self, spark):
+        """Shard-local renumbering must yield one contiguous 0..N-1 pack
+        sequence per source (no gaps, no collisions across shards)."""
+        rows = Q2.q_sequence_pack_sharded(spark, SF).collect()
+        per_src: dict[str, set[int]] = {}
+        for r in rows:
+            per_src.setdefault(r["source"], set()).add(r["pack_id"])
+        assert per_src
+        for packs in per_src.values():
+            assert packs == set(range(len(packs)))
+
+
 class TestPartitionPruning:
     def test_partitioned_write_prunes_at_scan(self, spark, tmp_path):
         """A table partitioned by a coarse key must show partition
