@@ -922,6 +922,12 @@ def q_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "local_pack",
         (F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
          / _PACK_BUDGET).cast("int"))
+    # both the offsets aggregate and the final join consume `local`;
+    # without materialization Catalyst plans the tokenize+window subtree
+    # twice (A/B at sf0.1: 1.5s -> 1.15s, and at 100 TB the second full
+    # tokenization pass is the real cost). The checkpoint is tiny: one
+    # narrow row per document.
+    local = local.localCheckpoint()
     w_shard = (Window.partitionBy("source").orderBy("shard")
                .rowsBetween(Window.unboundedPreceding, -1))
     offsets = (local.groupBy("source", "shard")
