@@ -33,6 +33,10 @@ from research_index_backend_spark.plans.queries_ext2 import (  # noqa: E402
     ORACLE_EXT2,
     QUERIES_EXT2,
 )
+from research_index_backend_spark.plans.queries_ext3 import (  # noqa: E402
+    ORACLE_EXT3,
+    QUERIES_EXT3,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -58,6 +62,7 @@ _VERIFY_FIRST = (
     "dedup_survivors", "intersect_except", "unpivot_report", "rank_suite",
     "bool_agg_report", "date_functions", "full_outer_merge",
     "frame_functions", "dedup_embedding_multi", "sequence_pack_sharded",
+    "bm25_topk", "decontaminate_overlap", "text_repetition",
 )
 
 
@@ -69,9 +74,10 @@ def _ordered(mapping: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2})
+    return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
+                     **QUERIES_EXT3})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
-    return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2})
+    return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3})

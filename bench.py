@@ -73,7 +73,12 @@ def main() -> int:
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
-    n_retime = int(os.environ.get("SPARK_GRAFT_RETIME", "10"))
+    # Default: re-time EVERY query (full min-of-2). First-touch codegen
+    # routinely inflates a single cold timing 2-17x (measured:
+    # sequence_pack 6.97s cold vs 0.41s warm); min-of-two reports
+    # steady-state for the whole catalog at the cost of ~2x bench wall
+    # time. Set SPARK_GRAFT_RETIME=<n> to re-time only the n slowest.
+    n_retime = int(os.environ.get("SPARK_GRAFT_RETIME", str(len(timings))))
     slowest = sorted((n for n, t in timings.items() if t >= 0),
                      key=lambda n: -timings[n])[:n_retime]
     for name in slowest:

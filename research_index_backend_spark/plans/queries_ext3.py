@@ -1,0 +1,293 @@
+"""Catalog extension 3 — retrieval + training-data hygiene operators.
+
+  bm25_topk              BM25 ranked retrieval for a term query (IR / RAG)
+  decontaminate_overlap  eval-set n-gram contamination flags
+  text_repetition        Gopher-style repetition signals per document
+
+These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
+the lexical-retrieval baseline every RAG corpus needs next to the ANN
+operators (operators/ann.py); decontamination is the standard guard
+against benchmark leakage into training data (n-gram overlap against a
+held-out eval set); repetition fractions are the Gopher/C4-style quality
+signals used to drop degenerate documents before training.
+
+Determinism rules (same as the rest of the catalog): every ratio/score is
+quantized to an e6 integer before compare/threshold; double summations
+fold in an explicitly sorted order (F.aggregate over a sorted array —
+hash-agg sum order is engine-dependent); ties rank by natural keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t
+
+QUERIES_EXT3: dict = {}
+ORACLE_EXT3: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk — BM25 ranked retrieval (k1=1.2, b=0.75)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "table")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for a fixed 3-term query.
+
+    Plan shape (the 100 TB story):
+      - one tokenize pass computes doc length AND the per-(doc, term)
+        tf for query terms only (the isin filter prunes the explode
+        before the shuffle — candidate rows, not the whole posting list);
+      - corpus stats (N, avgdl) and per-term df are 1-row / n-term
+        aggregates, broadcast into the scoring join;
+      - per-doc score folds term contributions in sorted-term order
+        (F.aggregate over sort_array) so the double sum is
+        order-deterministic in any engine;
+      - top-k is orderBy+limit -> TakeOrderedAndProject (per-partition
+        partial top-k, no global sort shuffle).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    docs = d.select("doc_id", toks.alias("toks")) \
+            .select("doc_id", F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term")) \
+            .localCheckpoint()  # tokenize once for tf, dl, and stats
+
+    stats = docs.groupBy("doc_id").agg(F.first("dl").alias("dl")) \
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    tf = (docs.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0)
+                  + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5))))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (1 + _BM25_K1))
+            / (F.col("tf") + _BM25_K1 * (1 - _BM25_B
+                                         + _BM25_B * F.col("dl")
+                                         / F.col("avgdl")))))
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "c")))
+             .alias("cs"))
+        .select(
+            "doc_id",
+            F.round(F.aggregate(
+                F.col("cs"), F.lit(0.0),
+                lambda acc, s: acc + s["c"]) * 1e6).cast("bigint")
+            .alias("score_e6")))
+    return (scored
+            .orderBy(F.col("score_e6").desc(), "doc_id")
+            .limit(_BM25_K))
+
+
+ORACLE_BM25 = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+), docs AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM docs GROUP BY doc_id)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM docs WHERE term IN {tuple(_BM25_TERMS)}
+  GROUP BY doc_id, term
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * (1 + {_BM25_K1}))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                    + {_BM25_B} * tf.dl / s.avgdl)) AS c
+  FROM tf JOIN df_t d USING (term) CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id,
+         CAST(round(list_reduce(
+             list_prepend(0.0, list(c ORDER BY term)),
+             (acc, v) -> acc + v) * 1e6) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score_e6 FROM scored
+ORDER BY score_e6 DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_overlap — eval-set n-gram contamination
+# ---------------------------------------------------------------------------
+
+# Real pipelines use 8-13-gram overlap; the synthetic corpus draws from a
+# ~40-word vocabulary, where an exact 8-gram match between independent
+# docs is vanishingly rare — 4-grams + a 1-in-25 eval slice make the
+# operator's output non-trivial at test SF (27 flagged docs at sf0.01)
+# while keeping the identical plan shape.
+_DECON_N = 4           # shingle width (words)
+_DECON_EVAL_MOD = 25   # doc_id % 25 == 0 -> "held-out eval set"
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents sharing any {n}-gram with the eval set.
+
+    The eval set here is the deterministic doc_id % 97 == 0 slice (a real
+    pipeline reads the benchmark corpus instead). Both sides shingle into
+    md5(ngram) keys; a semi-ish join + count gives per-doc overlap. The
+    eval side is DISTINCT shingles and broadcast — eval sets are tiny
+    next to a 100 TB training corpus, so contamination never shuffles
+    the corpus: one scan, map-side join, partial-agg count.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (_DECON_N - 1)),
+        lambda i: F.md5(F.array_join(F.slice("toks", i, _DECON_N), " ")))
+    shingled = (d.select("doc_id", toks.alias("toks"))
+                .filter(F.size("toks") >= _DECON_N)
+                .select("doc_id", F.explode(grams).alias("g")))
+    ev = (shingled.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+          .select("g").distinct())
+    corpus = shingled.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return (corpus.join(F.broadcast(ev), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("n_overlap"))
+            .select("doc_id", "n_overlap"))
+
+
+ORACLE_DECON = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, len(toks) - {_DECON_N - 1}),
+             i -> md5(array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))) AS g
+  FROM tok WHERE len(toks) >= {_DECON_N}
+), ev AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0
+), corpus AS (
+  SELECT * FROM sh WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+)
+SELECT doc_id, count(DISTINCT corpus.g) AS n_overlap
+FROM corpus JOIN ev USING (g)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_repetition — Gopher-style repetition fractions
+# ---------------------------------------------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher Table A1 family):
+      top_bigram_frac_e6 — occurrences of the most frequent word bigram
+                           over total bigrams
+      dup_5gram_frac_e6  — fraction of 5-gram occurrences that are
+                           duplicates (1 - distinct/total)
+
+    The 5-gram fraction is a pure column expression (array_distinct —
+    no shuffle at all); the bigram mode needs a per-(doc, gram) count →
+    two partial-agg shuffles on narrow keys. Ratios of exact ints,
+    quantized e6.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    grams5 = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.array_join(F.slice("toks", i, 5), " "))
+    base = (d.select("doc_id", toks.alias("toks"))
+            .select(
+                "doc_id", "toks",
+                F.when(F.size("toks") >= 5,
+                       F.round((1 - F.size(F.array_distinct(grams5))
+                                / F.size(grams5)) * 1e6).cast("bigint"))
+                .alias("dup_5gram_frac_e6"))
+            # both output branches (per-doc fractions, bigram explode)
+            # consume base: materialize so the corpus is tokenized once
+            .localCheckpoint())
+    bigrams = base.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1)))).alias("bg"))
+    top = (bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+           .groupBy("doc_id")
+           .agg(F.max("n").alias("top_n"), F.sum("n").alias("total_n"))
+           .select("doc_id",
+                   F.round(F.col("top_n") / F.col("total_n") * 1e6)
+                   .cast("bigint").alias("top_bigram_frac_e6")))
+    return (base.select("doc_id", "dup_5gram_frac_e6")
+            .join(top, "doc_id", "left")
+            .select("doc_id", "top_bigram_frac_e6", "dup_5gram_frac_e6"))
+
+
+ORACLE_REPETITION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           CAST(round((1 - len(list_distinct(list_transform(
+                  generate_series(1, len(toks) - 4),
+                  i -> array_to_string(toks[i:i+4], ' '))))
+                / CAST(len(toks) - 4 AS DOUBLE)) * 1e6) AS BIGINT)
+         END AS dup_5gram_frac_e6,
+         toks
+  FROM tok
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM base
+), counts AS (
+  SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg
+), top AS (
+  SELECT doc_id,
+         CAST(round(max(n) / CAST(sum(n) AS DOUBLE) * 1e6) AS BIGINT)
+           AS top_bigram_frac_e6
+  FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id, t.top_bigram_frac_e6, b.dup_5gram_frac_e6
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+QUERIES_EXT3.update({
+    "bm25_topk": q_bm25_topk,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "text_repetition": q_text_repetition,
+})
+
+ORACLE_EXT3.update({
+    "bm25_topk": ORACLE_BM25,
+    "decontaminate_overlap": ORACLE_DECON,
+    "text_repetition": ORACLE_REPETITION,
+})
