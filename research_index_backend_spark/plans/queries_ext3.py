@@ -3,6 +3,7 @@
   bm25_topk              BM25 ranked retrieval for a term query (IR / RAG)
   decontaminate_overlap  eval-set n-gram contamination flags
   text_repetition        Gopher-style repetition signals per document
+  range_banded_join      value-in-range lookup as a banded equi-join
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -280,14 +281,87 @@ FROM base b LEFT JOIN top t USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# range_banded_join — interval lookup as a banded equi-join
+# ---------------------------------------------------------------------------
+
+_BAND_W = 5000           # band width
+_BAND_STEP = 50          # interval k: [k^2*50, (k+1)^2*50) — irregular widths
+_BAND_K = 100
+
+
+def q_range_banded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per irregular price interval, joined by BANDING — the
+    scale pattern for value-in-range lookups (IP-geo tables, tax
+    brackets, sensor calibration ranges).
+
+    A naive `fact JOIN dim ON x >= lo AND x < hi` is a nested-loop scan
+    of every interval per row — O(|F|·|D|), catastrophic when the dim is
+    a million IP ranges. Banding converts it to an equi-join: both sides
+    map to fixed-width bands, the dim EXPLODES each interval into every
+    band it covers, the join runs on the band key, and the exact
+    range predicate applies as a residual filter. Cost drops to
+    O(|F| + |D|·spread); the join is a plain hash join that shuffles (or
+    broadcasts) on a narrow int key, and AQE can split skewed bands.
+
+    The interval dim here is generated (k² steps → widths grow, so
+    intervals genuinely span multiple bands); a real pipeline reads it.
+    """
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("k")
+    dim = (spark.range(_BAND_K).select(F.col("id").alias("k"))
+           .select(
+               k.alias("band_id"),
+               (k * k * _BAND_STEP).cast("double").alias("lo"),
+               ((k + 1) * (k + 1) * _BAND_STEP).cast("double").alias("hi")))
+    # explode each interval into the fixed-width bands it covers
+    dim_banded = dim.select(
+        "band_id", "lo", "hi",
+        F.explode(F.sequence(
+            F.floor(F.col("lo") / _BAND_W),
+            F.floor((F.col("hi") - 1) / _BAND_W))).alias("band"))
+    fact = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.floor(F.col("o_totalprice").cast("double") / _BAND_W)
+        .alias("band"))
+    joined = (fact.join(F.broadcast(dim_banded), "band")
+              .filter((F.col("price") >= F.col("lo"))
+                      & (F.col("price") < F.col("hi"))))
+    # exact decimal sum (order-insensitive), double only at the output edge
+    return (joined.groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price_d").cast("double").alias("sum_price"))
+            .select("band_id", "n_orders", "sum_price"))
+
+
+ORACLE_RANGE_BANDED = f"""
+WITH dim AS (
+  SELECT k AS band_id,
+         CAST(k * k * {_BAND_STEP} AS DOUBLE) AS lo,
+         CAST((k + 1) * (k + 1) * {_BAND_STEP} AS DOUBLE) AS hi
+  FROM generate_series(0, {_BAND_K - 1}) t(k)
+)
+SELECT d.band_id, count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders o JOIN dim d
+  ON CAST(o.o_totalprice AS DOUBLE) >= d.lo
+ AND CAST(o.o_totalprice AS DOUBLE) < d.hi
+GROUP BY d.band_id
+"""
+
+
 QUERIES_EXT3.update({
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
+    "range_banded_join": q_range_banded_join,
 })
 
 ORACLE_EXT3.update({
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
+    "range_banded_join": ORACLE_RANGE_BANDED,
 })

@@ -35,6 +35,16 @@ class TestPlanShapes:
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
 
+    def test_range_join_is_equi_not_nested_loop(self, spark):
+        """Banding must turn the interval predicate into a hash equi-join
+        on the band key — a BroadcastNestedLoopJoin means every interval
+        is scanned per row (the O(|F|*|D|) shape banding exists to
+        avoid)."""
+        p = plan_of(Q3.q_range_banded_join(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "band" in p
+
     def test_text_repetition_tokenizes_once(self, spark):
         """Both repetition signals read one materialized tokenization —
         the raw corpus is scanned once, not once per signal."""
