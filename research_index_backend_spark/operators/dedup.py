@@ -184,6 +184,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                              n_bits: int = 4,
                              bucket_fn=None,
                              max_bucket_size: int | None = None,
+                             max_bucket_denom: int | None = None,
                              n_tables: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim_e6) for
     same-LSH-bucket pairs whose cosine similarity >= threshold.
@@ -200,6 +201,15 @@ def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
     direction — is a quadratic blob that melts the task owning it at
     100 TB. Buckets above the cap are excluded from pairing (an over-full
     bucket is a non-discriminative hash region, not a dup cluster).
+
+    max_bucket_denom makes the cap CORPUS-RELATIVE: effective cap =
+    greatest(max_bucket_size, corpus_count div denom), computed in-plan
+    (1-row aggregate broadcast into the bucket filter — no driver
+    action). A fixed absolute cap mis-scales: with 2^bits buckets, the
+    average bucket holds N/2^bits rows, so any constant eventually
+    excludes EVERY bucket as N grows (observed: cap=100 at sf0.1 left
+    zero candidates). "A bucket holding more than 1/denom of the corpus
+    is non-discriminative" scales with the data.
 
     n_tables > 1 is the recall knob that pays back what bucketing and the
     cap cost: L INDEPENDENT hyperplane families (plane_offset = t*n_bits)
@@ -231,10 +241,19 @@ def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                                 F.explode(tbl).alias("tb"))
                   .select("id", "vec", F.col("tb.table").alias("table"),
                           F.col("tb.bucket").alias("bucket")))
-    if max_bucket_size is not None:
-        ok = (tagged.groupBy("table", "bucket")
-              .agg(F.count(F.lit(1)).alias("__n"))
-              .filter(F.col("__n") <= max_bucket_size)
+    if max_bucket_size is not None or max_bucket_denom is not None:
+        cap = F.lit(max_bucket_size if max_bucket_size is not None else 0)
+        counts = (tagged.groupBy("table", "bucket")
+                  .agg(F.count(F.lit(1)).alias("__n")))
+        if max_bucket_denom is not None:
+            # corpus size per table == corpus size (every id lands in
+            # exactly one bucket per table)
+            total = corpus.agg(
+                F.count(F.lit(1)).alias("__total"))
+            counts = counts.crossJoin(F.broadcast(total))
+            cap = F.greatest(
+                cap, F.floor(F.col("__total") / max_bucket_denom))
+        ok = (counts.filter(F.col("__n") <= cap)
               .select("table", "bucket"))
         # both self-join sides read the capped table — materialize once
         # instead of re-bucketing the corpus per consumer

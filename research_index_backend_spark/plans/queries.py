@@ -850,13 +850,16 @@ def q_dedup_embedding(spark, sf_dir):
     quantized to e6 BEFORE thresholding (bit-stable membership across
     engines). The synthetic embeddings are near-orthogonal (max cosine
     ~0.45), so the threshold sits at 0.30 to exercise the plan.
-    max_bucket_size=100 keeps the hot-bucket guard ACTIVE (mirrored in
-    the oracle's HAVING): one degenerate bucket must never go quadratic
-    at scale."""
+    The hot-bucket guard is ACTIVE and corpus-relative (mirrored in the
+    oracle's HAVING): cap = greatest(100, N div 4). A fixed cap
+    mis-scales — with 16 buckets the average bucket holds N/16, so any
+    constant eventually excludes every bucket (cap=100 at sf0.1 left
+    zero candidates and the bench measured pure overhead)."""
     from ..operators.dedup import embedding_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4,
-                                    max_bucket_size=100)
+                                    max_bucket_size=100,
+                                    max_bucket_denom=4)
 
 
 # the cosine is spelled out as a DOUBLE left-fold (not DuckDB's
@@ -879,7 +882,8 @@ WITH bucketed AS (
        + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
   FROM embeddings
 ),
-ok AS (SELECT bucket FROM bucketed GROUP BY bucket HAVING count(*) <= 100),
+ok AS (SELECT bucket FROM bucketed GROUP BY bucket
+       HAVING count(*) <= greatest(100, (SELECT count(*) FROM embeddings) // 4)),
 capped AS (SELECT b.* FROM bucketed b JOIN ok USING (bucket)),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1315,7 +1315,8 @@ def q_dedup_embedding_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4,
-                                    n_tables=2, max_bucket_size=100)
+                                    n_tables=2, max_bucket_size=100,
+                                    max_bucket_denom=4)
 
 
 def _hp_dot(plane: int) -> str:
@@ -1349,7 +1350,7 @@ WITH tagged AS (
   FROM embeddings
 ),
 ok AS (SELECT tbl, bucket FROM tagged GROUP BY 1, 2
-       HAVING count(*) <= 100),
+       HAVING count(*) <= greatest(100, (SELECT count(*) FROM embeddings) // 4)),
 capped AS (SELECT t.* FROM tagged t JOIN ok USING (tbl, bucket)),
 pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -102,6 +102,30 @@ class TestDedup:
         got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
         assert got == {(100, 101)}  # hot bucket gone, cold pair survives
 
+    def test_embedding_cap_corpus_relative(self, spark):
+        """max_bucket_denom scales the cap with the corpus: cap =
+        greatest(max_bucket_size, N div denom). With 22 vectors and
+        denom=2 the cap is 11 -> the 20-member bucket is still excluded;
+        with denom=1 the cap is 22 -> everything pairs (a fixed absolute
+        cap would exclude every bucket as N grows)."""
+        from research_index_backend_spark.operators.dedup import (
+            embedding_near_dup_pairs)
+        hot = [(i, [1.0, 1.0, 1.0, 1.0, float(i) * 1e-3])
+               for i in range(20)]
+        cold = [(100, [-1.0, -1.0, -1.0, -1.0, 0.5]),
+                (101, [-1.0, -1.0, -1.0, -1.0, 0.6])]
+        emb = spark.createDataFrame(hot + cold,
+                                    "vec_id long, embedding array<double>")
+        still_capped = embedding_near_dup_pairs(
+            emb, threshold_e6=900_000, n_bits=4,
+            max_bucket_size=1, max_bucket_denom=2)
+        got = {(r["id_a"], r["id_b"]) for r in still_capped.collect()}
+        assert got == {(100, 101)}
+        relaxed = embedding_near_dup_pairs(
+            emb, threshold_e6=900_000, n_bits=4,
+            max_bucket_size=1, max_bucket_denom=1)
+        assert relaxed.count() == 190 + 1
+
     def test_embedding_multi_table_recall_superset(self, spark):
         """L=2 hyperplane tables return a SUPERSET of either single
         table's pairs, with no duplicate (id_a, id_b) rows."""
