@@ -4,6 +4,7 @@
   decontaminate_overlap  eval-set n-gram contamination flags
   text_repetition        Gopher-style repetition signals per document
   range_banded_join      value-in-range lookup as a banded equi-join
+  listagg_report         ordered string aggregation (LISTAGG twin)
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -352,7 +353,39 @@ GROUP BY d.band_id
 """
 
 
+# ---------------------------------------------------------------------------
+# listagg_report — ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_listagg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation sorted distinct market segments as one delimited string
+    (LISTAGG / string_agg). Determinism rule for ANY engine: an unordered
+    string_agg is nondeterministic under parallel aggregation, so the
+    elements are collected as a set and sorted before joining —
+    collect_set + sort_array + array_join, all codegen; the agg shuffles
+    once on the (tiny) nation key with map-side partials."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    return (c.join(F.broadcast(n),
+                   c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), "|")
+                .alias("segments")))
+
+
+ORACLE_LISTAGG = """
+SELECT n_name,
+       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+         AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES_EXT3.update({
+    "listagg_report": q_listagg_report,
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
@@ -360,6 +393,7 @@ QUERIES_EXT3.update({
 })
 
 ORACLE_EXT3.update({
+    "listagg_report": ORACLE_LISTAGG,
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
