@@ -63,7 +63,7 @@ _VERIFY_FIRST = (
     "bool_agg_report", "date_functions", "full_outer_merge",
     "frame_functions", "dedup_embedding_multi", "sequence_pack_sharded",
     "bm25_topk", "decontaminate_overlap", "text_repetition",
-    "range_banded_join", "listagg_report",
+    "range_banded_join", "listagg_report", "rerank_topk",
 )
 
 

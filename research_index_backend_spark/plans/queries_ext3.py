@@ -5,6 +5,7 @@
   text_repetition        Gopher-style repetition signals per document
   range_banded_join      value-in-range lookup as a banded equi-join
   listagg_report         ordered string aggregation (LISTAGG twin)
+  rerank_topk            retrieve-then-rerank (BM25 -> Jaccard rescore)
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -354,6 +355,67 @@ GROUP BY d.band_id
 
 
 # ---------------------------------------------------------------------------
+# rerank_topk — retrieve-then-rerank (the RAG second stage)
+# ---------------------------------------------------------------------------
+
+
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-rank the BM25 candidate set by a second scorer — the standard
+    two-stage retrieval shape (cheap recall stage -> expensive precision
+    stage over k candidates, not the corpus).
+
+    The default scorer is deterministic lexical Jaccard between the
+    query terms and the candidate's distinct tokens, so the whole stage
+    is oracle-checkable; a production cross-encoder drops into the same
+    position as a batched pandas-UDF scorer (operators/nlp.py pattern) —
+    it only ever sees k rows per query, which is why rerank cost does
+    not scale with the corpus.
+
+    Plan: the k-row candidate set BROADCASTS into the join against the
+    corpus (scoring re-reads only matching docs via the join filter);
+    ordering ties break on doc_id.
+    """
+    cand = q_bm25_topk(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+    qarr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    scored = (d.join(F.broadcast(cand), "doc_id")
+              .select(
+                  "doc_id", "score_e6",
+                  F.round(
+                      F.size(F.array_intersect(toks, qarr))
+                      / F.size(F.array_union(toks, qarr)) * 1e6)
+                  .cast("bigint").alias("jaccard_e6")))
+    return (scored
+            .orderBy(F.col("jaccard_e6").desc(),
+                     F.col("score_e6").desc(), "doc_id")
+            .limit(_BM25_K)
+            .select("doc_id", "jaccard_e6", "score_e6"))
+
+
+def _oracle_rerank() -> str:
+    return rf"""
+WITH bm AS ({ORACLE_BM25}),
+tok AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+             string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+), q AS (SELECT {list(_BM25_TERMS)!r}::VARCHAR[] AS qt)
+SELECT bm.doc_id,
+       CAST(round(
+           len(list_intersect(tok.toks, q.qt))
+           / CAST(len(list_distinct(list_concat(tok.toks, q.qt)))
+                  AS DOUBLE) * 1e6) AS BIGINT) AS jaccard_e6,
+       bm.score_e6
+FROM bm JOIN tok USING (doc_id) CROSS JOIN q
+ORDER BY jaccard_e6 DESC, score_e6 DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # listagg_report — ordered string aggregation
 # ---------------------------------------------------------------------------
 
@@ -386,6 +448,7 @@ GROUP BY n_name
 
 QUERIES_EXT3.update({
     "listagg_report": q_listagg_report,
+    "rerank_topk": q_rerank_topk,
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
@@ -394,6 +457,7 @@ QUERIES_EXT3.update({
 
 ORACLE_EXT3.update({
     "listagg_report": ORACLE_LISTAGG,
+    "rerank_topk": _oracle_rerank(),
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
