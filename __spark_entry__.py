@@ -64,6 +64,7 @@ _VERIFY_FIRST = (
     "frame_functions", "dedup_embedding_multi", "sequence_pack_sharded",
     "bm25_topk", "decontaminate_overlap", "text_repetition",
     "range_banded_join", "listagg_report", "rerank_topk",
+    "graph_triangles", "weighted_sample",
 )
 
 

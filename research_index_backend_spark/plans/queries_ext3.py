@@ -6,6 +6,8 @@
   range_banded_join      value-in-range lookup as a banded equi-join
   listagg_report         ordered string aggregation (LISTAGG twin)
   rerank_topk            retrieve-then-rerank (BM25 -> Jaccard rescore)
+  graph_triangles        degree-oriented triangle count of the dup graph
+  weighted_sample        deterministic A-ES weighted sampling
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -355,6 +357,124 @@ GROUP BY d.band_id
 
 
 # ---------------------------------------------------------------------------
+# graph_triangles — degree-oriented triangle counting
+# ---------------------------------------------------------------------------
+
+_PI_SHIFT = 2 ** 33   # π-key = deg * 2^33 + id: total order by (deg, id)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-dup candidate graph (LSH pair edges) —
+    the standard motif census for dup-cluster density.
+
+    Scale-correct algorithm (degree orientation): orient every edge from
+    the (degree, id)-smaller endpoint to the larger, so each triangle is
+    counted exactly once at its π-smallest vertex and — the point — the
+    wedge join fans out per OUT-degree, which orientation bounds at
+    O(sqrt(m)) for any graph. The naive id-ordered wedge join explodes
+    on hubs (a degree-d hub contributes d²/2 wedges); orienting by
+    degree moves hub wedges onto low-degree endpoints. Joins: two hash
+    joins on narrow int keys + one closing equi-join on (v, w).
+    """
+    from .queries import q_dedup_lsh_pairs
+    e = q_dedup_lsh_pairs(spark, sf_dir)
+    nodes = e.select(F.col("id_a").alias("id")) \
+             .unionAll(e.select(F.col("id_b").alias("id")))
+    deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    pk = (F.col("deg") * F.lit(_PI_SHIFT) + F.col("id")).alias("pk")
+    k = deg.select("id", pk)
+    ed = (e.join(k.select(F.col("id").alias("id_a"),
+                          F.col("pk").alias("ka")), "id_a")
+          .join(k.select(F.col("id").alias("id_b"),
+                         F.col("pk").alias("kb")), "id_b"))
+    a_first = F.col("ka") < F.col("kb")
+    o = ed.select(
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        F.when(a_first, F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+    ).localCheckpoint()  # wedge join + closing join both consume it
+    o1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                  F.col("kdst").alias("kv"))
+    o2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                  F.col("kdst").alias("kw"))
+    wedges = o1.join(o2, "u").filter(F.col("kv") < F.col("kw"))
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return (wedges.join(closing, ["v", "w"])
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def _oracle_triangles() -> str:
+    from .queries import ORACLE_LSH
+    return f"""
+WITH e AS ({ORACLE_LSH}),
+nodes AS (SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e),
+deg AS (SELECT id, count(*) AS deg FROM nodes GROUP BY id),
+k AS (SELECT id, deg * {_PI_SHIFT} + id AS pk FROM deg),
+o AS (
+  SELECT CASE WHEN ka.pk < kb.pk THEN e.id_a ELSE e.id_b END AS src,
+         CASE WHEN ka.pk < kb.pk THEN e.id_b ELSE e.id_a END AS dst,
+         CASE WHEN ka.pk < kb.pk THEN kb.pk ELSE ka.pk END AS kdst
+  FROM e JOIN k ka ON ka.id = e.id_a JOIN k kb ON kb.id = e.id_b
+),
+w AS (
+  SELECT o1.dst AS v, o2.dst AS w
+  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.kdst < o2.kdst
+)
+SELECT count(*) AS n_triangles
+FROM w JOIN o ON o.src = w.v AND o.dst = w.w
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — deterministic weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of 50 documents, weight = token
+    count — the quality/length-weighted subsampling step of a training
+    mix. Efraimidis–Spirakis A-ES: key = u^(1/w) with u uniform in
+    (0,1]; the top-k keys ARE a weighted sample without replacement.
+    u comes from md5(doc_id) (first 13 hex digits → 52 uniform bits), so
+    the sample is partitioning-invariant and reproducible in any engine
+    — no RNG state, no driver coordination; top-k is
+    TakeOrderedAndProject. Comparing ln(u)/w (monotone in u^(1/w))
+    avoids pow() library differences across engines."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                            lambda t: t != ""))
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(16 ** 13)))
+    base = d.select("doc_id", n_tok.alias("n_tokens"),
+                    u.alias("u")).filter(F.col("n_tokens") > 0)
+    key = F.log(F.col("u")) / F.col("n_tokens")
+    return (base.select("doc_id", "n_tokens",
+                        F.round(key * 1e9).cast("bigint").alias("key_e9"))
+            .orderBy(F.col("key_e9").desc(), "doc_id")
+            .limit(_WS_K))
+
+
+ORACLE_WEIGHTED_SAMPLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '')) AS n_tokens,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+               AS UBIGINT) + 1.0) / {float(16 ** 13)} AS u
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(round(ln(u) / n_tokens * 1e9) AS BIGINT) AS key_e9
+FROM base WHERE n_tokens > 0
+ORDER BY key_e9 DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # rerank_topk — retrieve-then-rerank (the RAG second stage)
 # ---------------------------------------------------------------------------
 
@@ -449,6 +569,8 @@ GROUP BY n_name
 QUERIES_EXT3.update({
     "listagg_report": q_listagg_report,
     "rerank_topk": q_rerank_topk,
+    "graph_triangles": q_graph_triangles,
+    "weighted_sample": q_weighted_sample,
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
@@ -458,6 +580,8 @@ QUERIES_EXT3.update({
 ORACLE_EXT3.update({
     "listagg_report": ORACLE_LISTAGG,
     "rerank_topk": _oracle_rerank(),
+    "graph_triangles": _oracle_triangles(),
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
