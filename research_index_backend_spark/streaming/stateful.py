@@ -84,6 +84,26 @@ def stateful_dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def watermark_dedup_stream(events: DataFrame,
+                           key_cols: tuple[str, ...] = ("user_id",
+                                                        "event_id"),
+                           ts_col: str = "ts",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Native bounded-state streaming dedup: dropDuplicatesWithinWatermark.
+
+    The applyInPandasWithState dedup above keeps state FOREVER (exact,
+    unbounded keys); this is the built-in complement for the common case
+    where duplicates only ever arrive within a bounded lateness window
+    (at-least-once sources, retried producers): state is evicted once an
+    event's timestamp falls behind the watermark, so state size is
+    bounded by (keys per watermark window), not stream lifetime — the
+    right default for a 100 TB/day ingest where exact forever-dedup
+    belongs to the batch keyed upsert downstream.
+    """
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 # ---------------------------------------------------------------------------
 # Streaming funnel: per-key ordered-step state machine
 # ---------------------------------------------------------------------------
