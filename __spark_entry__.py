@@ -64,7 +64,8 @@ _VERIFY_FIRST = (
     "frame_functions", "dedup_embedding_multi", "sequence_pack_sharded",
     "bm25_topk", "decontaminate_overlap", "text_repetition",
     "range_banded_join", "listagg_report", "rerank_topk",
-    "graph_triangles", "weighted_sample",
+    "graph_triangles", "weighted_sample", "lm_quality_score",
+    "minhash_estimate",
 )
 
 

@@ -298,7 +298,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       k: int = 8, bands: int = 4,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      sig: DataFrame | None = None) -> DataFrame:
     """LSH banding over MinHash signatures: k hashes split into `bands`
     bands of k/bands rows; docs sharing any band bucket become a candidate
     pair. Returns distinct (id_a, id_b) candidates — verify with
@@ -314,7 +315,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k=k)
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, k=k)
+    # callers that also consume the signatures downstream (e.g. the
+    # signature-space Jaccard estimator) pass a materialized sig to avoid
+    # recomputing the tokenize+min-agg per consumer
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -8,6 +8,8 @@
   rerank_topk            retrieve-then-rerank (BM25 -> Jaccard rescore)
   graph_triangles        degree-oriented triangle count of the dup graph
   weighted_sample        deterministic A-ES weighted sampling
+  lm_quality_score       self-trained char-bigram LM perplexity proxy
+  minhash_estimate       Jaccard estimates from MinHash signatures
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -475,6 +477,141 @@ LIMIT {_WS_K}
 
 
 # ---------------------------------------------------------------------------
+# lm_quality_score — corpus char-bigram LM as a perplexity proxy
+# ---------------------------------------------------------------------------
+
+
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean char-bigram log-probability under a model
+    estimated from the corpus itself — the CCNet-style "LM perplexity"
+    quality signal with the LM replaced by a self-trained bigram table
+    (no external model, fully oracle-checkable).
+
+    Plan: one pass explodes (prev, cur) char bigrams, immediately
+    reduced to integer counts per (doc, prev, cur) — the only data that
+    leaves the map side. The probability table P(cur|prev) =
+    c(prev,cur)/c(prev,*) is a grouped count — small (alphabet²) and
+    BROADCAST into the scoring join. The per-doc mean folds
+    n(p,c)·logp(p,c) over DISTINCT bigram types in (prev, cur) order
+    (sorted fold: a hash-agg double sum is order-nondeterministic across
+    engines; folding weighted type contributions also shrinks the fold
+    from one element per character to one per distinct bigram).
+    Degenerate docs (< 2 chars) drop out, matching the oracle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower("text")
+    big = (d.select("doc_id", t.alias("t"))
+           .filter(F.length("t") >= 2)
+           .select("doc_id",
+                   F.explode(F.sequence(
+                       F.lit(1), F.length("t") - 1)).alias("pos"),
+                   F.col("t"))
+           .select("doc_id",
+                   F.col("t").substr(F.col("pos"), F.lit(1)).alias("prev"),
+                   F.col("t").substr(F.col("pos") + 1, F.lit(1))
+                   .alias("cur"))
+           .groupBy("doc_id", "prev", "cur")
+           .agg(F.count(F.lit(1)).alias("n_pc"))
+           .localCheckpoint())  # feeds the prob table AND the scoring join
+    probs = (big.groupBy("prev", "cur")
+             .agg(F.sum("n_pc").alias("c_pc")))
+    prev_tot = probs.groupBy("prev").agg(F.sum("c_pc").alias("c_p"))
+    ptable = (probs.join(F.broadcast(prev_tot), "prev")
+              .select("prev", "cur",
+                      F.log(F.col("c_pc") / F.col("c_p")).alias("logp")))
+    scored = big.join(F.broadcast(ptable), ["prev", "cur"])
+    return (scored.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                "prev", "cur", (F.col("n_pc") * F.col("logp")).alias("w"))))
+                 .alias("ps"),
+                 F.sum("n_pc").alias("n"))
+            .select("doc_id",
+                    F.round(F.aggregate(
+                        F.col("ps"), F.lit(0.0),
+                        lambda acc, s: acc + s["w"])
+                        / F.col("n") * 1e6).cast("bigint")
+                    .alias("mean_logp_e6")))
+
+
+ORACLE_LM_QUALITY = """
+WITH chars AS (
+  SELECT doc_id,
+         substr(lower(text), pos, 1) AS prev,
+         substr(lower(text), pos + 1, 1) AS cur
+  FROM documents, LATERAL unnest(generate_series(1, len(lower(text)) - 1))
+       AS u(pos)
+  WHERE len(text) >= 2
+), big AS (
+  SELECT doc_id, prev, cur, count(*) AS n_pc
+  FROM chars GROUP BY doc_id, prev, cur
+), probs AS (
+  SELECT prev, cur, sum(n_pc) AS c_pc FROM big GROUP BY prev, cur
+), prev_tot AS (
+  SELECT prev, sum(c_pc) AS c_p FROM probs GROUP BY prev
+), ptable AS (
+  SELECT probs.prev, probs.cur, ln(c_pc / CAST(c_p AS DOUBLE)) AS logp
+  FROM probs JOIN prev_tot USING (prev)
+)
+SELECT b.doc_id,
+       CAST(round(list_reduce(
+           list_prepend(0.0, list(b.n_pc * p.logp ORDER BY b.prev, b.cur)),
+           (acc, v) -> acc + v) / sum(b.n_pc) * 1e6) AS BIGINT)
+         AS mean_logp_e6
+FROM big b JOIN ptable p ON b.prev = p.prev AND b.cur = p.cur
+GROUP BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_jaccard_estimate — signature-space similarity estimation
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ESTIMATES from MinHash signatures for the LSH candidate
+    pairs: est = |{i : mh_i(a) = mh_i(b)}| / k. This is the cheap
+    verify stage — comparing k hashes per pair instead of re-tokenizing
+    two documents — and the reason MinHash pipelines scale: the exact
+    Jaccard join (dedup_jaccard) touches the token inverted index, this
+    touches 2k strings per candidate. Integer-exact (match count over
+    k), so cross-engine determinism is free.
+    """
+    from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
+    d = _t(spark, sf_dir, "documents")
+    # one signature computation feeds banding AND both join sides
+    sig = minhash_signatures(d, "text", "doc_id", k=4).localCheckpoint()
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=4, bands=2,
+                              max_bucket_size=64, sig=sig)
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(4)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(4)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(4))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    (matches * 250_000).cast("bigint")
+                    .alias("jaccard_est_e6")))
+
+
+def _oracle_minhash_estimate() -> str:
+    from .queries import ORACLE_LSH, _oracle_minhash_cte
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(4))
+    return f"""
+WITH pairs AS ({ORACLE_LSH}),
+sig2 AS ({_oracle_minhash_cte(4)} SELECT * FROM sig)
+SELECT p.id_a, p.id_b,
+       CAST(({match_sum}) * 250000 AS BIGINT) AS jaccard_est_e6
+FROM pairs p
+JOIN sig2 sa ON sa.id = p.id_a
+JOIN sig2 sb ON sb.id = p.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # rerank_topk — retrieve-then-rerank (the RAG second stage)
 # ---------------------------------------------------------------------------
 
@@ -571,6 +708,8 @@ QUERIES_EXT3.update({
     "rerank_topk": q_rerank_topk,
     "graph_triangles": q_graph_triangles,
     "weighted_sample": q_weighted_sample,
+    "lm_quality_score": q_lm_quality_score,
+    "minhash_estimate": q_minhash_estimate,
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
@@ -582,6 +721,8 @@ ORACLE_EXT3.update({
     "rerank_topk": _oracle_rerank(),
     "graph_triangles": _oracle_triangles(),
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "lm_quality_score": ORACLE_LM_QUALITY,
+    "minhash_estimate": _oracle_minhash_estimate(),
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
