@@ -83,6 +83,21 @@ def _require_decoder(decoder):
             "decoder callable (e.g. PIL/libav-backed) to run real decode")
 
 
+def deterministic_fake_decoder(payload: bytes) -> dict:
+    """Codec-free stand-in decoder: all features are exact integer /
+    dyadic-rational functions of the byte length, so a pipeline wired
+    through the REAL mapInPandas path can be verified against a SQL
+    oracle bit-for-bit (mean_intensity divides by 4 — exact in binary
+    floating point, unlike /10)."""
+    n = len(payload)
+    return {
+        "width": n % 640 + 1,
+        "height": n % 480 + 1,
+        "n_channels": 3,
+        "mean_intensity": (n % 1021) / 4.0,
+    }
+
+
 def extract_features(df: DataFrame,
                      decoder: Callable[[bytes], dict] | None = None,
                      payload_col: str = "payload",

@@ -10,6 +10,7 @@
   weighted_sample        deterministic A-ES weighted sampling
   lm_quality_score       self-trained char-bigram LM perplexity proxy
   minhash_estimate       Jaccard estimates from MinHash signatures
+  media_features         mapInPandas feature extraction, oracle-verified
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -673,6 +674,39 @@ LIMIT {_BM25_K}
 
 
 # ---------------------------------------------------------------------------
+# media_features — the Arrow/mapInPandas path, oracle-verified
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads through the REAL
+    mapInPandas pipeline (operators/multimodal.extract_features) with the
+    deterministic codec-free decoder — the one catalog query that proves
+    the Python/Arrow batch path end-to-end against a SQL oracle (every
+    other query is JVM-only by design; real image/audio decoding swaps
+    in a PIL/libav decoder at the same injection point).
+    """
+    from ..operators.multimodal import (
+        deterministic_fake_decoder,
+        extract_features,
+    )
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "utf-8").alias("payload"))
+    return extract_features(media, decoder=deterministic_fake_decoder)
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       (octet_length(encode(text)) % 1021) / 4.0 AS mean_intensity
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # listagg_report — ordered string aggregation
 # ---------------------------------------------------------------------------
 
@@ -710,6 +744,7 @@ QUERIES_EXT3.update({
     "weighted_sample": q_weighted_sample,
     "lm_quality_score": q_lm_quality_score,
     "minhash_estimate": q_minhash_estimate,
+    "media_features": q_media_features,
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
@@ -723,6 +758,7 @@ ORACLE_EXT3.update({
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "lm_quality_score": ORACLE_LM_QUALITY,
     "minhash_estimate": _oracle_minhash_estimate(),
+    "media_features": ORACLE_MEDIA_FEATURES,
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
