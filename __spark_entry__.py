@@ -65,7 +65,7 @@ _VERIFY_FIRST = (
     "bm25_topk", "decontaminate_overlap", "text_repetition",
     "range_banded_join", "listagg_report", "rerank_topk",
     "graph_triangles", "weighted_sample", "lm_quality_score",
-    "minhash_estimate", "media_features",
+    "minhash_estimate", "media_features", "range_frame_window",
 )
 
 

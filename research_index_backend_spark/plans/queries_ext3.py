@@ -11,6 +11,7 @@
   lm_quality_score       self-trained char-bigram LM perplexity proxy
   minhash_estimate       Jaccard estimates from MinHash signatures
   media_features         mapInPandas feature extraction, oracle-verified
+  range_frame_window     per-event trailing-interval RANGE frame
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -707,6 +708,39 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# range_frame_window — per-event trailing interval aggregation
+# ---------------------------------------------------------------------------
+
+_RF_WINDOW_NS = 3_600 * 1_000_000_000   # trailing 1 hour in nanos
+
+
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour stats via a RANGE frame — the window shape
+    tumbling/sliding buckets can't express (every EVENT anchors its own
+    window, no bucket quantization). RANGE BETWEEN runs on the exact
+    int64 nanos ordering, identical in any engine; one shuffle on
+    user_id, sort within partition, single pass.
+    """
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts_ns")
+         .rangeBetween(-_RF_WINDOW_NS, 0))
+    return (e.select("user_id", "event_id", "ts_ns")
+            .withColumn("n_trailing_1h", F.count(F.lit(1)).over(w))
+            .select("user_id", "event_id", "n_trailing_1h"))
+
+
+ORACLE_RANGE_FRAME = f"""
+SELECT user_id, event_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_ns(ts)
+         RANGE BETWEEN {_RF_WINDOW_NS} PRECEDING AND CURRENT ROW)
+         AS n_trailing_1h
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # listagg_report — ordered string aggregation
 # ---------------------------------------------------------------------------
 
@@ -745,6 +779,7 @@ QUERIES_EXT3.update({
     "lm_quality_score": q_lm_quality_score,
     "minhash_estimate": q_minhash_estimate,
     "media_features": q_media_features,
+    "range_frame_window": q_range_frame_window,
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
@@ -759,6 +794,7 @@ ORACLE_EXT3.update({
     "lm_quality_score": ORACLE_LM_QUALITY,
     "minhash_estimate": _oracle_minhash_estimate(),
     "media_features": ORACLE_MEDIA_FEATURES,
+    "range_frame_window": ORACLE_RANGE_FRAME,
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
