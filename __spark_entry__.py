@@ -66,6 +66,7 @@ _VERIFY_FIRST = (
     "range_banded_join", "listagg_report", "rerank_topk",
     "graph_triangles", "weighted_sample", "lm_quality_score",
     "minhash_estimate", "media_features", "range_frame_window",
+    "pareto_frontier",
 )
 
 

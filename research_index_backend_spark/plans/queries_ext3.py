@@ -12,6 +12,7 @@
   minhash_estimate       Jaccard estimates from MinHash signatures
   media_features         mapInPandas feature extraction, oracle-verified
   range_frame_window     per-event trailing-interval RANGE frame
+  pareto_frontier        2-D skyline: O(n log n) plan vs quadratic oracle
 
 These extend the LLM-pipeline surface (SURVEY.md §2 extensions): BM25 is
 the lexical-retrieval baseline every RAG corpus needs next to the ANN
@@ -741,6 +742,65 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# pareto_frontier — 2-D skyline via sort + strict-suffix max
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of customers over (account balance,
+    order count): points not dominated in both dimensions.
+
+    The semantic definition is a quadratic NOT EXISTS self-join — that is
+    exactly what the ORACLE runs. The Spark plan is the O(n log n)
+    2-D skyline instead: collapse to max-y per x, then a single RANGE
+    frame over x (strictly-greater suffix, rangeBetween(1, ∞)) computes
+    the best y any higher-x point achieves; a point survives iff its y
+    strictly beats that. One shuffle + one sort; the hash-match against
+    the quadratic definition proves the rewrite. Balance is keyed in
+    exact integer cents — RANGE frames and dominance ties must not ride
+    on float equality.
+
+    Scale note: the global (unpartitioned) window runs on the COLLAPSED
+    per-x table — cardinality is the x-value domain, not the corpus, so
+    the single window partition is bounded (here: cents in a fixed
+    range). For an unbounded x-domain, band x, take per-band frontiers,
+    then frontier the band winners (same two-level move as
+    sequence_pack_sharded).
+    """
+    from pyspark.sql import Window
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 100).cast("bigint").alias("x"))
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey") \
+        .agg(F.count(F.lit(1)).alias("y"))
+    pts0 = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+            .select("x", F.coalesce("y", F.lit(0)).alias("y")))
+    pts = pts0.groupBy("x").agg(F.max("y").alias("y"))
+    w = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    return (pts.withColumn("best_higher_x", F.max("y").over(w))
+            .filter(F.col("best_higher_x").isNull()
+                    | (F.col("y") > F.col("best_higher_x")))
+            .select(F.col("x").alias("acctbal_cents"), F.col("y")
+                    .alias("n_orders")))
+
+
+ORACLE_PARETO = """
+WITH pts0 AS (
+  SELECT CAST(c_acctbal * 100 AS BIGINT) AS x,
+         coalesce(o.y, 0) AS y
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, count(*) AS y FROM orders
+             GROUP BY o_custkey) o ON o_custkey = c_custkey
+), pts AS (SELECT x, max(y) AS y FROM pts0 GROUP BY x)
+SELECT p.x AS acctbal_cents, p.y AS n_orders
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+"""
+
+
+# ---------------------------------------------------------------------------
 # listagg_report — ordered string aggregation
 # ---------------------------------------------------------------------------
 
@@ -780,6 +840,7 @@ QUERIES_EXT3.update({
     "minhash_estimate": q_minhash_estimate,
     "media_features": q_media_features,
     "range_frame_window": q_range_frame_window,
+    "pareto_frontier": q_pareto_frontier,
     "bm25_topk": q_bm25_topk,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_repetition": q_text_repetition,
@@ -795,6 +856,7 @@ ORACLE_EXT3.update({
     "minhash_estimate": _oracle_minhash_estimate(),
     "media_features": ORACLE_MEDIA_FEATURES,
     "range_frame_window": ORACLE_RANGE_FRAME,
+    "pareto_frontier": ORACLE_PARETO,
     "bm25_topk": ORACLE_BM25,
     "decontaminate_overlap": ORACLE_DECON,
     "text_repetition": ORACLE_REPETITION,
