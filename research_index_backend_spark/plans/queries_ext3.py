@@ -776,7 +776,13 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts0 = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
             .select("x", F.coalesce("y", F.lit(0)).alias("y")))
     pts = pts0.groupBy("x").agg(F.max("y").alias("y"))
-    w = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    # x is DISTINCT after the collapse, so "strictly higher x" == "all
+    # previous rows in x-descending order" — an O(n) running max. The
+    # direct rangeBetween(1, unboundedFollowing) frame is semantically
+    # identical but Spark's unbounded-FOLLOWING frame processor
+    # re-aggregates the suffix per row (measured 4.0s vs 0.6s at sf0.1).
+    w = (Window.orderBy(F.col("x").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
     return (pts.withColumn("best_higher_x", F.max("y").over(w))
             .filter(F.col("best_higher_x").isNull()
                     | (F.col("y") > F.col("best_higher_x")))
