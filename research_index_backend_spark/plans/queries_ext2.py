@@ -1148,7 +1148,7 @@ ORACLE_BOOL_AGG = """
 SELECT o_orderstatus AS status,
        bool_and(o_totalprice > 0) AS all_positive,
        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-       count_if(o_totalprice > 200000) AS n_big
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
 FROM orders GROUP BY 1
 """
 

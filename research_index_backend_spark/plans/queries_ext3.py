@@ -160,8 +160,8 @@ _DECON_EVAL_MOD = 25   # doc_id % 25 == 0 -> "held-out eval set"
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag training documents sharing any {n}-gram with the eval set.
 
-    The eval set here is the deterministic doc_id % 97 == 0 slice (a real
-    pipeline reads the benchmark corpus instead). Both sides shingle into
+    The eval set here is the deterministic doc_id % _DECON_EVAL_MOD == 0
+    slice (a real pipeline reads the benchmark corpus instead). Both sides shingle into
     md5(ngram) keys; a semi-ish join + count gives per-doc overlap. The
     eval side is DISTINCT shingles and broadcast — eval sets are tiny
     next to a 100 TB training corpus, so contamination never shuffles
@@ -239,7 +239,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             # both output branches (per-doc fractions, bigram explode)
             # consume base: materialize so the corpus is tokenized once
             .localCheckpoint())
-    bigrams = base.select(
+    # guard: F.sequence(1, size-1) is DESCENDING for size<2 ([1,0] /
+    # [1,0,-1]) and element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT;
+    # DuckDB's generate_series(1, 0) is empty. Filter short docs out of the
+    # bigram branch only — the left join keeps them with null top_bigram.
+    bigrams = base.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(1), F.size("toks") - 1),

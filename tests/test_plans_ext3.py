@@ -66,6 +66,29 @@ class TestSemantics:
         rows = Q3.q_decontaminate_overlap(spark, SF).collect()
         assert all(r["doc_id"] % Q3._DECON_EVAL_MOD != 0 for r in rows)
 
+    def test_repetition_short_docs_survive(self, spark, tmp_path):
+        """Docs with <2 tokens must not crash the bigram branch
+        (F.sequence(1, size-1) is descending for size<2 and element_at
+        would throw) and must emit null fractions like the DuckDB oracle,
+        whose generate_series(1, 0) is simply empty."""
+        sf = str(tmp_path)
+        spark.createDataFrame(
+            [(1, "", "en", "t", 0),
+             (2, "solo", "en", "t", 4),
+             (3, "two words", "en", "t", 9),
+             (4, None, "en", "t", None),
+             (5, "a a a a a a", "en", "t", 11)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        rows = {r["doc_id"]: r for r in Q3.q_text_repetition(spark, sf).collect()}
+        assert set(rows) == {1, 2, 3, 4, 5}
+        for short_id in (1, 2, 4):
+            assert rows[short_id]["top_bigram_frac_e6"] is None
+            assert rows[short_id]["dup_5gram_frac_e6"] is None
+        assert rows[3]["top_bigram_frac_e6"] == 1_000_000
+        assert rows[5]["top_bigram_frac_e6"] == 1_000_000
+        assert rows[5]["dup_5gram_frac_e6"] == 500_000
+
     def test_repetition_fractions_bounded(self, spark):
         rows = Q3.q_text_repetition(spark, SF).collect()
         assert rows
