@@ -166,21 +166,33 @@ def parse_zenodo_v1(envelopes: DataFrame) -> DataFrame:
     repair, $-fallback split) applies unchanged — one behavior, two
     envelope dialects.
     """
-    rows = envelopes.select(
+    # Surrogate envelope id: the authors re-join below must NOT key on the
+    # parsed doi — when both query_doi and the @classid='doi' pid are null
+    # the null key never matches (authors silently dropped), and duplicate
+    # envelopes sharing (doi, result_idx) would cross-merge author lists.
+    # (env_id, result_idx) is unique by construction regardless of payload.
+    rows = envelopes.withColumn(
+        "env_id", F.monotonically_increasing_id()
+    ).select(
+        "env_id",
         F.col("query_doi"),
         F.posexplode(F.col("response")["results"]["result"])
         .alias("result_idx", "res"),
     ).select(
-        "query_doi", "result_idx",
+        "env_id", "query_doi", "result_idx",
         F.col("res")["metadata"]["oaf:entity"]["oaf:result"].alias("r"),
     )
     r = F.col("r")
-    doi_pid = F.element_at(
-        F.filter(r["pid"], lambda p: p["@classid"] == "doi"), 1)
+    # try_element_at: an envelope with no @classid='doi' pid yields an
+    # EMPTY filtered array, and plain element_at(_, 1) throws under ANSI
+    # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) instead of returning null.
+    doi_pid = F.try_element_at(
+        F.filter(r["pid"], lambda p: p["@classid"] == "doi"), F.lit(1))
     resource = r["resourcetype"]
     journal_raw = r["journal"]["$"]
     pub_date = F.to_date(r["dateofacceptance"]["$"])
     arts = rows.select(
+        "env_id",
         F.coalesce(F.col("query_doi"), doi_pid["$"]).alias("doi"),
         "result_idx",
         clean_html_udf(clean_html_udf(r["title"]["$"])).alias("title"),
@@ -205,12 +217,12 @@ def parse_zenodo_v1(envelopes: DataFrame) -> DataFrame:
     pid_t = ("struct<id:struct<scheme:string,value:string>,"
              "provenance:string>")
     exploded = arts.select(
-        "doi", "result_idx",
+        "env_id", "result_idx",
         F.posexplode_outer("creators").alias("author_pos", "c"),
     )
     c = F.col("c")
     adapted = exploded.select(
-        "doi", "result_idx", "author_pos",
+        "env_id", "result_idx", "author_pos",
         _author_cols(F.struct(
             c["@name"].alias("name"),
             c["@surname"].alias("surname"),
@@ -223,16 +235,16 @@ def parse_zenodo_v1(envelopes: DataFrame) -> DataFrame:
         )).alias("p"),
     ).filter(F.col("p").isNotNull())
     grouped = (
-        adapted.groupBy("doi", "result_idx")
+        adapted.groupBy("env_id", "result_idx")
         .agg(F.sort_array(F.collect_list(F.struct(
             F.col("author_pos"), F.col("p"),
         ))).alias("ordered"))
-        .select("doi", "result_idx",
+        .select("env_id", "result_idx",
                 F.transform("ordered", lambda s: s["p"]).alias("authors"))
     )
     return (
         arts.drop("creators")
-        .join(grouped, ["doi", "result_idx"], "left")
+        .join(grouped, ["env_id", "result_idx"], "left")
         .withColumn(
             "authors",
             F.coalesce(
@@ -241,6 +253,7 @@ def parse_zenodo_v1(envelopes: DataFrame) -> DataFrame:
                     "array<struct<first_name:string,last_name:string,"
                     "orcid:string,rank:int>>"),
             ))
+        .drop("env_id")
     )
 
 
@@ -295,7 +308,9 @@ def parse_articles(envelopes: DataFrame) -> DataFrame:
         "doi", "result_idx",
         # title is clean_html'd twice in the reference (parse + model ctor)
         clean_html_udf(clean_html_udf(r["mainTitle"])).alias("title"),
-        F.element_at(r["descriptions"], 1).alias("abstract"),
+        # try_element_at: descriptions can be an EMPTY array (not just
+        # null), and ANSI element_at throws on index 1 of [].
+        F.try_element_at(r["descriptions"], F.lit(1)).alias("abstract"),
         F.when(journal_raw.isNotNull() & (journal_raw != ""),
                clean_html_udf(journal_raw)).otherwise(F.lit("")).alias("journal"),
         F.lit(None).cast("int").alias("issue"),

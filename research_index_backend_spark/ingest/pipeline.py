@@ -67,8 +67,12 @@ def build_countries(countries_csv: DataFrame) -> DataFrame:
         F.col("`name.common`").alias("name"),
         F.col("`name.official`").alias("official_name"),
         F.regexp_replace(F.col("`name.official`"), " ", "_").alias("dbpedia"),
-        F.element_at(F.split("latlng", ","), 1).cast("double").alias("latitude"),
-        F.element_at(F.split("latlng", ","), 2).cast("double").alias("longitude"),
+        # try_element_at: a latlng with no comma splits to a 1-element
+        # array and ANSI element_at(_, 2) throws instead of yielding null.
+        F.try_element_at(F.split("latlng", ","), F.lit(1))
+         .cast("double").alias("latitude"),
+        F.try_element_at(F.split("latlng", ","), F.lit(2))
+         .cast("double").alias("longitude"),
     )
 
 

@@ -441,7 +441,9 @@ def q_string_clean(spark, sf_dir):
     return d.select(
         "doc_id",
         F.array_join(F.reverse(toks), " ").alias("reversed_text"),
-        F.element_at(toks, 1).alias("first_word"),
+        # try_element_at: an all-whitespace doc filters to an EMPTY token
+        # array; DuckDB toks[1] is NULL there, ANSI element_at throws.
+        F.try_element_at(toks, F.lit(1)).alias("first_word"),
         F.size(toks).cast("bigint").alias("n_words"),
     )
 

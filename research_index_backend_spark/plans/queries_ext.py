@@ -397,8 +397,10 @@ def q_slug_latlng(spark, sf_dir):
     return j.select(
         F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
         F.regexp_replace(official, " ", "_").alias("dbpedia"),
-        F.element_at(F.split(latlng, ","), 1).cast("double").alias("latitude"),
-        F.element_at(F.split(latlng, ","), 2).cast("double").alias("longitude"),
+        F.try_element_at(F.split(latlng, ","), F.lit(1))
+         .cast("double").alias("latitude"),
+        F.try_element_at(F.split(latlng, ","), F.lit(2))
+         .cast("double").alias("longitude"),
     )
 
 

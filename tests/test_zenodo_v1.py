@@ -54,3 +54,39 @@ def test_zenodo_v1_query_doi_side_channel(spark):
         "query_doi", F.lit("10.9999/landed"))
     r = parse_zenodo_v1(env).collect()[0]
     assert r["doi"] == "10.9999/landed"
+
+
+def test_zenodo_v1_null_doi_keeps_authors(spark):
+    """Envelope with neither query_doi nor a @classid='doi' pid: the doi
+    is null, but the authors re-join keys on the surrogate env_id, so
+    parsed creators must still attach (a doi-keyed join would never match
+    a null key and silently emit an empty author array)."""
+    env = read_zenodo_v1_json(spark, FIXTURE).withColumn(
+        "response",
+        F.col("response").withField(
+            "results.result",
+            F.transform(
+                F.col("response.results.result"),
+                lambda res: res.withField(
+                    "metadata.`oaf:entity`.`oaf:result`.pid",
+                    F.filter(
+                        res["metadata"]["oaf:entity"]["oaf:result"]["pid"],
+                        lambda p: p["@classid"] != "doi")))))
+    rows = parse_zenodo_v1(env).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doi"] is None
+    assert len(r["authors"]) == 1
+    assert r["authors"][0]["last_name"] == "Allington"
+
+
+def test_zenodo_v1_duplicate_envelopes_do_not_cross_merge(spark):
+    """Two identical envelopes share (doi, result_idx); the surrogate
+    env_id must keep their author lists separate — each output row gets
+    exactly its own 1 creator, not a cross-merged 2."""
+    one = read_zenodo_v1_json(spark, FIXTURE)
+    rows = parse_zenodo_v1(one.unionAll(one)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["doi"] == "10.5281/zenodo.4650794"
+        assert len(r["authors"]) == 1
