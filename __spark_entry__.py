@@ -37,6 +37,10 @@ from research_index_backend_spark.plans.queries_ext3 import (  # noqa: E402
     ORACLE_EXT3,
     QUERIES_EXT3,
 )
+from research_index_backend_spark.plans.queries_ext4 import (  # noqa: E402
+    ORACLE_EXT4,
+    QUERIES_EXT4,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -57,6 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query pushed past the 50-entry window has a green row in
 # CORRECTNESS_r06.json and stays covered by tools/check.py locally.
 _VERIFY_FIRST = (
+    # --- never officially checked (new this round) ---
+    "graph_motif_wedge", "graph_motif_path",
     "bool_agg_report",
     # --- r04-window originals, due for re-verification ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
@@ -84,9 +90,10 @@ def _ordered(mapping: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
-                     **QUERIES_EXT3})
+                     **QUERIES_EXT3, **QUERIES_EXT4})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
-    return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3})
+    return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
+                     **ORACLE_EXT4})

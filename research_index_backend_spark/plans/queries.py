@@ -1203,6 +1203,7 @@ def q_graph_two_hop(spark, sf_dir):
     consortium paper would otherwise emit 50M pairs alone). The cap is
     mirrored in the oracle; at test SF no part reaches it.
     """
+    from ..graph.queries import PropertyGraph
     # The distinct edge list feeds the degree agg and both self-join
     # sides, but needs no explicit materialization: Catalyst plans the
     # repeats as ReusedExchange off the distinct's shuffle (verified by
@@ -1214,11 +1215,14 @@ def q_graph_two_hop(spark, sf_dir):
                 .filter(F.col("__deg") <= TWO_HOP_DEGREE_CAP)
                 .select("l_partkey"))
     li = li.join(ok_parts, "l_partkey", "left_semi")
-    a = li.select(F.col("l_partkey"), F.col("l_suppkey").alias("supp_a"))
-    b = li.select(F.col("l_partkey"), F.col("l_suppkey").alias("supp_b"))
+    # Wedge motif via the property-graph compiler (graph/queries.py) —
+    # compiles to the identical two-self-join plan the hand-written
+    # version produced (asserted in tests/test_graph.py).
+    g = PropertyGraph().with_edges("supplies", li,
+                                   src="l_suppkey", dst="l_partkey")
+    wedge = g.match("(supp_a)-[:supplies]->(l_partkey)<-[:supplies]-(supp_b)")
     return (
-        a.join(b, "l_partkey")
-        .filter(F.col("supp_a") < F.col("supp_b"))
+        wedge.filter(F.col("supp_a") < F.col("supp_b"))
         .groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )

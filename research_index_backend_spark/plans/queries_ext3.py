@@ -402,13 +402,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
         F.when(a_first, F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
     ).localCheckpoint()  # wedge join + closing join both consume it
-    o1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                  F.col("kdst").alias("kv"))
-    o2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"),
-                  F.col("kdst").alias("kw"))
-    wedges = o1.join(o2, "u").filter(F.col("kv") < F.col("kw"))
-    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    return (wedges.join(closing, ["v", "w"])
+    # Wedge + closing edge via the motif compiler (graph/queries.py):
+    # two aliased hops fan out the wedges, the third hop's endpoints are
+    # both bound so it compiles to the closing equi-join on (v, w).
+    # Catalyst pushes the π-order filter below the closing join, so the
+    # physical plan is the hand-written one (tests/test_graph.py).
+    from ..graph.queries import PropertyGraph
+    g = PropertyGraph().with_edges("o", o, src="src", dst="dst")
+    tri = g.match("(u)-[e1:o]->(v), (u)-[e2:o]->(w), (v)-[:o]->(w)")
+    return (tri.filter(F.col("e1_kdst") < F.col("e2_kdst"))
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 

@@ -161,3 +161,85 @@ class TestStarComponents:
         # label propagation genuinely cannot do this in the same budget
         with pytest.warns(RuntimeWarning, match="did not converge"):
             connected_components(edges, max_iter=budget)
+
+
+class TestMotifCompiler:
+    """graph.queries.PropertyGraph.match — pattern parse + plan parity."""
+
+    def _plan_ops(self, df) -> list[str]:
+        """Normalized physical-plan shape: the operator name sequence,
+        stripped of column names / expr ids, so two plans compare equal
+        iff they run the same operators in the same tree order."""
+        import re
+        text = df._jdf.queryExecution().executedPlan().toString()
+        ops = []
+        for line in text.splitlines():
+            m = re.search(r"(?:\*\(\d+\) |[+:\- ]*)([A-Za-z]\w+)", line)
+            if m:
+                ops.append(m.group(1))
+        return ops
+
+    def test_wedge_binding_table(self, spark):
+        from research_index_backend_spark.graph.queries import PropertyGraph
+        e = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (1, 20), (4, 20)], ["a", "p"])
+        g = PropertyGraph().with_edges("supplies", e, src="a", dst="p")
+        rows = {(r["x"], r["part"], r["y"]) for r in
+                g.match("(x)-[:supplies]->(part)<-[:supplies]-(y)")
+                 .filter("x < y").collect()}
+        assert rows == {(1, 10, 2), (1, 10, 3), (2, 10, 3), (1, 20, 4)}
+
+    def test_closing_edge_and_edge_props(self, spark):
+        from research_index_backend_spark.graph.queries import PropertyGraph
+        # triangle 1-2-3 plus dangling edge 3-4; weight rides along
+        e = spark.createDataFrame(
+            [(1, 2, 12), (1, 3, 13), (2, 3, 23), (3, 4, 34)],
+            ["src", "dst", "wt"])
+        g = PropertyGraph().with_edges("o", e)
+        tri = g.match("(u)-[e1:o]->(v), (u)-[e2:o]->(w), (v)-[:o]->(w)") \
+               .filter("e1_wt < e2_wt").collect()
+        assert [(r["u"], r["v"], r["w"]) for r in tri] == [(1, 2, 3)]
+        assert tri[0]["e1_wt"] == 12 and tri[0]["e2_wt"] == 13
+
+    def test_label_constraint_and_props(self, spark):
+        from research_index_backend_spark.graph.queries import PropertyGraph
+        e = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["s", "n"])
+        nodes = spark.createDataFrame(
+            [(10, "ten"), (20, "twenty")], ["id", "name"])
+        g = (PropertyGraph()
+             .with_nodes("num", nodes, props=("name",), broadcast=True)
+             .with_edges("loc", e, src="s", dst="n"))
+        got = {(r["x"], r["n_name"]) for r in
+               g.match("(x)-[:loc]->(n:num)").collect()}
+        assert got == {(1, "ten"), (2, "twenty")}  # 30 unregistered -> out
+
+    def test_disconnected_hop_rejected(self, spark):
+        import pytest as _pytest
+        from research_index_backend_spark.graph.queries import PropertyGraph
+        e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        g = PropertyGraph().with_edges("r", e)
+        with _pytest.raises(ValueError, match="cartesian"):
+            g.match("(a)-[:r]->(b), (c)-[:r]->(d)")
+
+    def test_two_hop_plan_unchanged_by_motif_rewire(self, spark):
+        """q_graph_two_hop now compiles through match(); its physical
+        plan must be the hand-written two-self-join plan."""
+        from pyspark.sql import functions as F
+        from research_index_backend_spark.plans.queries import (
+            TWO_HOP_DEGREE_CAP, _t, q_graph_two_hop)
+        sf = "/root/testdata/sf0.001"
+        li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey") \
+            .distinct()
+        ok = (li.groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).alias("__deg"))
+              .filter(F.col("__deg") <= TWO_HOP_DEGREE_CAP)
+              .select("l_partkey"))
+        li = li.join(ok, "l_partkey", "left_semi")
+        a = li.select("l_partkey", F.col("l_suppkey").alias("supp_a"))
+        b = li.select("l_partkey", F.col("l_suppkey").alias("supp_b"))
+        hand = (a.join(b, "l_partkey")
+                .filter(F.col("supp_a") < F.col("supp_b"))
+                .groupBy("supp_a", "supp_b")
+                .agg(F.count(F.lit(1)).alias("shared_parts")))
+        assert self._plan_ops(q_graph_two_hop(spark, sf)) == \
+            self._plan_ops(hand)
