@@ -97,3 +97,113 @@ class TestRealBackends:
                    ["What country is mentioned?"],
                    qa_fn=hf_qa_backend()).collect()
         assert rows and rows[0]["answer"]
+
+
+class TestAdapterContract:
+    """Drive the REAL hf_*/spacy_* adapter code end-to-end with
+    dependency-free models honoring each library's call contract —
+    pipeline_factory/model_factory inject the model, so the adapter's
+    batching, bare-dict normalization, and field extraction are the code
+    under test (NOT the operator-level qa_fn/clf_fn fakes above)."""
+
+    def _fresh_cache(self):
+        from research_index_backend_spark.operators import nlp_backends
+        nlp_backends._MODEL_CACHE.clear()
+        return nlp_backends
+
+    def test_qa_adapter_via_fake_pipeline(self, spark, abstracts):
+        nlp_backends = self._fresh_cache()
+        built = []
+
+        def factory(kind, model):
+            built.append((kind, model))
+
+            def pipe(question, context):
+                # HF contract: lists in, list[dict] out — but a 1-item
+                # batch comes back as a BARE dict (the adapter must wrap)
+                outs = [{"answer": c.split()[-1],
+                         "score": round(len(c) / 100.0, 2)}
+                        for q, c in zip(question, context)]
+                return outs[0] if len(outs) == 1 else outs
+            return pipe
+
+        qa_fn = nlp_backends.hf_qa_backend("fake-qa",
+                                           pipeline_factory=factory)
+        out = {r["id"]: r for r in
+               ask(abstracts, "abstract", "doc_id", ["Which country?"],
+                   qa_fn=qa_fn).collect()}
+        assert out["1"]["answer"] == "Ghana"
+        assert out["2"]["answer"] == "Liberia"
+        assert out["1"]["score"] > 0
+        # `built` stays EMPTY on the driver: the factory must run inside
+        # the Python worker (models never ride the closure pickle)
+        assert built == []
+        # driver-side call: loads once per (kind, model), caches across
+        # calls, and the factory receives the kind the adapter asked for
+        qa_fn(["a b"], "q?")
+        qa_fn(["c d"], "q?")
+        assert built == [("question-answering", "fake-qa")]
+
+    def test_qa_adapter_bare_dict_single_row(self, spark):
+        nlp_backends = self._fresh_cache()
+
+        def factory(kind, model):
+            def pipe(question, context):
+                assert len(context) == 1  # bare-dict path
+                return {"answer": "x", "score": 0.5}
+            return pipe
+
+        df = spark.createDataFrame([(1, "only row")],
+                                   ["doc_id", "abstract"]).coalesce(1)
+        rows = ask(df, "abstract", "doc_id", ["q?"],
+                   qa_fn=nlp_backends.hf_qa_backend(
+                       "fake-qa1", pipeline_factory=factory)).collect()
+        assert [(r["answer"], r["score"]) for r in rows] == [("x", 0.5)]
+
+    def test_zero_shot_adapter_via_fake_pipeline(self, spark, abstracts):
+        nlp_backends = self._fresh_cache()
+
+        def factory(kind, model):
+            assert kind == "zero-shot-classification"
+
+            def pipe(texts, candidate_labels, multi_label):
+                assert multi_label is True
+                # HF contract: parallel labels/scores arrays, score-desc
+                return [{"labels": sorted(candidate_labels,
+                                          key=lambda l: l not in t),
+                         "scores": [0.9, 0.1]} for t in texts]
+            return pipe
+
+        clf_fn = nlp_backends.hf_zero_shot_backend(
+            "fake-zs", pipeline_factory=factory)
+        out = {r["id"]: r["scores"] for r in
+               classify(abstracts, "abstract", "doc_id",
+                        ["Kenya", "Liberia"], clf_fn=clf_fn).collect()}
+        assert out["1"]["Kenya"] == 0.9 and out["1"]["Liberia"] == 0.1
+        assert out["2"]["Liberia"] == 0.9 and out["2"]["Kenya"] == 0.1
+
+    def test_ner_adapter_via_fake_model(self, spark, abstracts):
+        nlp_backends = self._fresh_cache()
+
+        class _Ent:
+            def __init__(self, text, label):
+                self.text, self.label_ = text, label
+
+        class _Doc:
+            def __init__(self, ents):
+                self.ents = ents
+
+        class _Lang:  # spaCy Language contract: .pipe(texts) -> docs
+            def pipe(self, texts):
+                for t in texts:
+                    yield _Doc([_Ent(w, "GPE") for w in
+                                ("Kenya", "Ghana", "Liberia") if w in t]
+                               + [_Ent("2023", "DATE")])
+
+        ner_fn = nlp_backends.spacy_ner_backend(
+            "fake-ner", model_factory=lambda model: _Lang())
+        out = {r["id"]: r["entities"] for r in
+               entities(abstracts, "abstract", "doc_id",
+                        ner_fn=ner_fn).collect()}
+        assert out["1"] == ["Kenya", "Ghana"]   # DATE filtered out
+        assert out["2"] == ["Liberia"]
