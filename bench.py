@@ -90,6 +90,37 @@ def main() -> int:
         except Exception:
             pass  # keep the first timing
 
+    # Third pass for NOISE SUSPECTS only: a 95-query session accumulates
+    # GC/codegen-cache pressure and min-of-2 still reported bigram_topk
+    # at 1.82s in r6 when its isolated steady state is 0.92s. A query is
+    # suspect when its current best is >1.4x its own previous-run record
+    # (BENCH_FULL.json from the last bench, read before we overwrite it)
+    # — the one signal that catches BOTH samples being inflated.
+    # Re-timing just the suspects (capped) buys min-of-3 where it
+    # matters for ~1/10 the extra wall time of a full third pass.
+    prior: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json")) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == _sf_from_dir(SF_DIR):
+            prior = {n: t for n, t in prev.get("queries", {}).items()
+                     if isinstance(t, (int, float)) and t > 0}
+    except (OSError, ValueError):
+        pass
+    suspects = sorted(
+        (n for n, t in timings.items()
+         if t > 0 and n in prior and t > 1.4 * prior[n]),
+        key=lambda n: -timings[n])[:25]
+    for name in suspects:
+        t0 = time.perf_counter()
+        try:
+            run(qs[name])
+            timings[name] = min(timings[name],
+                                round(time.perf_counter() - t0, 3))
+        except Exception:
+            pass
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = _sf_from_dir(SF_DIR)
 
