@@ -397,20 +397,31 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     yields at least one shared fingerprint, while storing ~2/(w+1) of the
     k-gram hashes — positional near-dup detection that sampling can't give.
 
-    Plan: explode positions -> md5 k-gram (plain projections, codegen — no
-    interpreted HOF lambdas) -> running min over (id ORDER BY pos ROWS w-1
-    FOLLOWING) -> distinct. One shuffle on id for the window, one for the
-    distinct; both hash-partitioned, no skew beyond document length.
+    Plan: explode positions -> md5 k-gram narrowed to a 60-bit BIGINT
+    (plain projections, codegen — no interpreted HOF lambdas) -> running
+    min over (id ORDER BY pos ROWS w-1 FOLLOWING) -> distinct. One
+    shuffle on id for the window, one for the distinct; both
+    hash-partitioned, no skew beyond document length.
+
+    The hash is the first 15 hex digits of the md5 as an int64, NOT the
+    32-char string: a position-exploded corpus materializes one row per
+    character, so the hash column dominates the sort/shuffle width —
+    8-byte ints vs 48-byte UTF8 strings measured 12.1s -> 3.8s on a 10x
+    corpus (the string version went superlinear from sort spill; SURVEY
+    4.4 round-7). Truncation keeps the winnowing guarantee (min over a
+    uniform 60-bit space; engine-portable via CAST('0x'||substr AS
+    BIGINT) in DuckDB).
     """
     from pyspark.sql import Window
     c = F.col(text_col)
     positions = F.when(F.length(c) < k, F.array().cast("array<int>")) \
         .otherwise(F.sequence(F.lit(1), F.length(c) - k + 1))
+    md5 = F.md5(F.lower(F.col("__t").substr(F.col("pos"), F.lit(k))))
     grams = (
         df.select(F.col(id_col).alias("id"), c.alias("__t"),
                   F.explode(positions).alias("pos"))
         .select("id", "pos",
-                F.md5(F.lower(F.col("__t").substr(F.col("pos"), F.lit(k))))
+                F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
                 .alias("h"))
     )
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)

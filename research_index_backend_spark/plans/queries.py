@@ -703,7 +703,9 @@ def q_doc_winnow(spark, sf_dir):
 
 ORACLE_WINNOW = """
 WITH grams AS (
-  SELECT doc_id AS id, pos, md5(lower(substr(text, pos, 5))) AS h
+  SELECT doc_id AS id, pos,
+         CAST(('0x' || substr(md5(lower(substr(text, pos, 5))), 1, 15))
+              AS BIGINT) AS h
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, greatest(length(text) - 4, 0))) AS pos
         FROM documents)

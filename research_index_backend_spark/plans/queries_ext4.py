@@ -118,12 +118,238 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# asof_tolerance — forward as-of join with a max-gap bound
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour, microseconds
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (operators.asof.asof_join_forward):
+    each click paired with the user's FIRST purchase at-or-after it,
+    null when none lands within the hour — attribution windows, sensor
+    next-reading lookups. Microsecond keys for cross-engine equality
+    (see q_asof_join); right side pre-deduped per (user, ts). The plan
+    is the reversed-sort running carry — one shuffle on user_id, linear
+    per key, no join at all."""
+    from ..operators.asof import asof_join_forward
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts_us",
+                      F.col("event_id").alias("click_id")))
+    buys = (e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts_us")
+            .agg(F.min("event_id").alias("purchase_id")))
+    out = asof_join_forward(clicks, buys, on="user_id", ts="ts_us",
+                            value_cols=["purchase_id"],
+                            tolerance=_ASOF_TOL_US)
+    return out.select("user_id", "click_id",
+                      F.col("ts_us").alias("click_ts_us"),
+                      F.col("purchase_id").alias("next_purchase_id"))
+
+
+ORACLE_ASOF_TOL = f"""
+WITH l AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS ts, min(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.user_id, l.click_id, l.ts AS click_ts_us,
+       (SELECT min_by(r.purchase_id, r.ts) FROM r
+        WHERE r.user_id = l.user_id AND r.ts >= l.ts
+          AND r.ts <= l.ts + {_ASOF_TOL_US}) AS next_purchase_id
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub — PII masking + per-class counts
+# ---------------------------------------------------------------------------
+
+# RE2- and Java-compatible patterns (no backrefs, no lookaround)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+_PII_IP = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the mandatory scrub stage of any training-data
+    pipeline: count then mask emails/phones/IPs per document. The
+    synthetic corpus carries no PII, so deterministic PII is APPENDED
+    from doc_id first (same construction in the oracle) — the operator
+    under test is the count+mask plan, all JVM regexp (one projection,
+    no UDF, no shuffle until nothing: pure map). Output keeps the
+    md5 of the scrubbed text, not the text, so the checked frame stays
+    narrow."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" reach user"), did.cast("string"),
+            F.lit("@mail"), (did % 7).cast("string"),
+            F.lit(".example.com"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" phone +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" host 10."), (did % 256).cast("string"),
+            F.lit("."), (did % 100).cast("string"),
+            F.lit("."), (did % 50).cast("string"))).otherwise(F.lit("")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(text, F.lit(_PII_IP)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+ORACLE_PII = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id ||
+                 '@mail' || (doc_id % 7) || '.example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' phone +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 256) ||
+                 '.' || (doc_id % 100) || '.' || (doc_id % 50) ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_drift — per-source token distribution drift (log-odds)
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 40
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top drifting tokens between two corpus halves (sources src0-9 vs
+    src10-19) by log-odds ratio with +1 smoothing — the vocabulary-shift
+    check run when a new crawl/source lands in a training mix.
+
+    One tokenize+explode scan, one (token, side) partial-agg shuffle,
+    a pivot-style conditional agg to (token, a, b), totals as a 1-row
+    broadcast cross join, pure-column log-odds, global top-40 —
+    TakeOrderedAndProject, never a full sort. Quantized e6; ordering is
+    on the QUANTIZED score so the cut is engine-stable."""
+    d = _t(spark, sf_dir, "documents")
+    side = (F.regexp_extract("source", r"(\d+)", 1).cast("int") < 10)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tf = (d.select(side.alias("in_a"), F.explode(toks).alias("tok"))
+          .groupBy("tok")
+          .agg(F.count_if(F.col("in_a")).alias("a"),
+               F.count_if(~F.col("in_a")).alias("b")))
+    tot = tf.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    lo = (F.log((F.col("a") + 1) / (F.col("ta") - F.col("a") + 1))
+          - F.log((F.col("b") + 1) / (F.col("tb") - F.col("b") + 1)))
+    scored = (tf.crossJoin(F.broadcast(tot))
+              .select("tok", F.col("a").alias("n_a"), F.col("b").alias("n_b"),
+                      F.round(lo * 1e6).cast("bigint").alias("logodds_e6")))
+    return (scored.orderBy(F.abs(F.col("logodds_e6")).desc(), "tok")
+            .limit(_DRIFT_TOPK))
+
+
+ORACLE_VOCAB_DRIFT = rf"""
+WITH tok AS (
+  SELECT CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 10 AS in_a,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok,
+         CAST(count_if(in_a) AS BIGINT) AS a,
+         CAST(count_if(NOT in_a) AS BIGINT) AS b
+  FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM tf
+)
+SELECT tok, a AS n_a, b AS n_b,
+       CAST(round((ln((a + 1) / CAST(ta - a + 1 AS DOUBLE))
+                 - ln((b + 1) / CAST(tb - b + 1 AS DOUBLE))) * 1e6)
+            AS BIGINT) AS logodds_e6
+FROM tf CROSS JOIN tot
+ORDER BY abs(CAST(round((ln((a + 1) / CAST(ta - a + 1 AS DOUBLE))
+                 - ln((b + 1) / CAST(tb - b + 1 AS DOUBLE))) * 1e6)
+            AS BIGINT)) DESC, tok
+LIMIT {_DRIFT_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouping_sets_report — explicit GROUPING SETS with grouping flags
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) over orders with
+    per-column GROUPING flags — the general form rollup/cube are sugar
+    for (A4 ext); one shuffle, Spark expands the sets with a single
+    Expand node feeding one hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    o.select("o_orderstatus", "o_orderpriority", "o_totalprice") \
+        .createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_cents
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority,
+       count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
 QUERIES_EXT4.update({
     "graph_motif_wedge": q_graph_motif_wedge,
     "graph_motif_path": q_graph_motif_path,
+    "asof_tolerance": q_asof_tolerance,
+    "pii_scrub": q_pii_scrub,
+    "vocab_drift": q_vocab_drift,
+    "grouping_sets_report": q_grouping_sets_report,
 })
 
 ORACLE_EXT4.update({
     "graph_motif_wedge": ORACLE_MOTIF_WEDGE,
     "graph_motif_path": ORACLE_MOTIF_PATH,
+    "asof_tolerance": ORACLE_ASOF_TOL,
+    "pii_scrub": ORACLE_PII,
+    "vocab_drift": ORACLE_VOCAB_DRIFT,
+    "grouping_sets_report": ORACLE_GROUPING_SETS,
 })

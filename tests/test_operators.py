@@ -436,6 +436,54 @@ class TestAsofJoin:
             "l3": None,     # right row is AFTER the left ts
         }
 
+    def test_forward_with_tolerance(self, spark):
+        from research_index_backend_spark.operators.asof import (
+            asof_join_forward)
+        left = spark.createDataFrame(
+            [(1, 10, "l1"), (1, 20, "l2"), (1, 95, "l3"), (2, 7, "l4")],
+            ["k", "t", "lv"])
+        right = spark.createDataFrame(
+            [(1, 10, "r@10"), (1, 30, "r@30"), (1, 200, "r@200"),
+             (2, 5, "r@5")],
+            ["k", "t", "rv"])
+        got = {r["lv"]: r["rv"] for r in
+               asof_join_forward(left, right, on="k", ts="t",
+                                 value_cols=["rv"],
+                                 tolerance=50).collect()}
+        assert got == {
+            "l1": "r@10",   # equal ts matches (inclusive)
+            "l2": "r@30",   # earliest following, not latest
+            "l3": None,     # r@200 exists but gap 105 > tolerance 50
+            "l4": None,     # only right row is BEFORE the left ts
+        }
+
+    def test_forward_no_tolerance_unbounded(self, spark):
+        from research_index_backend_spark.operators.asof import (
+            asof_join_forward)
+        left = spark.createDataFrame([(1, 0, "l")], ["k", "t", "lv"])
+        right = spark.createDataFrame([(1, 10**9, "far")], ["k", "t", "rv"])
+        rows = asof_join_forward(left, right, on="k", ts="t",
+                                 value_cols=["rv"]).collect()
+        assert rows[0]["rv"] == "far"  # tolerance=None -> any future row
+
+    def test_forward_plan_is_running_frame(self, spark):
+        """The carry must be the reversed-sort RUNNING frame — an
+        unbounded-FOLLOWING frame re-aggregates the suffix per row
+        (SURVEY 4.4)."""
+        import contextlib, io
+        from research_index_backend_spark.operators.asof import (
+            asof_join_forward)
+        left = spark.createDataFrame([(1, 0, "l")], ["k", "t", "lv"])
+        right = spark.createDataFrame([(1, 1, "r")], ["k", "t", "rv"])
+        df = asof_join_forward(left, right, on="k", ts="t",
+                               value_cols=["rv"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue()
+        assert "unboundedpreceding" in plan.lower()
+        assert "unboundedfollowing" not in plan.lower()
+
 
 class TestCosineBackends:
     def test_fold_and_numpy_agree_after_quantization(self, spark):

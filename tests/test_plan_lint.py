@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     "flagship_contains_tag", "theta_range_check",
     "bm25_topk", "rerank_topk", "tfidf_topk",
     "ann_cosine_topk", "ann_ivf_topk",
+    # 1-row broadcast corpus-totals cross join (same shape as bm25's
+    # avgdl+N stats side)
+    "vocab_drift",
 }
 
 
