@@ -336,6 +336,158 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
 """
 
 
+# ---------------------------------------------------------------------------
+# mix_plan — temperature-scaled domain mixing weights
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5  # temperature exponent: 1 = proportional, 0 = uniform
+
+
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-source sampling weights by
+    temperature scaling (w_s ∝ share_s^alpha, the multilingual/domain
+    rebalancing rule from the XLM-R / multilingual-BERT lineage), plus
+    the implied per-source repeat rate (weight / share — >1e6 means
+    upsampling). The expensive part (per-source token totals) is one
+    map-side-combined aggregate over the corpus scan; the normalization
+    runs over the SOURCE-LEVEL frame, whose cardinality is bounded (20
+    here; thousands at worst in a real mix), so the unpartitioned
+    normalization window is a deliberate single-partition step over a
+    dim-sized frame, never over documents."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != ""))
+    per_src = (d.select("source", toks.alias("n_toks"))
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_toks").alias("n_tokens")))
+    from pyspark.sql import Window
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    raw = F.pow(share, F.lit(_MIX_ALPHA))
+    weight = raw / F.sum(raw).over(w)
+    return per_src.select(
+        "source", "n_docs", "n_tokens",
+        F.round(share * 1e6).cast("bigint").alias("share_e6"),
+        F.round(weight * 1e6).cast("bigint").alias("weight_e6"),
+        F.round(weight / share * 1e6).cast("bigint").alias("rate_e6"))
+
+
+ORACLE_MIX_PLAN = rf"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), shared AS (
+  SELECT *, n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share
+  FROM per_src
+), weighted AS (
+  SELECT *, pow(share, {_MIX_ALPHA})
+            / sum(pow(share, {_MIX_ALPHA})) OVER () AS weight
+  FROM shared
+)
+SELECT source, n_docs, n_tokens,
+       CAST(round(share * 1e6) AS BIGINT) AS share_e6,
+       CAST(round(weight * 1e6) AS BIGINT) AS weight_e6,
+       CAST(round(weight / share * 1e6) AS BIGINT) AS rate_e6
+FROM weighted
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_histogram — log2-bucketed document length distribution
+# ---------------------------------------------------------------------------
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram in power-of-two buckets — the standard
+    before/after-filter report of a data pipeline. Pure projection +
+    one tiny aggregate; floor(log2(n)) is exact on engine-identical
+    IEEE doubles for the only boundary cases (powers of two)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                        lambda t: t != ""))
+    b = F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("int")
+    return (d.select(b.alias("bucket"), n.alias("n_toks"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").alias("sum_tokens"),
+                 F.min("n_toks").alias("min_tokens"),
+                 F.max("n_toks").alias("max_tokens"))
+            .select(F.expr("CAST(shiftleft(1L, bucket) AS BIGINT)")
+                    .alias("bucket_lo"),
+                    "n_docs", "sum_tokens", "min_tokens", "max_tokens"))
+
+
+ORACLE_TOKEN_HIST = r"""
+WITH n AS (
+  SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t <> '')) AS n_toks
+  FROM documents
+), b AS (
+  SELECT CAST(floor(log2(greatest(n_toks, 1))) AS INT) AS bucket, n_toks
+  FROM n
+)
+SELECT CAST(1 << bucket AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       CAST(min(n_toks) AS INT) AS min_tokens,
+       CAST(max(n_toks) AS INT) AS max_tokens
+FROM b GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_calibration — decile calibration of a quality proxy
+# ---------------------------------------------------------------------------
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile table of a quality proxy (type-token ratio): ntile(10)
+    over (score, doc_id) — the classifier-calibration report run before
+    picking a quality threshold for a training cut. One window sort on
+    the narrow (score, id) pair + one hash agg; at 100 TB the exact
+    ntile becomes approx quantile cuts, same report shape."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    base = (d.select("doc_id", toks.alias("toks"))
+            .select("doc_id",
+                    F.size("toks").alias("n_toks"),
+                    F.round(F.size(F.array_distinct("toks"))
+                            / F.greatest(F.size("toks"), F.lit(1)) * 1e6)
+                    .cast("bigint").alias("ttr_e6")))
+    from pyspark.sql import Window
+    dec = F.ntile(10).over(Window.orderBy("ttr_e6", "doc_id"))
+    return (base.select("doc_id", "n_toks", "ttr_e6", dec.alias("decile"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("ttr_e6").alias("ttr_lo"),
+                 F.max("ttr_e6").alias("ttr_hi"),
+                 F.sum("n_toks").alias("sum_tokens")))
+
+
+ORACLE_QUALITY_CAL = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         CAST(round(len(list_distinct(toks))
+                    / CAST(greatest(len(toks), 1) AS DOUBLE) * 1e6)
+              AS BIGINT) AS ttr_e6
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents)
+), ranked AS (
+  SELECT *, ntile(10) OVER (ORDER BY ttr_e6, doc_id) AS decile FROM base
+)
+SELECT decile, count(*) AS n_docs,
+       min(ttr_e6) AS ttr_lo, max(ttr_e6) AS ttr_hi,
+       CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES_EXT4.update({
     "graph_motif_wedge": q_graph_motif_wedge,
     "graph_motif_path": q_graph_motif_path,
@@ -343,6 +495,9 @@ QUERIES_EXT4.update({
     "pii_scrub": q_pii_scrub,
     "vocab_drift": q_vocab_drift,
     "grouping_sets_report": q_grouping_sets_report,
+    "mix_plan": q_mix_plan,
+    "token_histogram": q_token_histogram,
+    "quality_calibration": q_quality_calibration,
 })
 
 ORACLE_EXT4.update({
@@ -352,4 +507,7 @@ ORACLE_EXT4.update({
     "pii_scrub": ORACLE_PII,
     "vocab_drift": ORACLE_VOCAB_DRIFT,
     "grouping_sets_report": ORACLE_GROUPING_SETS,
+    "mix_plan": ORACLE_MIX_PLAN,
+    "token_histogram": ORACLE_TOKEN_HIST,
+    "quality_calibration": ORACLE_QUALITY_CAL,
 })
