@@ -65,6 +65,7 @@ _VERIFY_FIRST = (
     "graph_motif_wedge", "graph_motif_path", "asof_tolerance",
     "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration",
+    "scd2_history", "group_topk_ties",
     "bool_agg_report",
     # --- r04-window originals, due for re-verification ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",

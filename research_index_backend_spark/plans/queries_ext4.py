@@ -337,6 +337,85 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
 
 
 # ---------------------------------------------------------------------------
+# scd2_history — slowly-changing-dimension validity intervals
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from an event log: per (user, type)
+    the value's validity interval [ts, next_ts) via LEAD, open intervals
+    null-capped — the standard warehouse history-table construction
+    (the reference's upsert-with-history analog of S7/A7 upserts).
+    One window sort per key, no join; at scale this is the
+    merge-into-history pattern run per ingest batch."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_ns", "event_id")
+    return (e.select("user_id", "event_type", "event_id", "ts_ns",
+                     F.round(F.col("value") * 1e6).cast("bigint")
+                     .alias("value_e6"))
+            .select("user_id", "event_type", "value_e6",
+                    F.col("ts_ns").alias("valid_from_ns"),
+                    F.lead("ts_ns").over(w).alias("valid_to_ns"),
+                    (F.lead("ts_ns").over(w).isNull()).alias("is_current")))
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_type,
+       CAST(round(value * 1e6) AS BIGINT) AS value_e6,
+       epoch_ns(ts) AS valid_from_ns,
+       lead(epoch_ns(ts)) OVER w AS valid_to_ns,
+       lead(epoch_ns(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY epoch_ns(ts), event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# group_topk_ties — per-group top-k keeping ties (rank, not row_number)
+# ---------------------------------------------------------------------------
+
+_TOPK_K = 3
+
+
+def q_group_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 customers by account balance KEEPING ties
+    (rank <= k, so a tied 3rd place returns every holder) — the
+    tie-faithful variant of W2's per-key LIMIT 1. Integer-cents key so
+    tie equality is exact on both engines. One window sort per nation;
+    rank predicates pushes into the WindowGroupLimit optimization
+    (Spark 3.5+) so each partition stops after the k-th distinct rank —
+    no full per-group sort materialization at scale."""
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("bal_cents").desc())
+    return (c.select("c_nationkey", "c_custkey",
+                     cents.alias("bal_cents"))
+            .withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= _TOPK_K)
+            .select("c_nationkey", "c_custkey", "bal_cents",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+ORACLE_GROUP_TOPK = f"""
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         CAST(rank() OVER (PARTITION BY c_nationkey
+                           ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)
+                           DESC) AS INT) AS rnk
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, bal_cents, rnk
+FROM ranked WHERE rnk <= {_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # mix_plan — temperature-scaled domain mixing weights
 # ---------------------------------------------------------------------------
 
@@ -495,6 +574,8 @@ QUERIES_EXT4.update({
     "pii_scrub": q_pii_scrub,
     "vocab_drift": q_vocab_drift,
     "grouping_sets_report": q_grouping_sets_report,
+    "scd2_history": q_scd2_history,
+    "group_topk_ties": q_group_topk_ties,
     "mix_plan": q_mix_plan,
     "token_histogram": q_token_histogram,
     "quality_calibration": q_quality_calibration,
@@ -507,6 +588,8 @@ ORACLE_EXT4.update({
     "pii_scrub": ORACLE_PII,
     "vocab_drift": ORACLE_VOCAB_DRIFT,
     "grouping_sets_report": ORACLE_GROUPING_SETS,
+    "scd2_history": ORACLE_SCD2,
+    "group_topk_ties": ORACLE_GROUP_TOPK,
     "mix_plan": ORACLE_MIX_PLAN,
     "token_histogram": ORACLE_TOKEN_HIST,
     "quality_calibration": ORACLE_QUALITY_CAL,
