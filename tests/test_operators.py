@@ -571,3 +571,54 @@ class TestCompaction:
                 .filter(F.col("o_orderpriority") == "1-URGENT")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "PartitionFilters: [" in plan and "o_orderpriority" in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark):
+        """The point of bucketing: joining two tables bucketed on the
+        join key plans ZERO shuffle exchanges (the shuffle was paid once
+        at write time), while the same join on plain frames plans one
+        per side."""
+        import contextlib, io
+        from pyspark.sql import functions as F
+        from research_index_backend_spark.operators.bucketing import (
+            bucketed_join, write_bucketed)
+
+        def plan_of(df):
+            # executedPlan().toString() keeps Exchange arguments inline
+            # ("Exchange hashpartitioning(o_key#..."), which explain
+            # "formatted" splits away from the node tree
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        orders = spark.range(0, 1000).select(
+            F.col("id").alias("o_key"),
+            (F.col("id") % 7).alias("o_val"))
+        lines = spark.range(0, 5000).select(
+            (F.col("id") % 1000).alias("o_key"),
+            (F.col("id") % 13).alias("l_val"))
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # disable broadcast so the join actually keys on co-location
+            # (at real scale neither side fits a broadcast anyway)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            write_bucketed(orders, "t_bkt_orders", ["o_key"], 8)
+            write_bucketed(lines, "t_bkt_lines", ["o_key"], 8)
+            j = bucketed_join(spark, "t_bkt_orders", "t_bkt_lines",
+                              ["o_key"]).groupBy("o_val").count()
+            plan = plan_of(j)
+            assert "Exchange hashpartitioning(o_key" not in plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert bucketed_join(spark, "t_bkt_orders", "t_bkt_lines",
+                                 ["o_key"]).count() == 5000
+            assert j.count() == 7  # o_val groups survive the agg
+            # control: the identical join on plain (unbucketed) frames
+            # shuffles both sides on the key
+            import re
+            plain = plan_of(
+                orders.join(lines, "o_key").groupBy("o_val").count())
+            assert len(re.findall(r"Exchange hashpartitioning\(o_key",
+                                  plain)) >= 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+            spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_lines")
