@@ -243,3 +243,33 @@ class TestMotifCompiler:
                 .agg(F.count(F.lit(1)).alias("shared_parts")))
         assert self._plan_ops(q_graph_two_hop(spark, sf)) == \
             self._plan_ops(hand)
+
+    def test_reference_shape_coauthorship(self, spark):
+        """The reference's co-authorship MATCH on the ingest graph's
+        actual edge schema (author_of: author_uuid -> output_uuid,
+        pipeline.py build_graph_from_envelopes): labeled vars pull
+        Author props (inner join) and constrain to Output (left-semi,
+        no props); the un-aliased edge drops its rank property."""
+        from research_index_backend_spark.graph.queries import PropertyGraph
+        authors = spark.createDataFrame(
+            [("a1", "Lucy"), ("a2", "Joe"), ("a3", "Zoe")],
+            ["uuid", "first_name"])
+        outputs = spark.createDataFrame([("o1",), ("o2",)], ["uuid"])
+        author_of = spark.createDataFrame(
+            [("a1", "o1", 1), ("a2", "o1", 2),
+             ("a1", "o2", 1), ("a3", "o2", 2)],
+            ["author_uuid", "output_uuid", "rank"])
+        g = (PropertyGraph()
+             .with_nodes("Author", authors, id_col="uuid",
+                         props=("first_name",))
+             .with_nodes("Output", outputs, id_col="uuid")
+             .with_edges("author_of", author_of,
+                         src="author_uuid", dst="output_uuid"))
+        wedges = g.match("(x:Author)-[:author_of]->(o:Output)"
+                         "<-[:author_of]-(y:Author)").filter("x < y")
+        rows = wedges.collect()
+        assert {(r["x"], r["o"], r["y"]) for r in rows} == \
+            {("a1", "o1", "a2"), ("a1", "o2", "a3")}
+        names = {(r["x_first_name"], r["y_first_name"]) for r in rows}
+        assert names == {("Lucy", "Joe"), ("Lucy", "Zoe")}
+        assert "rank" not in wedges.columns  # unaliased edge: no props
