@@ -1075,12 +1075,17 @@ def q_quality_filter(spark, sf_dir):
     engines, but int output removes the float column entirely)."""
     from ..operators.textstats import quality_score
     qs = quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    # keep derives from the QUANTIZED int (>= 700000 ⟺ quality >= 0.7 —
+    # the score is a sum of exact 0.1-multiples), not from `quality`:
+    # two consumers of the raw double made CollapseProject inline the
+    # whole interpreted scoring tree twice (8.0s -> 5.5s at 10x sf0.1;
+    # round() is non-cheap, so the staged projection survives and the
+    # tree evaluates once — the remainder is the one-tokenize floor).
     return qs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(F.col("quality") * 1e6).cast("bigint").alias("quality_e6"),
-        (F.col("quality") >= 0.7).alias("keep"),
-    )
+    ).withColumn("keep", F.col("quality_e6") >= 700_000)
 
 
 ORACLE_QUALITY_FILTER = rf"""
@@ -1119,17 +1124,34 @@ FROM scored
 
 def q_token_stats(spark, sf_dir):
     """Token counting (whitespace + BPE-ish pre-tokenizer) + stopword hits
-    + heuristic language ID."""
+    + heuristic language ID.
+
+    Staged select so the word-token array is built ONCE and every signal
+    (count, stopword hits, language ratio) reads the column — the
+    inlined form re-ran the interpreted split per consumer (3x) and was
+    the 2nd-highest scaler in the 10x probe. ws_tokens counts \\S+ runs
+    with regexp_count (no token array needed at all)."""
     d = _t(spark, sf_dir, "documents")
-    wt = TS.word_tokens("text")
-    stop_hits = F.size(F.filter(wt, lambda t: t.isin(*TS.EN_STOPWORDS)))
-    return d.select(
+    base = d.select(
         "doc_id",
-        TS.token_count("text").cast("bigint").alias("ws_tokens"),
-        F.size(wt).cast("bigint").alias("word_tokens"),
-        TS.bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
-        stop_hits.cast("bigint").alias("stop_hits"),
-        TS.lang_id("text").alias("lang_pred"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("ws_tokens"),
+        TS.word_tokens("text").alias("__wt"),
+        TS.bpe_token_count("text").alias("bpe_tokens"),
+    ).select(
+        "doc_id", "ws_tokens", "bpe_tokens",
+        F.size("__wt").alias("word_tokens"),
+        F.size(F.filter("__wt", lambda t: t.isin(*TS.EN_STOPWORDS)))
+        .alias("stop_hits"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("word_tokens").cast("bigint").alias("word_tokens"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        F.when(F.col("stop_hits") / F.greatest(F.col("word_tokens"),
+                                               F.lit(1)) >= 0.05,
+               F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
     )
 
 

@@ -1,15 +1,29 @@
-"""Catalog extension 4 (round 7): property-graph motif queries.
-
-Queries here run through graph.queries.PropertyGraph.match — the Cypher-
-MATCH-shaped motif compiler (reference models.py:36-66 /
-create_graph_from_doi.py:53-65 query the Memgraph property graph with
-exactly these pattern shapes). Each entry is oracle-checked against
+"""Catalog extension 4 (round 7). Each entry is oracle-checked against
 DuckDB like every other catalog query.
 
-  graph_motif_wedge   heterogeneous co-location wedge
-                      (s)-[:s_loc]->(n:nation)<-[:c_loc]-(c)
-  graph_motif_path    labeled 2-hop chain with node properties
-                      (s:supplier)->(n:nation)->(r:region)
+Property-graph motifs, run through graph.queries.PropertyGraph.match —
+the Cypher-MATCH-shaped compiler (reference models.py:36-66 /
+create_graph_from_doi.py:53-65 query Memgraph with these shapes):
+
+  graph_motif_wedge     heterogeneous co-location wedge
+                        (s)-[:s_loc]->(n:nation)<-[:c_loc]-(c)
+  graph_motif_path      labeled 2-hop chain with node properties
+                        (s:supplier)->(n:nation)->(r:region)
+
+Timeseries / warehouse:
+
+  asof_tolerance        forward as-of join, 1-hour max gap
+  scd2_history          SCD-type-2 validity intervals via LEAD
+  group_topk_ties       per-group top-k keeping ties (WindowGroupLimit)
+  grouping_sets_report  explicit GROUPING SETS + GROUPING flags
+
+Training-data pipeline:
+
+  pii_scrub             count+mask emails/phones/IPs (all-JVM regexp)
+  vocab_drift           per-source token log-odds drift, top-40
+  mix_plan              temperature-scaled domain mixing weights
+  token_histogram       log2-bucketed corpus length distribution
+  quality_calibration   decile calibration of a TTR quality proxy
 """
 
 from __future__ import annotations
