@@ -149,6 +149,19 @@ class PropertyGraph:
         hops, labels = self._parse(pattern)
         if not hops:
             raise ValueError("pattern has no edges; use the node frame")
+        seen_aliases: set[str] = set()
+        for u, v, _rel, alias in hops:
+            if u == v:
+                raise ValueError(
+                    f"self-loop hop on {u!r}: both endpoints would bind "
+                    "the same column — filter src=dst on the edge frame "
+                    "instead")
+            if alias is not None:
+                if alias in seen_aliases or alias in labels:
+                    raise ValueError(
+                        f"edge alias {alias!r} is not unique in the "
+                        "pattern (would produce duplicate columns)")
+                seen_aliases.add(alias)
         df: DataFrame | None = None
         bound: set[str] = set()
         for u, v, rel, alias in hops:

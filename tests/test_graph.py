@@ -273,3 +273,13 @@ class TestMotifCompiler:
         names = {(r["x_first_name"], r["y_first_name"]) for r in rows}
         assert names == {("Lucy", "Joe"), ("Lucy", "Zoe")}
         assert "rank" not in wedges.columns  # unaliased edge: no props
+
+    def test_degenerate_patterns_rejected(self, spark):
+        import pytest as _pytest
+        from research_index_backend_spark.graph.queries import PropertyGraph
+        e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        g = PropertyGraph().with_edges("r", e)
+        with _pytest.raises(ValueError, match="self-loop"):
+            g.match("(a)-[:r]->(a)")
+        with _pytest.raises(ValueError, match="not unique"):
+            g.match("(a)-[e1:r]->(b), (b)-[e1:r]->(c)")
