@@ -1,0 +1,78 @@
+"""Synthesize a 10x corpus from sf0.1 for scaling probes (BENCH_HISTORY
+"r7 scaling probe"). Writes to /tmp/sf1 (never under /root/testdata).
+
+Shard k remaps identities so cross-shard rows never collide:
+- documents: doc_id offset per shard; every word suffixed with the shard
+  digit so shingles/minhashes stay shard-local. Replicating text VERBATIM
+  would create 10-clone cliques real 10x corpora don't have (every
+  pair-generating operator would go quadratic on the clones); per-shard
+  dup structure stays identical to sf0.1.
+- lineitem: order/part/supp keys offset per shard (TPC-H-style scaling:
+  more parts and suppliers, same per-part degree).
+- customer: custkey offset, name shard-suffixed (block count scales
+  linearly, block sizes unchanged).
+- dims (region/nation/supplier/part/orders/events/embeddings) copied
+  unscaled — queries driven by them are not probe-meaningful.
+
+Usage: python tools/gen_10x.py [K]   (default K=10 shards)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from research_index_backend_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+OFF = 10 ** 7
+
+
+def main(k_shards: int = 10) -> None:
+    spark = get_spark(cpus="32")
+    os.makedirs(DST, exist_ok=True)
+
+    def shards(df, mk):
+        out = mk(df, 0)
+        for k in range(1, k_shards):
+            out = out.unionAll(mk(df, k))
+        return out
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    shards(docs, lambda d, k: d.select(
+        (F.col("doc_id") + F.lit(k * OFF)).alias("doc_id"),
+        F.regexp_replace("text", r"(\S+)", f"$1{k}").alias("text"),
+        "lang", "source", "n_chars")) \
+        .repartition(32).write.mode("overwrite") \
+        .parquet(f"{DST}/documents.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    shards(li, lambda d, k: d
+           .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * OFF))
+           .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * OFF))
+           .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * OFF))) \
+        .repartition(32).write.mode("overwrite") \
+        .parquet(f"{DST}/lineitem.parquet")
+
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    shards(cust, lambda d, k: d
+           .withColumn("c_custkey", F.col("c_custkey") + F.lit(k * OFF))
+           .withColumn("c_name", F.concat("c_name", F.lit(f"#{k}")))) \
+        .repartition(8).write.mode("overwrite") \
+        .parquet(f"{DST}/customer.parquet")
+
+    for t in ("region", "nation", "supplier", "part", "orders", "events",
+              "embeddings"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite") \
+            .parquet(f"{DST}/{t}.parquet")
+    print("done:", {t: spark.read.parquet(f"{DST}/{t}.parquet").count()
+                    for t in ("documents", "lineitem", "customer")})
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -1,0 +1,78 @@
+"""Scaling probe: time catalog queries at /tmp/sf1 (10x, from
+tools/gen_10x.py) against their BENCH_FULL.json sf0.1 records and flag
+superlinear scalers (ratio > 10 for 10x data).
+
+Only queries whose PRIMARY inputs were scaled are probed — ratios for
+dim-driven queries would be flat and meaningless. Findings land in
+BENCH_HISTORY.md ("r7 scaling probe"): doc_winnow's md5-string sort
+spill was found exactly this way.
+
+Usage: python tools/probe_10x.py [name ...]   (default: the scaled set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("RIB_TEST_SPLIT_MB", "16")
+
+SCALED = [
+    # documents-driven
+    "flagship_contains_tag", "string_clean", "dedup_exact",
+    "doc_fingerprint", "doc_winnow", "dedup_minhash_sigs",
+    "dedup_lsh_pairs", "dedup_jaccard", "dedup_ngram_jaccard",
+    "simhash_fp", "simhash_hamming_pairs", "text_quality",
+    "quality_filter", "token_stats", "text_scrub", "tfidf_topk",
+    "bigram_topk", "doc_chunk", "sequence_pack", "sequence_pack_sharded",
+    "stratified_sample", "weighted_sample", "lm_quality_score",
+    "minhash_estimate", "bm25_topk", "decontaminate_overlap",
+    "text_repetition", "rerank_topk", "pii_scrub", "vocab_drift",
+    "mix_plan", "token_histogram", "quality_calibration",
+    "dedup_survivors", "graph_pagerank", "graph_pagerank_dangling",
+    "graph_components", "graph_components_star", "graph_triangles",
+    # lineitem / customer-driven
+    "graph_two_hop", "similarity_join", "group_topk_ties",
+]
+
+
+def main(names: list[str]) -> None:
+    from __spark_entry__ import queries
+
+    from research_index_backend_spark.session import get_spark
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_FULL.json")) as fh:
+        prior = json.load(fh)["queries"]
+    spark = get_spark(cpus="32")
+    qs = queries()
+
+    def run(name, sf_dir):
+        qs[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+
+    run("flagship_contains_tag", "/root/testdata/sf0.1")  # warmup
+    suspects = {}
+    for name in names:
+        best = None
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(name, "/tmp/sf1")
+                t = round(time.perf_counter() - t0, 2)
+                best = t if best is None else min(best, t)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            print(f"{name}: ERR {str(exc)[:120]}", flush=True)
+            continue
+        p = prior.get(name)
+        ratio = round(best / p, 1) if p else None
+        print(f"{name:28s} sf0.1={p} sf1={best} ratio={ratio}", flush=True)
+        if ratio and ratio > 10:
+            suspects[name] = ratio
+    print("SUSPECTS", json.dumps(suspects))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or SCALED)
