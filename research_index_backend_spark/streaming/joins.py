@@ -68,3 +68,21 @@ def views_to_purchases_stream(events: DataFrame,
         F.col("l_event_id").alias("view_id"),
         F.col("r_event_id").alias("purchase_id"),
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-STATIC enrichment join: every micro-batch joins against the
+    static dimension (user profile, country table) — the third join
+    shape next to stream-stream (above) and batch-batch.
+
+    Unlike stream-stream, no watermark and no state store: the static
+    side is re-resolved per micro-batch, so the join is stateless. The
+    dim is broadcast-hinted — a streaming enrichment dim must fit the
+    executors by design; if it doesn't, the scale move is bucketing the
+    dim on the key (operators/bucketing.py) so each micro-batch
+    co-locates instead of shuffling the stream. Left join keeps events
+    whose key is missing from the dim (nulls, not drops) — attribution
+    must never lose events to a stale dimension.
+    """
+    return stream.join(F.broadcast(dim), key, how)

@@ -292,3 +292,44 @@ class TestStreamStreamJoin:
         got = {(r["user_id"], r["view_id"], r["purchase_id"])
                for r in spark.sql("SELECT * FROM ssj_out").collect()}
         assert got == batch
+
+
+class TestStreamStaticJoin:
+    def test_enrich_matches_batch_and_keeps_unmatched(self, spark, tmp_path):
+        """Stream-static enrichment must equal the batch join and keep
+        events whose key is absent from the dim (left semantics)."""
+        from research_index_backend_spark.plans.queries import _t
+        from research_index_backend_spark.streaming.joins import enrich_stream
+
+        sf = "/root/testdata/sf0.001"
+        ev = (_t(spark, sf, "events")
+              .select("event_id", "user_id", "event_type", "ts"))
+        # dim covers only even user ids -> odd ids must survive with null
+        dim = (ev.select("user_id").distinct()
+               .filter(F.col("user_id") % 2 == 0)
+               .withColumn("segment",
+                           F.concat(F.lit("seg"),
+                                    (F.col("user_id") % 3).cast("string"))))
+        batch = {(r["event_id"], r["segment"])
+                 for r in ev.join(dim, "user_id", "left").collect()}
+        assert any(s is None for _, s in batch)      # unmatched kept
+        assert any(s is not None for _, s in batch)  # matched enriched
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = ev.orderBy("ts").collect()
+        n = len(rows)
+        for i in range(3):
+            spark.createDataFrame(rows[i * n // 3:(i + 1) * n // 3],
+                                  ev.schema).coalesce(1) \
+                .write.parquet(str(src / f"b{i}"))
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = (enrich_stream(stream, dim, "user_id")
+             .writeStream.format("memory").queryName("enrich_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r["event_id"], r["segment"])
+               for r in spark.sql("SELECT * FROM enrich_out").collect()}
+        assert got == batch
