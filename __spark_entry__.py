@@ -41,6 +41,10 @@ from research_index_backend_spark.plans.queries_ext4 import (  # noqa: E402
     ORACLE_EXT4,
     QUERIES_EXT4,
 )
+from research_index_backend_spark.plans.queries_ext5 import (  # noqa: E402
+    ORACLE_EXT5,
+    QUERIES_EXT5,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,6 +66,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r06.json and stays covered by tools/check.py locally.
 _VERIFY_FIRST = (
     # --- never officially checked (new this round) ---
+    "cube_report", "ohlc_downsample", "median_mode_report",
+    "markov_transitions", "kmv_distinct", "bloom_probe",
+    "zscore_outliers", "token_entropy",
     "graph_motif_wedge", "graph_motif_path", "asof_tolerance",
     "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration",
@@ -93,10 +100,10 @@ def _ordered(mapping: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
-                     **QUERIES_EXT3, **QUERIES_EXT4})
+                     **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
-                     **ORACLE_EXT4})
+                     **ORACLE_EXT4, **ORACLE_EXT5})

@@ -1,0 +1,551 @@
+"""Catalog extension 5 (round 7, second wave). Every entry is
+oracle-checked against DuckDB like the rest of the catalog.
+
+Warehouse / timeseries:
+
+  cube_report         full CUBE lattice with GROUPING flags
+  ohlc_downsample     hypertable-style hourly OHLC downsample
+  median_mode_report  exact median + deterministic mode per group
+  markov_transitions  event-type transition matrix (order-1 Markov)
+
+Sketches / probabilistic structures (deterministic by construction, so
+they stay oracle-checkable — md5-derived hashes, no RNG):
+
+  kmv_distinct        K-minimum-values distinct-count sketch vs exact
+  bloom_probe         Bloom-filter pre-join membership w/ measured FPs
+
+Training-data pipeline:
+
+  zscore_outliers     per-group standardization + tail flagging
+  token_entropy       per-doc Shannon token entropy (sorted fold)
+
+Cross-engine determinism rules used throughout (see SURVEY 4.4): money
+and metric doubles are quantized to integer cents BEFORE aggregation so
+sums are exact int64; any genuinely-real-valued reduction (entropy) folds
+in sorted key order on both engines; hashes are md5-derived; final
+doubles are computed from exact integer inputs with the identical
+expression tree, then quantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _t
+
+QUERIES_EXT5: dict = {}
+ORACLE_EXT5: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# cube_report — full CUBE lattice with GROUPING flags
+# ---------------------------------------------------------------------------
+
+
+def q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set levels
+    in ONE aggregation pass (reference's per-report pandas groupbys are
+    one lattice level each — models.py report endpoints).
+
+    Catalyst expands CUBE to a single Expand + hash aggregate: the
+    lineitem scan happens once, map-side partial aggs combine before the
+    one shuffle, and the 4x row expansion is on the narrow projected
+    columns only — at 100 TB the cost is one pass over 2 columns + cents,
+    not four passes over the table. Doubles are quantized to cents
+    per-row BEFORE the sum so every engine's total is the same int64.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    base = l.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"))
+    return (base.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("qty_c").alias("sum_qty_c"),
+                 F.sum("price_c").alias("sum_price_c"),
+                 F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("int").alias("g_status"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+                    "g_flag", "g_status", "n_rows", "sum_qty_c",
+                    "sum_price_c"))
+
+
+ORACLE_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       count(*) AS n_rows,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ohlc_downsample — hypertable-style hourly OHLC rollup
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly open/high/low/close/volume per event_type — the hypertable
+    continuous-aggregate shape (downsample a tick stream into bars).
+
+    Open/close are position-based, so the plan is ONE window sort per
+    (type, hour) partition: row_number ascending + the partition count
+    picks the first and last tick (rn=1 / rn=n), then conditional
+    aggregation collapses the bar. One shuffle on the bucket key, one
+    sort, no self-join of first/last subqueries, no second descending
+    sort. Values are int cents; ties on ts break by event_id so the bar
+    is engine- and partitioning-invariant.
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("bar_ts"),
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"))
+    w = Window.partitionBy("event_type", "bar_ts").orderBy("ts", "event_id")
+    wall = Window.partitionBy("event_type", "bar_ts")
+    ranked = base.select(
+        "event_type", "bar_ts", "value_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    return (ranked.groupBy("event_type", "bar_ts")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("value_c")))
+                 .alias("open_c"),
+                 F.max("value_c").alias("high_c"),
+                 F.min("value_c").alias("low_c"),
+                 F.max(F.when(F.col("rn") == F.col("n"), F.col("value_c")))
+                 .alias("close_c"),
+                 F.count(F.lit(1)).alias("volume")))
+
+
+ORACLE_OHLC = """
+WITH base AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_ts,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), ranked AS (
+  SELECT event_type, bar_ts, value_c,
+         row_number() OVER (PARTITION BY event_type, bar_ts
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type, bar_ts) AS n
+  FROM base
+)
+SELECT event_type, bar_ts,
+       max(CASE WHEN rn = 1 THEN value_c END) AS open_c,
+       max(value_c) AS high_c,
+       min(value_c) AS low_c,
+       max(CASE WHEN rn = n THEN value_c END) AS close_c,
+       count(*) AS volume
+FROM ranked GROUP BY event_type, bar_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# median_mode_report — exact median + deterministic mode per group
+# ---------------------------------------------------------------------------
+
+
+def q_median_mode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median and a DETERMINISTIC mode per event
+    type. `mode()` ties are engine-arbitrary, so the mode here is
+    "smallest value among the most frequent" — a total order, computed
+    as count -> row_number, identical everywhere.
+
+    Median runs on int cents (even-count interpolation lands on exact
+    .5 halves, bit-identical in any IEEE engine). The mode branch
+    reuses the same cents projection; both shuffles are on the 5-row
+    group key, and the mode's (type, value) pre-aggregate combines
+    map-side so the window only ever sees distinct values per type.
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_type",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("value_c"))
+    med = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.median("value_c").alias("median_c"))
+    counts = base.groupBy("event_type", "value_c") \
+                 .agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type") \
+              .orderBy(F.col("c").desc(), F.col("value_c"))
+    mode = counts.select("event_type", "value_c", "c",
+                         F.row_number().over(w).alias("rn")) \
+                 .filter(F.col("rn") == 1) \
+                 .select("event_type", F.col("value_c").alias("mode_c"),
+                         F.col("c").alias("mode_n"))
+    return med.join(mode, "event_type")
+
+
+ORACLE_MEDIAN_MODE = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), med AS (
+  SELECT event_type, count(*) AS n_rows, median(value_c) AS median_c
+  FROM base GROUP BY event_type
+), counts AS (
+  SELECT event_type, value_c, count(*) AS c
+  FROM base GROUP BY event_type, value_c
+), mode AS (
+  SELECT event_type, value_c AS mode_c, c AS mode_n
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c DESC, value_c) AS rn
+        FROM counts)
+  WHERE rn = 1
+)
+SELECT med.event_type, n_rows, median_c, mode_c, mode_n
+FROM med JOIN mode USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions — order-1 event transition matrix
+# ---------------------------------------------------------------------------
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts + row-normalized
+    probabilities — the order-1 Markov matrix behind session modeling
+    and next-event prediction features.
+
+    LEAD over (user_id ORDER BY ts, event_id) is one shuffle on
+    user_id; the transition count is a map-side-combinable agg over a
+    25-cell key space; the probability divides two exact int64 counts
+    in double and floors at 1e-6, so there is no float-sum ordering
+    anywhere. At 100 TB the per-user sort is the only real cost and is
+    exactly the sessionization shuffle every event pipeline already
+    pays — this composes with it for free.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull()))
+    counts = pairs.groupBy(F.col("event_type").alias("from_type"),
+                           "next_type") \
+                  .agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "next_type", "n",
+        F.floor(F.col("n") * 1_000_000
+                / F.sum("n").over(wrow)).alias("p_e6"))
+
+
+ORACLE_MARKOV = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT from_type, next_type, count(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY from_type, next_type
+)
+SELECT from_type, next_type, n,
+       CAST(floor(n * 1000000.0 / sum(n) OVER (PARTITION BY from_type))
+            AS BIGINT) AS p_e6
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct — K-minimum-values distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 32)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group, reported
+    next to the exact count so the estimate is auditable.
+
+    HLL/approx_count_distinct is engine-specific and unverifiable; KMV
+    with an md5-derived 32-bit hash is fully deterministic, so the
+    sketch itself is oracle-checkable: hash each distinct key to
+    [0, 2^32), keep the k smallest per group, estimate
+    (k-1) * 2^32 / h_k.  At 100 TB the k-smallest is a bounded-state
+    per-partition heap that merges associatively — the shuffle carries
+    at most k values per (group, partition), never the key set; the
+    window formulation here compiles to one sort of the DISTINCT keys,
+    which the pre-aggregate has already collapsed map-side.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    keys = l.select(F.col("l_returnflag").alias("grp"), "l_partkey") \
+            .distinct()
+    h = F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    w = Window.partitionBy("grp").orderBy("h", "l_partkey")
+    ranked = keys.select("grp", "l_partkey", h.alias("h")) \
+                 .select("grp", "h", F.row_number().over(w).alias("rn"))
+    return (ranked.groupBy("grp")
+            .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+                 .alias("h_k"),
+                 F.count(F.lit(1)).alias("n_exact"))
+            .select(
+                "grp", "n_exact",
+                F.when(F.col("h_k").isNull(), F.col("n_exact"))
+                .otherwise(F.floor(F.lit((_KMV_K - 1) * _KMV_SPACE)
+                                   / F.col("h_k")))
+                .cast("bigint").alias("kmv_est"))
+            )
+
+
+ORACLE_KMV = f"""
+WITH keys AS (
+  SELECT DISTINCT l_returnflag AS grp, l_partkey FROM lineitem
+), hashed AS (
+  SELECT grp, l_partkey,
+         CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM keys
+), ranked AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h, l_partkey) AS rn
+  FROM hashed
+)
+SELECT grp, count(*) AS n_exact,
+       CAST(coalesce(
+           floor({(_KMV_K - 1) * _KMV_SPACE} / max(CASE WHEN rn = {_KMV_K}
+                                                        THEN h END)),
+           count(*)) AS BIGINT) AS kmv_est
+FROM ranked GROUP BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# bloom_probe — deterministic Bloom-filter pre-join membership
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096   # bits
+_BLOOM_HASHES = 3
+_BLOOM_BUILD_MAX_SIZE = 5   # build set: parts with p_size <= 5
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-join, with its false positives
+    MEASURED against the exact semi-join: build a 4096-bit / 3-hash
+    filter over the small part subset, probe every distinct lineitem
+    partkey through it, and report pass/true/false-positive counts.
+
+    This is the join-pruning structure Spark's runtime row-group bloom
+    (spark.sql.optimizer.runtime.bloomFilter) applies implicitly — made
+    explicit and deterministic (md5 bit positions, no RNG) so the FP
+    rate itself is an oracle-checked quantity. At 100 TB the bit table
+    is m distinct positions at most (here <=600 rows, broadcast), the
+    probe explodes each key into k=3 rows, and membership is
+    "all 3 positions hit" — a broadcast join + count==3, never a
+    shuffle of the big side against the build side.
+    """
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    js = F.array(*[F.lit(j) for j in range(1, _BLOOM_HASHES + 1)])
+
+    def bitpos(key, j):
+        return (F.conv(F.substring(
+            F.md5(F.concat_ws("/", j.cast("string"), key.cast("string"))),
+            1, 8), 16, 10).cast("bigint") % _BLOOM_M)
+
+    build = p.filter(F.col("p_size") <= _BLOOM_BUILD_MAX_SIZE) \
+             .select("p_partkey")
+    bits = (build.select(F.explode(js).alias("j"), "p_partkey")
+            .select(bitpos(F.col("p_partkey"), F.col("j")).alias("bit"))
+            .distinct())
+
+    probe = l.select("l_partkey").distinct()
+    probed = (probe.select("l_partkey", F.explode(js).alias("j"))
+              .select("l_partkey",
+                      bitpos(F.col("l_partkey"), F.col("j")).alias("bit"))
+              .join(F.broadcast(bits), "bit")
+              .groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).alias("hits"))
+              .filter(F.col("hits") == _BLOOM_HASHES)
+              .select("l_partkey"))
+
+    truth = probe.join(build.withColumnRenamed("p_partkey", "l_partkey"),
+                       "l_partkey", "semi")
+    n_probe = probe.agg(F.count(F.lit(1)).alias("n_probed"))
+    n_pass = probed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return (n_probe.crossJoin(n_pass).crossJoin(n_true)
+            .select("n_probed", "n_bloom_pass", "n_true",
+                    (F.col("n_bloom_pass") - F.col("n_true"))
+                    .alias("n_false_pos")))
+
+
+ORACLE_BLOOM = f"""
+WITH build AS (
+  SELECT p_partkey FROM part WHERE p_size <= {_BLOOM_BUILD_MAX_SIZE}
+), bits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '/',
+                                             CAST(p_partkey AS VARCHAR))),
+                                  1, 8)) AS BIGINT) % {_BLOOM_M} AS bit
+  FROM build, generate_series(1, {_BLOOM_HASHES}) t(j)
+), probe AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+), hits AS (
+  SELECT l_partkey
+  FROM (SELECT p.l_partkey,
+               CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '/',
+                                        CAST(p.l_partkey AS VARCHAR))),
+                                        1, 8)) AS BIGINT) % {_BLOOM_M} AS bit
+        FROM probe p, generate_series(1, {_BLOOM_HASHES}) t(j)) x
+  WHERE bit IN (SELECT bit FROM bits)
+  GROUP BY l_partkey HAVING count(*) = {_BLOOM_HASHES}
+), truth AS (
+  SELECT l_partkey FROM probe
+  WHERE l_partkey IN (SELECT p_partkey FROM build)
+)
+SELECT (SELECT count(*) FROM probe) AS n_probed,
+       (SELECT count(*) FROM hits) AS n_bloom_pass,
+       (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM hits) - (SELECT count(*) FROM truth)
+         AS n_false_pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers — per-group standardization + tail flag
+# ---------------------------------------------------------------------------
+
+_Z_THRESHOLD = 3.0
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score standardization, keeping the z > 3 right
+    tail — the anomaly/outlier-flagging primitive.
+
+    Mean and sample stddev come from exact int64 sums (n, sum(cents),
+    sum(cents^2)) so the per-type stats are bit-identical everywhere;
+    z is then one double expression over those exact ints, evaluated
+    with the same tree in both engines. The stats aggregate is 5 rows —
+    broadcast back onto the stream, so flagging is a map-only pass over
+    events (no window, no second shuffle of the fact table).
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("value_c"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("s1"),
+        F.sum(F.col("value_c") * F.col("value_c")).alias("s2"))
+    z = ((F.col("value_c") - F.col("s1") / F.col("n"))
+         / F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                  / (F.col("n") - 1)))
+    return (base.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type", "value_c",
+                    F.floor(z * 10_000).alias("z_e4"))
+            .filter(F.col("z_e4") > int(_Z_THRESHOLD * 10_000)))
+
+
+ORACLE_ZSCORE = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), stats AS (
+  SELECT event_type, count(*) AS n, sum(value_c) AS s1,
+         sum(value_c * value_c) AS s2
+  FROM base GROUP BY event_type
+)
+SELECT event_id, base.event_type, value_c,
+       CAST(floor((value_c - s1 / CAST(n AS DOUBLE))
+                  / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n) / (n - 1))
+                  * 10000) AS BIGINT) AS z_e4
+FROM base JOIN stats USING (event_type)
+WHERE CAST(floor((value_c - s1 / CAST(n AS DOUBLE))
+                 / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n) / (n - 1))
+                 * 10000) AS BIGINT) > {int(_Z_THRESHOLD * 10_000)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_entropy — per-doc Shannon entropy of the token distribution
+# ---------------------------------------------------------------------------
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution —
+    low-entropy docs are boilerplate/repetition (the Gopher-style
+    quality signal complementing text_repetition's n-gram fractions).
+
+    H = log2(N) - (sum_t c_t*log2(c_t)) / N from exact integer token
+    counts. The inner sum is real-valued, so it folds in sorted-token
+    order on both engines (F.aggregate over sort_array / list_reduce
+    over list(... ORDER BY), same discipline as bm25/lm scores) —
+    hash-agg double sums are partition-order-nondeterministic and would
+    flap the oracle. One explode + one (doc, token) agg + one per-doc
+    agg; everything combines map-side and the output is 3 narrow
+    columns.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    counts = (d.select("doc_id", F.explode(toks).alias("term"))
+              .groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).alias("c")))
+    return (counts.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.sort_array(F.collect_list(F.struct("term", "c")))
+                 .alias("cs"))
+            .select(
+                "doc_id", "n_tokens",
+                F.round((F.log2("n_tokens")
+                         - F.aggregate(F.col("cs"), F.lit(0.0),
+                                       lambda acc, s:
+                                       acc + s["c"] * F.log2(s["c"]))
+                         / F.col("n_tokens")) * 1e6)
+                .cast("bigint").alias("entropy_e6")))
+
+
+ORACLE_TOKEN_ENTROPY = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+)
+SELECT doc_id, sum(c) AS n_tokens,
+       CAST(round((log2(sum(c))
+                   - list_reduce(
+                       list_prepend(0.0,
+                           list(c * log2(c) ORDER BY term)),
+                       (acc, v) -> acc + v) / sum(c)) * 1e6) AS BIGINT)
+         AS entropy_e6
+FROM counts GROUP BY doc_id
+"""
+
+
+QUERIES_EXT5.update({
+    "cube_report": q_cube_report,
+    "ohlc_downsample": q_ohlc_downsample,
+    "median_mode_report": q_median_mode_report,
+    "markov_transitions": q_markov_transitions,
+    "kmv_distinct": q_kmv_distinct,
+    "bloom_probe": q_bloom_probe,
+    "zscore_outliers": q_zscore_outliers,
+    "token_entropy": q_token_entropy,
+})
+
+ORACLE_EXT5.update({
+    "cube_report": ORACLE_CUBE,
+    "ohlc_downsample": ORACLE_OHLC,
+    "median_mode_report": ORACLE_MEDIAN_MODE,
+    "markov_transitions": ORACLE_MARKOV,
+    "kmv_distinct": ORACLE_KMV,
+    "bloom_probe": ORACLE_BLOOM,
+    "zscore_outliers": ORACLE_ZSCORE,
+    "token_entropy": ORACLE_TOKEN_ENTROPY,
+})

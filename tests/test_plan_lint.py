@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     # 1-row broadcast corpus-totals cross join (same shape as bm25's
     # avgdl+N stats side)
     "vocab_drift",
+    # three 1-row count aggregates cross-joined into the final report row
+    "bloom_probe",
 }
 
 

@@ -1,0 +1,108 @@
+"""Plan-shape + semantics tests for catalog extension 5
+(plans.queries_ext5). Values are pinned by the DuckDB oracles
+(tools/check.py, driver correctness run); these pin the scale
+properties and the determinism contracts."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from research_index_backend_spark.plans import queries_ext5 as Q5
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_cube_is_one_pass_expand(self, spark):
+        """CUBE must compile to a single Expand + aggregate over one
+        lineitem scan — not four unioned per-level aggregations."""
+        p = plan_of(Q5.q_cube_report(spark, SF))
+        assert "Expand" in p
+        n_scans = sum("lineitem.parquet" in ln
+                      for ln in p.splitlines() if "Location" in ln)
+        assert n_scans == 1
+        assert "Union" not in p
+
+    def test_ohlc_single_sort(self, spark):
+        """Open/close via row_number + partition count must plan ONE
+        window sort — a first/last self-join or a second descending
+        sort would double the shuffle."""
+        p = plan_of(Q5.q_ohlc_downsample(spark, SF))
+        assert p.count("Sort ") <= 1
+        assert "SortMergeJoin" not in p
+
+    def test_bloom_bits_broadcast(self, spark):
+        """The bit table must broadcast — the probe side never
+        shuffles against the build side."""
+        p = plan_of(Q5.q_bloom_probe(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_zscore_stats_broadcast_no_window(self, spark):
+        """Flagging is a map-only pass: the 5-row stats aggregate
+        broadcasts back onto events; no window over the fact table."""
+        p = plan_of(Q5.q_zscore_outliers(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "Window" not in p
+
+
+class TestSemantics:
+    def test_cube_lattice_levels(self, spark):
+        rows = Q5.q_cube_report(spark, SF).collect()
+        levels = {(r["g_flag"], r["g_status"]) for r in rows}
+        assert levels == {(0, 0), (0, 1), (1, 0), (1, 1)}
+        grand = [r for r in rows if r["g_flag"] == 1 and r["g_status"] == 1]
+        assert len(grand) == 1
+        assert grand[0]["n_rows"] == sum(
+            r["n_rows"] for r in rows if (r["g_flag"], r["g_status"]) == (0, 0))
+
+    def test_ohlc_bounds(self, spark):
+        rows = Q5.q_ohlc_downsample(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["low_c"] <= r["open_c"] <= r["high_c"]
+            assert r["low_c"] <= r["close_c"] <= r["high_c"]
+            if r["volume"] == 1:
+                assert r["open_c"] == r["close_c"] == r["high_c"] == r["low_c"]
+
+    def test_markov_rows_sum_to_one(self, spark):
+        rows = Q5.q_markov_transitions(spark, SF).collect()
+        by_from = {}
+        for r in rows:
+            by_from.setdefault(r["from_type"], []).append(r["p_e6"])
+        for ps in by_from.values():
+            # floor quantization loses at most 1e-6 per cell
+            assert 1_000_000 - len(ps) <= sum(ps) <= 1_000_000
+
+    def test_kmv_estimate_within_bounds(self, spark):
+        rows = Q5.q_kmv_distinct(spark, SF).collect()
+        for r in rows:
+            if r["n_exact"] < Q5._KMV_K:
+                assert r["kmv_est"] == r["n_exact"]
+            else:
+                # KMV relative error ~ 1/sqrt(k-1) ≈ 13%; allow 4 sigma
+                assert abs(r["kmv_est"] - r["n_exact"]) < 0.5 * r["n_exact"]
+
+    def test_bloom_never_false_negative(self, spark):
+        r = Q5.q_bloom_probe(spark, SF).collect()[0]
+        assert r["n_bloom_pass"] >= r["n_true"]
+        assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true"]
+        assert r["n_probed"] >= r["n_bloom_pass"]
+
+    def test_entropy_bounds(self, spark):
+        rows = Q5.q_token_entropy(spark, SF).collect()
+        assert rows
+        for r in rows:
+            # 0 <= H <= log2(n_tokens) (+1 count for round-off)
+            assert -1 <= r["entropy_e6"]
+            import math
+            assert r["entropy_e6"] <= round(
+                math.log2(r["n_tokens"]) * 1e6) + 1
