@@ -528,6 +528,133 @@ FROM counts GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_ITERS = 2   # assign->update rounds before the reported assignment
+
+
+def _km_quantize(df: DataFrame) -> DataFrame:
+    """Embedding floats -> int64 milli-units so every later sum /
+    distance is exact integer arithmetic (float aggregation order can
+    never flap the result)."""
+    return df.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1000)
+                    .cast("bigint")).alias("v"))
+
+
+def _km_assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per point: K-row centroid table broadcasts, the
+    squared distance folds int64 lanes, ties break on cid."""
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (points.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn"))
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cid, dim) exact int sums, floor(mean) back to
+    the int lattice, reassembled in dim order."""
+    dims = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+    per_dim = dims.groupBy("cid", "pos").agg(
+        F.floor(F.sum("val") / F.count(F.lit(1)).cast("double"))
+        .cast("bigint").alias("cdim"))
+    return (per_dim.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cdim")))
+                 .alias("ps"))
+            .select("cid",
+                    F.transform("ps", lambda s: s["cdim"]).alias("cv")))
+
+
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table — 2 fixed iterations,
+    K=8, seeds = the 8 smallest vec_ids — reported as per-cluster size
+    and exact integer inertia.
+
+    Iterative ML on a DataFrame engine, kept ORACLE-CHECKABLE: every
+    quantity is integer-exact (milli-unit lattice, int64 squared
+    distances, floor-mean centroids), so a SQL engine replays the
+    identical trajectory — no RNG, no float-sum ordering, no "close
+    enough" tolerance. The things that normally make distributed
+    k-means nondeterministic are exactly the things that make it
+    unauditable; this plan removes them.
+
+    Scale shape (MLlib's own layout): centroids are a K-row broadcast —
+    assignment is map-side over the point partitions; the update is ONE
+    shuffle on (cid, dim) with map-side partial sums; iteration count
+    is fixed, and each round's K-row centroid table localCheckpoints so
+    the lineage doesn't re-run round i-1's assignment inside round i.
+    """
+    pts = _km_quantize(_t(spark, sf_dir, "embeddings")).localCheckpoint()
+    w = Window.orderBy("vec_id")
+    cents = (pts.orderBy("vec_id").limit(_KM_K)
+             .select((F.row_number().over(w) - 1).alias("cid"),
+                     F.col("v").alias("cv"))).localCheckpoint()
+    for _ in range(_KM_ITERS):
+        cents = _km_update(_km_assign(pts, cents)).localCheckpoint()
+    final = _km_assign(pts, cents)
+    return (final.groupBy(F.col("cid").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("d2").alias("inertia")))
+
+
+def _km_oracle() -> str:
+    dist = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(list_zip(q.v, s.cv), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)")
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM q ORDER BY vec_id LIMIT {_KM_K}
+)"""]
+    for i in range(_KM_ITERS):
+        parts.append(f""", a{i} AS (
+  SELECT vec_id, v, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn
+    FROM (SELECT q.vec_id, q.v, s.cid, {dist} AS d2
+          FROM q CROSS JOIN c{i} s))
+  WHERE rn = 1
+), c{i + 1} AS (
+  SELECT cid, list(cdim ORDER BY pos) AS cv FROM (
+    SELECT cid, i AS pos,
+           CAST(floor(sum(v[i]) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             AS cdim
+    FROM a{i}, generate_series(1, {_KM_DIM}) t(i)
+    GROUP BY cid, i) GROUP BY cid
+)""")
+    parts.append(f""", afinal AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn
+    FROM (SELECT q.vec_id, s.cid, {dist} AS d2
+          FROM q CROSS JOIN c{_KM_ITERS} s))
+  WHERE rn = 1
+)
+SELECT cid AS cluster_id, count(*) AS n_points,
+       CAST(sum(d2) AS BIGINT) AS inertia
+FROM afinal GROUP BY cid""")
+    return "".join(parts)
+
+
+ORACLE_KMEANS = _km_oracle()
+
+
 QUERIES_EXT5.update({
     "cube_report": q_cube_report,
     "ohlc_downsample": q_ohlc_downsample,
@@ -537,6 +664,7 @@ QUERIES_EXT5.update({
     "bloom_probe": q_bloom_probe,
     "zscore_outliers": q_zscore_outliers,
     "token_entropy": q_token_entropy,
+    "kmeans_embed": q_kmeans_embed,
 })
 
 ORACLE_EXT5.update({
@@ -548,4 +676,5 @@ ORACLE_EXT5.update({
     "bloom_probe": ORACLE_BLOOM,
     "zscore_outliers": ORACLE_ZSCORE,
     "token_entropy": ORACLE_TOKEN_ENTROPY,
+    "kmeans_embed": ORACLE_KMEANS,
 })

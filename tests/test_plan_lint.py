@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     "vocab_drift",
     # three 1-row count aggregates cross-joined into the final report row
     "bloom_probe",
+    # K-row centroid table broadcast against the point set each round
+    # (the MLlib assignment shape)
+    "kmeans_embed",
 }
 
 

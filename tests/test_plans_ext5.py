@@ -97,6 +97,31 @@ class TestSemantics:
         assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true"]
         assert r["n_probed"] >= r["n_bloom_pass"]
 
+    def test_kmeans_partitions_all_points(self, spark):
+        rows = Q5.q_kmeans_embed(spark, SF).collect()
+        assert len(rows) == Q5._KM_K
+        assert sum(r["n_points"] for r in rows) == 500
+        assert all(r["inertia"] > 0 for r in rows)
+
+    def test_kmeans_iterations_reduce_inertia(self, spark):
+        """2 Lloyd rounds must not increase total inertia vs the seed
+        assignment (monotone descent is the algorithm's invariant; the
+        floor-quantized centroid can lose at most K*dim/4 per round,
+        negligible vs the 1e8-scale inertia)."""
+        from research_index_backend_spark.plans.queries import _t
+        from pyspark.sql import functions as F
+        pts = Q5._km_quantize(_t(spark, SF, "embeddings")).localCheckpoint()
+        from pyspark.sql import Window
+        w = Window.orderBy("vec_id")
+        cents = (pts.orderBy("vec_id").limit(Q5._KM_K)
+                 .select((F.row_number().over(w) - 1).alias("cid"),
+                         F.col("v").alias("cv")))
+        seed_inertia = Q5._km_assign(pts, cents) \
+            .agg(F.sum("d2")).collect()[0][0]
+        final_inertia = sum(
+            r["inertia"] for r in Q5.q_kmeans_embed(spark, SF).collect())
+        assert final_inertia < seed_inertia
+
     def test_entropy_bounds(self, spark):
         rows = Q5.q_token_entropy(spark, SF).collect()
         assert rows
