@@ -529,6 +529,235 @@ FROM counts GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# corr_report — Pearson correlation + OLS line from exact 128-bit sums
+# ---------------------------------------------------------------------------
+
+
+def q_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson r, OLS slope and intercept between quantity and
+    price — the corr/covar/regr_* aggregate family, made cross-engine
+    deterministic.
+
+    The raw moments (n, Sx, Sy, Sxx, Syy, Sxy) accumulate in DECIMAL —
+    Spark's 128-bit decimal sum and DuckDB's HUGEINT are both EXACT, so
+    partial-aggregation order cannot wobble them (a naive corr() over
+    doubles is order-nondeterministic and would flap the oracle hash).
+    The closed-form r/slope/intercept is then ONE double expression over
+    those exact moments, identical tree in both engines. One map-side-
+    combinable aggregate, 3-row output; scales like any sum.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    base = l.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("decimal(18,0)").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+        .alias("y"))
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    slope = cov / vx
+    return m.select(
+        F.col("l_returnflag").alias("flag"), "n",
+        F.floor(cov / F.sqrt(vx * vy) * 1e6).alias("corr_e6"),
+        F.floor(slope * 1e6).alias("slope_e6"),
+        F.floor((sy - slope * sx) / nd).alias("intercept_c"))
+
+
+ORACLE_CORR = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM base GROUP BY flag
+)
+SELECT flag, n,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1e6) AS BIGINT) AS corr_e6,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1e6) AS BIGINT) AS slope_e6,
+       CAST(floor((CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_c
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# pmi_cooccur — collocation extraction by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 20
+_PMI_TOPK = 20
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI — the classic phrase /
+    multiword-expression miner (log2(N * c_xy / (c_x * c_y)) with a
+    min-count support floor).
+
+    Everything upstream of the final log2 is exact integers: bigram and
+    unigram counts, and the argument N*c_xy / (c_x*c_y) is one double
+    division of two exact int products — no float sums anywhere, so PMI
+    is engine-identical before e6 quantization. One tokenize pass feeds
+    both count tables; unigram counts join back onto the (tiny,
+    support-filtered) bigram side twice; top-k is TakeOrdered.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    uni = (d.select(F.explode(toks).alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    total = uni.agg(F.sum("c").alias("n_total"))
+    tokd = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bi = (tokd.select(F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("w1"),
+                            F.element_at("toks", i + 1).alias("w2"))))
+          .alias("b"))
+          .select("b.w1", "b.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+          .filter(F.col("c_xy") >= _PMI_MIN_COUNT))
+    scored = (bi
+              .join(uni.select(F.col("t").alias("w1"),
+                               F.col("c").alias("c_x")), "w1")
+              .join(uni.select(F.col("t").alias("w2"),
+                               F.col("c").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(total))
+              .select(
+                  "w1", "w2", "c_xy",
+                  F.floor(F.log2((F.col("n_total") * F.col("c_xy"))
+                                 .cast("double")
+                                 / (F.col("c_x") * F.col("c_y"))
+                                 .cast("double")) * 1e6)
+                  .alias("pmi_e6")))
+    return scored.orderBy(F.col("pmi_e6").desc(), "w1", "w2") \
+                 .limit(_PMI_TOPK)
+
+
+ORACLE_PMI = rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS toks
+  FROM documents
+), uni AS (
+  SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM tok)
+  GROUP BY t
+), total AS (
+  SELECT sum(c) AS n_total FROM uni
+), bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c_xy
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 1, 0))) s(i)
+  GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy,
+       CAST(floor(log2(CAST(t.n_total * c_xy AS DOUBLE)
+                       / CAST(ux.c * uy.c AS DOUBLE)) * 1e6) AS BIGINT)
+         AS pmi_e6
+FROM bi
+JOIN uni ux ON bi.w1 = ux.t
+JOIN uni uy ON bi.w2 = uy.t
+CROSS JOIN total t
+ORDER BY pmi_e6 DESC, w1, w2 LIMIT {_PMI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_depth — bounded multi-source BFS hop distance
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_DEPTH = 4
+_BFS_SEED_MOD = 10
+
+
+def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (<= 4 hops) over the symmetrized
+    supplier-part bipartite graph (same edge set as graph_pagerank),
+    seeded at suppliers with suppkey % 10 == 0 — the Cypher
+    shortestPath / variable-length-path surface ((a)-[*..4]->(b)).
+
+    Frontier expansion: each round joins ONLY the previous frontier
+    (not the full reached set) against the edge list, anti-joins what's
+    already reached, and unions into the distance table — so round r
+    touches O(frontier_r * avg_degree) rows, the textbook Pregel shape.
+    Depth is exact-by-construction (first reach = min hops). The edge
+    list localCheckpoints once and every round reuses it; rounds are a
+    fixed constant, so lineage stays flat. The DuckDB twin is a
+    recursive CTE over DISTINCT (node, depth) states with the same
+    depth cap.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    li = l.select("l_suppkey", "l_partkey").distinct()
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+        .localCheckpoint()
+    seeds = (li.select("l_suppkey").distinct()
+             .filter(F.col("l_suppkey") % _BFS_SEED_MOD == 0)
+             .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                     .alias("id"), F.lit(0).cast("int").alias("d")))
+    dist = seeds.localCheckpoint()
+    frontier = dist
+    for r in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (frontier.join(edges, frontier["id"] == edges["src"])
+               .select(F.col("dst").alias("id"),
+                       F.lit(r).cast("int").alias("d"))
+               .distinct())
+        new = nxt.join(dist, "id", "left_anti").localCheckpoint()
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    return dist.select(F.col("id").alias("node_id"), F.col("d").alias("depth"))
+
+
+ORACLE_BFS = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+), fwd AS (
+  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst FROM li
+), edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+), bfs(id, d) AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR), 0
+  FROM li WHERE l_suppkey % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, b.d + 1
+  FROM bfs b JOIN edges e ON b.id = e.src
+  WHERE b.d < {_BFS_MAX_DEPTH}
+)
+SELECT id AS node_id, CAST(min(d) AS INT) AS depth
+FROM bfs GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
 # ---------------------------------------------------------------------------
 
@@ -665,6 +894,9 @@ QUERIES_EXT5.update({
     "zscore_outliers": q_zscore_outliers,
     "token_entropy": q_token_entropy,
     "kmeans_embed": q_kmeans_embed,
+    "corr_report": q_corr_report,
+    "pmi_cooccur": q_pmi_cooccur,
+    "graph_bfs_depth": q_graph_bfs_depth,
 })
 
 ORACLE_EXT5.update({
@@ -677,4 +909,7 @@ ORACLE_EXT5.update({
     "zscore_outliers": ORACLE_ZSCORE,
     "token_entropy": ORACLE_TOKEN_ENTROPY,
     "kmeans_embed": ORACLE_KMEANS,
+    "corr_report": ORACLE_CORR,
+    "pmi_cooccur": ORACLE_PMI,
+    "graph_bfs_depth": ORACLE_BFS,
 })

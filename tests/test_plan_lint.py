@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     # K-row centroid table broadcast against the point set each round
     # (the MLlib assignment shape)
     "kmeans_embed",
+    # 1-row corpus-total cross join onto the support-filtered bigram side
+    "pmi_cooccur",
 }
 
 

@@ -122,6 +122,33 @@ class TestSemantics:
             r["inertia"] for r in Q5.q_kmeans_embed(spark, SF).collect())
         assert final_inertia < seed_inertia
 
+    def test_corr_in_unit_range(self, spark):
+        rows = Q5.q_corr_report(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert -1_000_000 <= r["corr_e6"] <= 1_000_000
+
+    def test_bfs_depths_alternate_bipartite(self, spark):
+        """On a bipartite graph seeded at suppliers, even depths are
+        supplier nodes and odd depths part nodes; depth 0 rows are
+        exactly the seeds."""
+        rows = Q5.q_graph_bfs_depth(spark, SF).collect()
+        assert rows
+        for r in rows:
+            side = r["node_id"][0]
+            assert side == ("s" if r["depth"] % 2 == 0 else "p")
+            assert 0 <= r["depth"] <= Q5._BFS_MAX_DEPTH
+        seeds = [r for r in rows if r["depth"] == 0]
+        assert all(int(r["node_id"][1:]) % Q5._BFS_SEED_MOD == 0
+                   for r in seeds)
+
+    def test_pmi_support_floor(self, spark):
+        rows = Q5.q_pmi_cooccur(spark, SF).collect()
+        assert 0 < len(rows) <= Q5._PMI_TOPK
+        assert all(r["c_xy"] >= Q5._PMI_MIN_COUNT for r in rows)
+        scores = [r["pmi_e6"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
     def test_entropy_bounds(self, spark):
         rows = Q5.q_token_entropy(spark, SF).collect()
         assert rows
