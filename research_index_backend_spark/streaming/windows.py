@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -51,6 +52,53 @@ def read_events_stream(spark: SparkSession, path: str,
         .schema(EVENT_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
+    )
+
+
+# The tick-shaped stream (events carrying a numeric value) for the OHLC
+# downsampler.
+PRICED_EVENT_STREAM_SCHEMA = StructType(
+    EVENT_STREAM_SCHEMA.fields[:] + [StructField("value", DoubleType())])
+
+
+def read_priced_events_stream(spark: SparkSession, path: str,
+                              max_files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream
+        .schema(PRICED_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def ohlc_bars_stream(events: DataFrame,
+                     width: str = "1 hour",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_ohlc_downsample: hourly OHLC bars per
+    event_type, maintained incrementally.
+
+    The batch query picks open/close positionally (row_number asc/
+    desc) — a sort is meaningless under incremental arrival, so the
+    streaming formulation uses min_by/max_by over the (ts, event_id)
+    total order instead: same answer (first/last tick by the same
+    tie-broken key), but expressed as an ASSOCIATIVE aggregate the
+    state store can merge per micro-batch. State per open bar is five
+    int64s + the argmin/argmax keys; the watermark closes bars and
+    evicts them.
+    """
+    key = F.struct("ts", "event_id")
+    return (
+        events.withColumn(
+            "value_c", F.round(F.col("value") * 100).cast("bigint"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.min_by("value_c", key).alias("open_c"),
+             F.max("value_c").alias("high_c"),
+             F.min("value_c").alias("low_c"),
+             F.max_by("value_c", key).alias("close_c"),
+             F.count(F.lit(1)).alias("volume"))
+        .select(F.col("w.start").alias("bar_start"), "event_type",
+                "open_c", "high_c", "low_c", "close_c", "volume")
     )
 
 

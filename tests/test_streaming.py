@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from research_index_backend_spark.streaming.windows import (
     foreach_batch_upsert,
+    ohlc_bars_stream,
     read_events_stream,
+    read_priced_events_stream,
     sessionized_stream,
     tumbling_counts_stream,
 )
@@ -53,6 +55,62 @@ class TestWindows:
             .select(F.col("w.start").alias("s"), "event_type", "n")
         )
         expected = {(r["s"], r["event_type"]): r["n"] for r in batch.collect()}
+        assert got == expected
+
+    def test_ohlc_stream_matches_batch_positional(self, spark,
+                                                  tmp_path_factory):
+        """The streaming min_by/max_by OHLC must equal the batch query's
+        row_number-positional open/close on the same ticks — including a
+        same-timestamp tie broken by event_id, and bars split across
+        micro-batches (maxFilesPerTrigger=1 with two source files forces
+        state merge across batches)."""
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [(i, i % 3, "click" if i % 2 == 0 else "view",
+                 base + dt.timedelta(minutes=11 * (i // 2)), "{}",
+                 float(100 + ((i * 37) % 50)) / 2)
+                for i in range(40)]  # pairs share a timestamp -> id ties
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "props",
+                   "value"])
+        path = str(tmp_path_factory.mktemp("ticks-src"))
+        df.filter("event_id < 20").coalesce(1).write.parquet(
+            path, mode="append")
+        df.filter("event_id >= 20").coalesce(1).write.parquet(
+            path, mode="append")
+
+        stream = read_priced_events_stream(spark, path)
+        _run_to_memory(ohlc_bars_stream(stream), "ohlc")
+        got = {(r["bar_start"], r["event_type"]):
+               (r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+                r["volume"])
+               for r in spark.sql("SELECT * FROM ohlc").collect()}
+
+        from pyspark.sql import Window
+        w = Window.partitionBy("event_type", "bar_start") \
+                  .orderBy("ts", "event_id")
+        wall = Window.partitionBy("event_type", "bar_start")
+        batch = (
+            spark.read.parquet(path)
+            .select("event_type",
+                    F.date_trunc("hour", "ts").alias("bar_start"), "ts",
+                    "event_id",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("value_c"))
+            .select("event_type", "bar_start", "value_c",
+                    F.row_number().over(w).alias("rn"),
+                    F.count(F.lit(1)).over(wall).alias("n"))
+            .groupBy("event_type", "bar_start")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("value_c")))
+                 .alias("open_c"),
+                 F.max("value_c").alias("high_c"),
+                 F.min("value_c").alias("low_c"),
+                 F.max(F.when(F.col("rn") == F.col("n"),
+                              F.col("value_c"))).alias("close_c"),
+                 F.count(F.lit(1)).alias("volume")))
+        expected = {(r["bar_start"], r["event_type"]):
+                    (r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+                     r["volume"])
+                    for r in batch.collect()}
         assert got == expected
 
     def test_sessionize_stream(self, spark, events_dir):
