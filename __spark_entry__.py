@@ -70,6 +70,7 @@ _VERIFY_FIRST = (
     "markov_transitions", "kmv_distinct", "bloom_probe",
     "zscore_outliers", "token_entropy", "kmeans_embed",
     "corr_report", "pmi_cooccur", "graph_bfs_depth",
+    "gapfill_ffill", "table_diff", "kcore_decompose",
     "graph_motif_wedge", "graph_motif_path", "asof_tolerance",
     "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration",

@@ -529,6 +529,230 @@ FROM counts GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# gapfill_ffill — dense time spine + forward-fill (hypertable gapfill)
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap-filling: densify the hourly grid over the full
+    observed range for every event type, then forward-fill missing
+    hours with the last observed hourly average (timescaledb
+    time_bucket_gapfill + locf, the resample/ffill of every metrics
+    pipeline).
+
+    The spine is generated from a 1-row min/max aggregate (sequence +
+    explode — no driver round-trip), crossed with the tiny type dim;
+    observations LEFT-join onto it so the fact table is scanned and
+    aggregated exactly once; the fill is one last(ignorenulls) running
+    window per type. Hour averages are floor(int cents / count) so the
+    filled values are engine-exact. Leading hours before a type's first
+    observation stay null — same contract as locf.
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"))
+    hourly = base.groupBy("event_type", "h").agg(
+        F.floor(F.sum("value_c") / F.count(F.lit(1)).cast("double"))
+        .cast("bigint").alias("avg_c"))
+    bounds = base.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence(
+        "h0", "h1", F.expr("interval 1 hour"))).alias("h"))
+    types = base.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = Window.partitionBy("event_type").orderBy("h") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    return (grid.join(hourly, ["event_type", "h"], "left")
+            .select("event_type",
+                    F.date_format("h", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour_ts"),
+                    F.last("avg_c", ignorenulls=True).over(w)
+                    .alias("filled_avg_c"),
+                    F.col("avg_c").isNull().alias("is_gap")))
+
+
+ORACLE_GAPFILL = """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), hourly AS (
+  SELECT event_type, h,
+         CAST(floor(sum(value_c) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+           AS avg_c
+  FROM base GROUP BY event_type, h
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM base
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), grid AS (
+  SELECT t.event_type, s.h
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM base) t
+)
+SELECT g.event_type,
+       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       last_value(hr.avg_c IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_avg_c,
+       hr.avg_c IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly hr
+  ON g.event_type = hr.event_type AND g.h = hr.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# table_diff — two-version reconciliation report
+# ---------------------------------------------------------------------------
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-diff reconciliation: FULL OUTER join two table versions
+    on the key and classify every key as unchanged / changed / added /
+    removed, with a content hash deciding "changed" — the data-eng
+    audit step behind every restatement / backfill / CDC validation.
+
+    The "new version" is derived deterministically from orders (keys
+    %13==0 deleted, %7==0 repriced +1%, a shifted-key slice appended)
+    so both engines construct identical inputs. Plan: one shuffle per
+    side on the join key, md5 row hashes compared JVM-side, and the
+    classification rolls up to a 4-row report — at scale this is the
+    canonical "compare 100 TB against yesterday" shape: co-partitioned
+    full-outer + tiny output.
+    """
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", "o_custkey", "o_orderstatus",
+                          F.round(F.col("o_totalprice") * 100)
+                          .cast("bigint").cast("string")))
+        .alias("row_hash"))
+    repriced = F.when(F.col("o_orderkey") % 7 == 0,
+                      F.round(F.col("o_totalprice") * 100 * 1.01)
+                      .cast("bigint"))\
+                .otherwise(F.round(F.col("o_totalprice") * 100)
+                           .cast("bigint"))
+    newv = (o.filter(F.col("o_orderkey") % 13 != 0)
+            .select("o_orderkey",
+                    F.md5(F.concat_ws("|", "o_custkey", "o_orderstatus",
+                                      repriced.cast("string")))
+                    .alias("row_hash"))
+            .unionAll(
+                o.filter(F.col("o_orderkey") % 11 == 0)
+                .select((F.col("o_orderkey") + 10_000_000)
+                        .alias("o_orderkey"),
+                        F.md5(F.concat_ws(
+                            "|", "o_custkey", "o_orderstatus",
+                            F.round(F.col("o_totalprice") * 100)
+                            .cast("bigint").cast("string")))
+                        .alias("row_hash"))))
+    j = base.withColumnRenamed("row_hash", "h_old").join(
+        newv.withColumnRenamed("row_hash", "h_new"),
+        "o_orderkey", "full_outer")
+    cls = (F.when(F.col("h_old").isNull(), F.lit("added"))
+           .when(F.col("h_new").isNull(), F.lit("removed"))
+           .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+           .otherwise(F.lit("changed")))
+    return (j.select(cls.alias("diff_class"))
+            .groupBy("diff_class").agg(F.count(F.lit(1)).alias("n_keys")))
+
+
+ORACLE_TABLE_DIFF = """
+WITH base AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', o_custkey, o_orderstatus,
+                       CAST(round(o_totalprice * 100) AS BIGINT)))
+           AS h_old
+  FROM orders
+), newv AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(round(o_totalprice * 100 * 1.01) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END))
+           AS h_new
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000,
+         md5(concat_ws('|', o_custkey, o_orderstatus,
+                       CAST(round(o_totalprice * 100) AS BIGINT)))
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old = h_new THEN 'unchanged'
+            ELSE 'changed' END AS diff_class,
+       count(*) AS n_keys
+FROM base FULL OUTER JOIN newv USING (o_orderkey)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# kcore_decompose — k-core via fixed-round peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 6
+
+
+def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core membership (k=4) of the symmetrized order-supplier
+    bipartite graph by iterative peeling: drop nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat — the dense-
+    community extraction primitive (spam cliques, hub detection).
+
+    Fixed peel rounds (6 — a fixpoint at test SF, asserted in pytest by
+    round 6 == round 5 output) keep both engines on the identical
+    unrolled recurrence, the same discipline as the PageRank/k-means
+    oracles. Each round is one degree aggregate + one semi-join per
+    edge endpoint — all hash-partition-friendly; the edge list
+    localCheckpoints once. Peeling converges from above, so rounds are
+    monotone shrinking and a lineage-flat loop.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    li = l.select("l_suppkey", "l_orderkey").distinct()
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+        .localCheckpoint()
+    cur = edges
+    for _ in range(_KCORE_ROUNDS):
+        keep = (cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= _KCORE_K)
+                .select("src").localCheckpoint())
+        cur = (cur.join(keep, "src", "semi")
+               .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+               .localCheckpoint())
+    return (cur.groupBy(F.col("src").alias("node_id"))
+            .agg(F.count(F.lit(1)).alias("core_degree")))
+
+
+def _kcore_oracle() -> str:
+    parts = [f"""
+WITH li AS (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem),
+fwd AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'o' || CAST(l_orderkey AS VARCHAR) AS dst FROM li),
+e0 AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)"""]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(f""",
+k{i} AS (SELECT src FROM e{i} GROUP BY src
+         HAVING count(*) >= {_KCORE_K}),
+e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e
+             WHERE e.src IN (SELECT src FROM k{i})
+               AND e.dst IN (SELECT src FROM k{i}))""")
+    parts.append(f"""
+SELECT src AS node_id, count(*) AS core_degree
+FROM e{_KCORE_ROUNDS} GROUP BY src""")
+    return "".join(parts)
+
+
+ORACLE_KCORE = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
 # corr_report — Pearson correlation + OLS line from exact 128-bit sums
 # ---------------------------------------------------------------------------
 
@@ -897,6 +1121,9 @@ QUERIES_EXT5.update({
     "corr_report": q_corr_report,
     "pmi_cooccur": q_pmi_cooccur,
     "graph_bfs_depth": q_graph_bfs_depth,
+    "gapfill_ffill": q_gapfill_ffill,
+    "table_diff": q_table_diff,
+    "kcore_decompose": q_kcore_decompose,
 })
 
 ORACLE_EXT5.update({
@@ -912,4 +1139,7 @@ ORACLE_EXT5.update({
     "corr_report": ORACLE_CORR,
     "pmi_cooccur": ORACLE_PMI,
     "graph_bfs_depth": ORACLE_BFS,
+    "gapfill_ffill": ORACLE_GAPFILL,
+    "table_diff": ORACLE_TABLE_DIFF,
+    "kcore_decompose": ORACLE_KCORE,
 })

@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "kmeans_embed",
     # 1-row corpus-total cross join onto the support-filtered bigram side
     "pmi_cooccur",
+    # hour spine (from a 1-row bounds agg) crossed with the 5-row type dim
+    "gapfill_ffill",
 }
 
 

@@ -149,6 +149,45 @@ class TestSemantics:
         scores = [r["pmi_e6"] for r in rows]
         assert scores == sorted(scores, reverse=True)
 
+    def test_gapfill_grid_dense_and_filled(self, spark):
+        rows = Q5.q_gapfill_ffill(spark, SF).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        sizes = {len(v) for v in by_type.values()}
+        assert len(sizes) == 1  # every type has the full dense spine
+        for v in by_type.values():
+            v.sort(key=lambda r: r["hour_ts"])
+            seen = None
+            for r in v:
+                if not r["is_gap"]:
+                    seen = r["filled_avg_c"]
+                elif seen is not None:
+                    assert r["filled_avg_c"] is not None  # locf carried
+
+    def test_table_diff_classes_complete(self, spark):
+        rows = {r["diff_class"]: r["n_keys"]
+                for r in Q5.q_table_diff(spark, SF).collect()}
+        assert set(rows) == {"added", "removed", "changed", "unchanged"}
+        assert all(n > 0 for n in rows.values())
+
+    def test_kcore_is_fixpoint_and_min_degree(self, spark):
+        """6 peel rounds must reach the fixpoint at test SF (round 7
+        changes nothing) and every surviving node has induced degree
+        >= k."""
+        rows = Q5.q_kcore_decompose(spark, SF).collect()
+        assert rows
+        assert all(r["core_degree"] >= Q5._KCORE_K for r in rows)
+        import research_index_backend_spark.plans.queries_ext5 as mod
+        orig = mod._KCORE_ROUNDS
+        try:
+            mod._KCORE_ROUNDS = orig + 1
+            more = Q5.q_kcore_decompose(spark, SF).collect()
+        finally:
+            mod._KCORE_ROUNDS = orig
+        assert sorted((r["node_id"], r["core_degree"]) for r in rows) == \
+            sorted((r["node_id"], r["core_degree"]) for r in more)
+
     def test_entropy_bounds(self, spark):
         rows = Q5.q_token_entropy(spark, SF).collect()
         assert rows
