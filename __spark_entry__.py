@@ -71,6 +71,8 @@ _VERIFY_FIRST = (
     "zscore_outliers", "token_entropy", "kmeans_embed",
     "corr_report", "pmi_cooccur", "graph_bfs_depth",
     "gapfill_ffill", "table_diff", "kcore_decompose",
+    "ewma_report", "cascade_delete_audit", "table_profile",
+    "sliding_distinct_users",
     "graph_motif_wedge", "graph_motif_path", "asof_tolerance",
     "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration",

@@ -982,6 +982,266 @@ FROM bfs GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# ewma_report — exponentially weighted moving average (sorted fold)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def q_ewma_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA of the hourly value average per event type
+    (alpha=0.3) — the smoothed-metric primitive behind alerting
+    baselines and trend dashboards.
+
+    EWMA is an inherently SEQUENTIAL recurrence, the canonical
+    'this can't be a hash aggregate' op: the fold runs over the hourly
+    series in ascending hour order on both engines (F.aggregate over
+    sort_array / list_reduce over list(... ORDER BY)), the same
+    discipline as the BM25/entropy folds. Upstream is exact: hourly
+    means are floor(int cents / n). Per type the folded list is one
+    row per hour — bounded state (hours, not events), so the
+    collect_list is a downsample aggregate, never the raw stream.
+    Zero-seeded (acc0 = 0.0, identical both engines; the first hours
+    carry the usual zero-seed bias, as documented).
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.select("event_type", F.date_trunc("hour", "ts").alias("h"),
+                       F.round(F.col("value") * 100).cast("bigint")
+                       .alias("value_c"))
+              .groupBy("event_type", "h")
+              .agg(F.floor(F.sum("value_c")
+                           / F.count(F.lit(1)).cast("double"))
+                   .cast("bigint").alias("avg_c")))
+    a = F.lit(_EWMA_ALPHA).cast("double")
+    return (hourly.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.sort_array(F.collect_list(F.struct("h", "avg_c")))
+                 .alias("series"))
+            .select("event_type", "n_hours",
+                    F.floor(F.aggregate(
+                        "series", F.lit(0.0).cast("double"),
+                        lambda acc, s: a * s["avg_c"].cast("double")
+                        + (F.lit(1.0).cast("double") - a) * acc) * 1e4)
+                    .alias("ewma_e4")))
+
+
+ORACLE_EWMA = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(floor(sum(CAST(round(value * 100) AS BIGINT))
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, count(*) AS n_hours,
+       CAST(floor(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(CAST(avg_c AS DOUBLE) ORDER BY h)),
+           (acc, x) -> CAST({_EWMA_ALPHA} AS DOUBLE) * x
+                       + (CAST(1.0 AS DOUBLE)
+                          - CAST({_EWMA_ALPHA} AS DOUBLE)) * acc)
+           * 1e4) AS BIGINT) AS ewma_e4
+FROM hourly GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cascade_delete_audit — multi-table delete propagation report
+# ---------------------------------------------------------------------------
+
+_DEL_MOD = 50
+
+
+def q_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style cascade-delete audit: given a customer delete list
+    (custkey % 50 == 0), count what a cascade would remove and keep in
+    customer -> orders -> lineitem — the dry-run report every
+    right-to-erasure pipeline produces before touching data.
+
+    The delete KEY SET is small and broadcasts (customer keys, then the
+    affected order keys); each fact table is classified by a broadcast
+    semi-join probe expressed as a left join + conditional count, so no
+    big table ever shuffles. Output is a 3-row rollup.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    del_cust = c.filter(F.col("c_custkey") % _DEL_MOD == 0) \
+                .select("c_custkey")
+    n_cust = c.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("c_custkey") % _DEL_MOD == 0).cast("bigint"))
+        .alias("n_deleted"))
+    o_tag = o.join(F.broadcast(del_cust),
+                   o["o_custkey"] == del_cust["c_custkey"], "left")
+    n_ord = o_tag.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("c_custkey").isNotNull().cast("bigint"))
+        .alias("n_deleted"))
+    del_orders = o_tag.filter(F.col("c_custkey").isNotNull()) \
+                      .select(F.col("o_orderkey").alias("l_orderkey"))
+    l_tag = l.join(F.broadcast(del_orders), "l_orderkey", "left_semi")
+    n_li = l.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        l_tag.agg(F.count(F.lit(1)).alias("n_deleted")))
+    return (n_cust.select(F.lit("customer").alias("table_name"),
+                          "n_total", "n_deleted")
+            .unionAll(n_ord.select(F.lit("orders").alias("table_name"),
+                                   "n_total", "n_deleted"))
+            .unionAll(n_li.select(F.lit("lineitem").alias("table_name"),
+                                  "n_total", "n_deleted"))
+            .select("table_name", "n_total", "n_deleted",
+                    (F.col("n_total") - F.col("n_deleted"))
+                    .alias("n_kept")))
+
+
+ORACLE_CASCADE = f"""
+WITH del_cust AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_DEL_MOD} = 0
+), del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer) AS n_total,
+       (SELECT count(*) FROM del_cust) AS n_deleted,
+       (SELECT count(*) FROM customer) - (SELECT count(*) FROM del_cust)
+         AS n_kept
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM del_orders),
+       (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+       (SELECT count(*) FROM lineitem)
+       - (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+"""
+
+
+# ---------------------------------------------------------------------------
+# table_profile — one-pass column-statistics profiler
+# ---------------------------------------------------------------------------
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders (min / max / null count /
+    exact NDV per column) in ONE scan, unpivoted to a long stats table
+    — the data-profiling step that feeds optimizer stats, data
+    contracts, and drift monitors.
+
+    All four columns' stats compute in a single aggregate (Catalyst
+    plans the multi-distinct via one Expand — still one pass over the
+    parquet), then a 1-row-to-4-rows stack unpivots. Min/max are
+    stringified so heterogeneous column types share the report schema;
+    money profiles on int cents. At 100 TB: one scan, one 1-row
+    result, no shuffle of the table itself (partial aggs only).
+    """
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("o_totalprice_c"))
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_c"]
+    aggs = []
+    for col in cols:
+        aggs += [F.min(col).cast("string").alias(f"{col}__min"),
+                 F.max(col).cast("string").alias(f"{col}__max"),
+                 F.sum(F.col(col).isNull().cast("bigint"))
+                 .alias(f"{col}__nulls"),
+                 F.count_distinct(col).alias(f"{col}__ndv")]
+    one = base.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{col}', `{col}__min`, `{col}__max`, `{col}__nulls`, `{col}__ndv`"
+        for col in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS "
+        "(column_name, min_str, max_str, n_nulls, ndv)")
+
+
+ORACLE_PROFILE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c
+  FROM orders
+), one AS (
+  SELECT
+    CAST(min(o_orderkey) AS VARCHAR) AS k_min,
+    CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS k_nulls,
+    count(DISTINCT o_orderkey) AS k_ndv,
+    CAST(min(o_custkey) AS VARCHAR) AS c_min,
+    CAST(max(o_custkey) AS VARCHAR) AS c_max,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_nulls,
+    count(DISTINCT o_custkey) AS c_ndv,
+    CAST(min(o_orderstatus) AS VARCHAR) AS s_min,
+    CAST(max(o_orderstatus) AS VARCHAR) AS s_max,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS s_nulls,
+    count(DISTINCT o_orderstatus) AS s_ndv,
+    CAST(min(o_totalprice_c) AS VARCHAR) AS p_min,
+    CAST(max(o_totalprice_c) AS VARCHAR) AS p_max,
+    CAST(sum(CASE WHEN o_totalprice_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS p_nulls,
+    count(DISTINCT o_totalprice_c) AS p_ndv
+  FROM base
+)
+SELECT 'o_orderkey' AS column_name, k_min AS min_str, k_max AS max_str,
+       k_nulls AS n_nulls, k_ndv AS ndv FROM one
+UNION ALL
+SELECT 'o_custkey', c_min, c_max, c_nulls, c_ndv FROM one
+UNION ALL
+SELECT 'o_orderstatus', s_min, s_max, s_nulls, s_ndv FROM one
+UNION ALL
+SELECT 'o_totalprice_c', p_min, p_max, p_nulls, p_ndv FROM one
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct_users — exact distinct counts over sliding windows
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per 24-hour window sliding every 6 hours —
+    the DAU-style rolling-uniques metric, where distinct-ness makes the
+    windows NON-additive (you cannot sum per-hour counts; each window
+    must deduplicate its own membership).
+
+    Spark's window() assigns each event to its 24/6 = 4 overlapping
+    windows via an Expand (row replication on the narrow projection),
+    then one (window, user) distinct aggregate. The DuckDB twin derives
+    the same epoch-aligned window starts arithmetically. At scale the
+    4x expansion happens AFTER column pruning (2 columns), and the
+    count-distinct shuffles (window, user) pairs — the exact-dedup
+    cost every true-uniques metric pays; the KMV sketch (kmv_distinct)
+    is this catalog's bounded-state alternative when estimates suffice.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "24 hours", "6 hours").alias("w"))
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "n_users"))
+
+
+ORACLE_SLIDING_DISTINCT = """
+WITH assigned AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts) / 21600) AS BIGINT) - i)
+                         * 21600) * 1000000) AS window_start,
+         user_id
+  FROM events, unnest([0, 1, 2, 3]) t(i)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(DISTINCT user_id) AS n_users
+FROM assigned GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
 # ---------------------------------------------------------------------------
 
@@ -1124,6 +1384,10 @@ QUERIES_EXT5.update({
     "gapfill_ffill": q_gapfill_ffill,
     "table_diff": q_table_diff,
     "kcore_decompose": q_kcore_decompose,
+    "ewma_report": q_ewma_report,
+    "cascade_delete_audit": q_cascade_delete_audit,
+    "table_profile": q_table_profile,
+    "sliding_distinct_users": q_sliding_distinct_users,
 })
 
 ORACLE_EXT5.update({
@@ -1142,4 +1406,8 @@ ORACLE_EXT5.update({
     "gapfill_ffill": ORACLE_GAPFILL,
     "table_diff": ORACLE_TABLE_DIFF,
     "kcore_decompose": ORACLE_KCORE,
+    "ewma_report": ORACLE_EWMA,
+    "cascade_delete_audit": ORACLE_CASCADE,
+    "table_profile": ORACLE_PROFILE,
+    "sliding_distinct_users": ORACLE_SLIDING_DISTINCT,
 })

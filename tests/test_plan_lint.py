@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "pmi_cooccur",
     # hour spine (from a 1-row bounds agg) crossed with the 5-row type dim
     "gapfill_ffill",
+    # two 1-row count aggregates cross-joined into the lineitem report row
+    "cascade_delete_audit",
 }
 
 

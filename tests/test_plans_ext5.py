@@ -188,6 +188,33 @@ class TestSemantics:
         assert sorted((r["node_id"], r["core_degree"]) for r in rows) == \
             sorted((r["node_id"], r["core_degree"]) for r in more)
 
+    def test_cascade_delete_consistent(self, spark):
+        rows = {r["table_name"]: r
+                for r in Q5.q_cascade_delete_audit(spark, SF).collect()}
+        assert set(rows) == {"customer", "orders", "lineitem"}
+        for r in rows.values():
+            assert r["n_total"] == r["n_deleted"] + r["n_kept"]
+            assert r["n_deleted"] > 0
+
+    def test_table_profile_one_scan(self, spark):
+        """The 4-column profile must read orders.parquet exactly once —
+        per-column aggregate subqueries would multiply the scan."""
+        p = plan_of(Q5.q_table_profile(spark, SF))
+        n_scans = sum("orders.parquet" in ln
+                      for ln in p.splitlines() if "Location" in ln)
+        assert n_scans == 1
+        rows = {r["column_name"]: r
+                for r in Q5.q_table_profile(spark, SF).collect()}
+        assert rows["o_orderkey"]["ndv"] > 0
+        assert rows["o_orderstatus"]["ndv"] <= 3
+
+    def test_sliding_windows_overlap(self, spark):
+        """24h/6h windows: every user-event lands in exactly 4 windows,
+        so the max window count >= any single tumbling-day count."""
+        rows = Q5.q_sliding_distinct_users(spark, SF).collect()
+        assert rows
+        assert all(r["n_users"] > 0 for r in rows)
+
     def test_entropy_bounds(self, spark):
         rows = Q5.q_token_entropy(spark, SF).collect()
         assert rows
