@@ -72,7 +72,8 @@ _VERIFY_FIRST = (
     "corr_report", "pmi_cooccur", "graph_bfs_depth",
     "gapfill_ffill", "table_diff", "kcore_decompose",
     "ewma_report", "cascade_delete_audit", "table_profile",
-    "sliding_distinct_users",
+    "sliding_distinct_users", "build_inverted_index",
+    "exact_percentile_rank", "skew_report", "blocking_quality",
     "graph_motif_wedge", "graph_motif_path", "asof_tolerance",
     "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration",

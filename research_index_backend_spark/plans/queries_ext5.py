@@ -1242,6 +1242,256 @@ FROM assigned GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# build_inverted_index — search-index construction (postings + stats)
+# ---------------------------------------------------------------------------
+
+_IDX_MIN_DF = 5
+_IDX_POSTINGS_CAP = 10
+
+
+def q_build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, collection
+    frequency, and the first 10 postings (sorted doc ids) — the batch
+    job behind every search/RAG index, as a DataFrame plan.
+
+    One tokenize+explode pass; (term, doc) pre-aggregation collapses
+    duplicates map-side BEFORE the term-level shuffle, so a term's
+    shuffle volume is its df, not its cf. The postings sample is
+    slice(sort_array(collect_list)) — bounded output per term no matter
+    how hot the term (the full posting list would be written sharded in
+    production; the CAP is the demonstrable contract). df floor prunes
+    the hapax tail early.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    td = (d.select("doc_id", F.explode(toks).alias("term"))
+          .groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).alias("c")))
+    return (td.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("c").alias("cf"),
+                 F.array_join(
+                     F.slice(F.sort_array(F.collect_list("doc_id")),
+                             1, _IDX_POSTINGS_CAP),
+                     ",").alias("postings_head"))
+            .filter(F.col("df") >= _IDX_MIN_DF))
+
+
+ORACLE_INVERTED = rf"""
+WITH td AS (
+  SELECT term, doc_id, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+    FROM documents)
+  GROUP BY term, doc_id
+)
+SELECT term, count(*) AS df, sum(c) AS cf,
+       array_to_string(list_sort(list(doc_id))[1:{_IDX_POSTINGS_CAP}], ',')
+         AS postings_head
+FROM td GROUP BY term HAVING count(*) >= {_IDX_MIN_DF}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact_percentile_rank — discrete order statistics by rank selection
+# ---------------------------------------------------------------------------
+
+
+def q_exact_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (p50/p90/p99 as actually-occurring
+    values, rank ceil(q*n)) per event type — the order-statistic
+    selection that interpolated quantiles (percentile_report) can't
+    give you, and whose tie/rank convention engines disagree on unless
+    pinned: rank is row_number over (value, then nothing — values
+    collapse to cents), identical everywhere.
+
+    One sort per group partition; the selection is three conditional
+    aggs over the ranked rows. At 100 TB the same plan holds per
+    group; for a single giant group the two-pass histogram-refine
+    selection would replace the full sort (documented alternative).
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_type",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("value_c"))
+    w = Window.partitionBy("event_type").orderBy("value_c")
+    wall = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type", "value_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    sel = [(50, "p50_c"), (90, "p90_c"), (99, "p99_c")]
+    aggs = [F.max(F.when(
+        F.col("rn") == F.ceil(F.col("n") * q / 100), F.col("value_c")))
+        .alias(name) for q, name in sel]
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"), *aggs)
+
+
+ORACLE_EXACT_PCT = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), ranked AS (
+  SELECT event_type, value_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY value_c)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+)
+SELECT event_type, max(n) AS n_rows,
+       max(CASE WHEN rn = ceil(n * 50 / 100) THEN value_c END) AS p50_c,
+       max(CASE WHEN rn = ceil(n * 90 / 100) THEN value_c END) AS p90_c,
+       max(CASE WHEN rn = ceil(n * 99 / 100) THEN value_c END) AS p99_c
+FROM ranked GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# skew_report — join/shuffle key-skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis of lineitem's part key — the profiling query
+    you run BEFORE choosing a join strategy: key count, max/p99
+    frequency, the hottest key's share, and the Gini coefficient of
+    the key-frequency distribution (0 = uniform, 1 = one key owns
+    everything).
+
+    Frequencies are one pre-aggregate (map-side combined); every
+    downstream stat runs on the KEY distribution (|keys| rows, not
+    |rows|): p99/max by rank selection, Gini by the rank-sum identity
+    2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the ascending-frequency
+    ranking — all integer sums until the final double division. This
+    report is why the catalog's skew_salted_join knows its salt
+    factor.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    freq = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("c", "l_partkey")
+    wall = Window.partitionBy()
+    ranked = freq.select(
+        "c", F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("nk"))
+    return (ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_freq"),
+        F.max(F.when(F.col("i") == F.ceil(F.col("nk") * 0.99),
+                     F.col("c"))).alias("p99_freq"),
+        F.sum(F.col("i") * F.col("c")).alias("rank_sum"))
+        .select(
+            "n_keys", "n_rows", "max_freq", "p99_freq",
+            F.floor((F.col("max_freq") * 1_000_000)
+                    / F.col("n_rows")).alias("top1_share_e6"),
+            F.floor((F.lit(2.0) * F.col("rank_sum").cast("double")
+                     / (F.col("n_keys").cast("double")
+                        * F.col("n_rows").cast("double"))
+                     - (F.col("n_keys") + F.lit(1.0))
+                     / F.col("n_keys").cast("double"))
+                    * 1e6).alias("gini_e6")))
+
+
+ORACLE_SKEW = """
+WITH freq AS (
+  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, l_partkey) AS i,
+         count(*) OVER () AS nk
+  FROM freq
+), agg AS (
+  SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_freq,
+         max(CASE WHEN i = ceil(nk * 0.99) THEN c END) AS p99_freq,
+         sum(i * c) AS rank_sum
+  FROM ranked
+)
+SELECT n_keys, n_rows, max_freq, p99_freq,
+       CAST(floor(max_freq * 1000000 / n_rows) AS BIGINT)
+         AS top1_share_e6,
+       CAST(floor((CAST(2.0 AS DOUBLE) * CAST(rank_sum AS DOUBLE)
+                   / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                   - (n_keys + CAST(1.0 AS DOUBLE))
+                     / CAST(n_keys AS DOUBLE)) * 1e6) AS BIGINT)
+         AS gini_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality — record-linkage blocking-scheme report
+# ---------------------------------------------------------------------------
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality report for record linkage: for each
+    candidate blocking key over customer (nation-only vs
+    nation+mktsegment), the block count, largest block, candidate
+    pair count sum(nb*(nb-1)/2), and the reduction ratio vs the full
+    n*(n-1)/2 cartesian — the measurement that justifies
+    similarity_join's blocked design instead of an all-pairs compare.
+
+    Both schemes aggregate from ONE scan (two groupBys on the same
+    narrow projection); every stat is exact integer arithmetic except
+    the final e6 ratio. The candidate-pair formula is why blocking
+    works at 100 TB: quadratic cost is confined inside blocks, and
+    this report is how you catch a blocking key whose biggest block
+    re-creates the quadratic blob.
+    """
+    c = _t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_nationkey", "c_mktsegment")
+    n_total = base.agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+
+    def scheme(name: str, keys: list) -> DataFrame:
+        blocks = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
+        return (blocks.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("nb").alias("max_block"),
+            F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("bigint")
+            .alias("n_cand_pairs"))
+            .crossJoin(F.broadcast(n_total))
+            .select(F.lit(name).alias("scheme"), "n_blocks", "max_block",
+                    "n_cand_pairs",
+                    F.floor(F.lit(1e6)
+                            - F.col("n_cand_pairs") * F.lit(2_000_000.0)
+                            / (F.col("n") * (F.col("n") - F.lit(1))))
+                    .alias("reduction_e6")))
+
+    return scheme("nation", [F.col("c_nationkey")]).unionAll(
+        scheme("nation_segment",
+               [F.col("c_nationkey"), F.col("c_mktsegment")]))
+
+
+ORACLE_BLOCKING = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+), tot AS (
+  SELECT count(*) AS n FROM base
+), s1 AS (
+  SELECT count(*) AS nb FROM base GROUP BY c_nationkey
+), s2 AS (
+  SELECT count(*) AS nb FROM base GROUP BY c_nationkey, c_mktsegment
+)
+SELECT 'nation' AS scheme, count(*) AS n_blocks, max(nb) AS max_block,
+       CAST(sum(nb * (nb - 1) / 2) AS BIGINT) AS n_cand_pairs,
+       CAST(floor(1e6 - CAST(sum(nb * (nb - 1) / 2) AS BIGINT)
+                        * 2000000.0
+                        / ((SELECT n FROM tot)
+                           * ((SELECT n FROM tot) - 1))) AS BIGINT)
+         AS reduction_e6
+FROM s1
+UNION ALL
+SELECT 'nation_segment', count(*), max(nb),
+       CAST(sum(nb * (nb - 1) / 2) AS BIGINT),
+       CAST(floor(1e6 - CAST(sum(nb * (nb - 1) / 2) AS BIGINT)
+                        * 2000000.0
+                        / ((SELECT n FROM tot)
+                           * ((SELECT n FROM tot) - 1))) AS BIGINT)
+FROM s2
+"""
+
+
+# ---------------------------------------------------------------------------
 # kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
 # ---------------------------------------------------------------------------
 
@@ -1388,6 +1638,10 @@ QUERIES_EXT5.update({
     "cascade_delete_audit": q_cascade_delete_audit,
     "table_profile": q_table_profile,
     "sliding_distinct_users": q_sliding_distinct_users,
+    "build_inverted_index": q_build_inverted_index,
+    "exact_percentile_rank": q_exact_percentile_rank,
+    "skew_report": q_skew_report,
+    "blocking_quality": q_blocking_quality,
 })
 
 ORACLE_EXT5.update({
@@ -1410,4 +1664,8 @@ ORACLE_EXT5.update({
     "cascade_delete_audit": ORACLE_CASCADE,
     "table_profile": ORACLE_PROFILE,
     "sliding_distinct_users": ORACLE_SLIDING_DISTINCT,
+    "build_inverted_index": ORACLE_INVERTED,
+    "exact_percentile_rank": ORACLE_EXACT_PCT,
+    "skew_report": ORACLE_SKEW,
+    "blocking_quality": ORACLE_BLOCKING,
 })

@@ -49,6 +49,8 @@ BNLJ_ALLOWED = {
     "gapfill_ffill",
     # two 1-row count aggregates cross-joined into the lineitem report row
     "cascade_delete_audit",
+    # 1-row total-count aggregate cross-joined into each scheme's report
+    "blocking_quality",
 }
 
 

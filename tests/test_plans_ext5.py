@@ -215,6 +215,33 @@ class TestSemantics:
         assert rows
         assert all(r["n_users"] > 0 for r in rows)
 
+    def test_inverted_index_postings_sorted_capped(self, spark):
+        rows = Q5.q_build_inverted_index(spark, SF).collect()
+        assert rows
+        for r in rows:
+            ids = [int(x) for x in r["postings_head"].split(",")]
+            assert ids == sorted(ids)
+            assert len(ids) == min(r["df"], Q5._IDX_POSTINGS_CAP)
+            assert r["cf"] >= r["df"] >= Q5._IDX_MIN_DF
+
+    def test_exact_percentiles_ordered(self, spark):
+        for r in Q5.q_exact_percentile_rank(spark, SF).collect():
+            assert r["p50_c"] <= r["p90_c"] <= r["p99_c"]
+
+    def test_skew_report_bounds(self, spark):
+        r = Q5.q_skew_report(spark, SF).collect()[0]
+        assert 0 <= r["gini_e6"] <= 1_000_000
+        assert r["p99_freq"] <= r["max_freq"]
+        assert r["top1_share_e6"] >= 1_000_000 // r["n_keys"]
+
+    def test_blocking_finer_scheme_reduces_pairs(self, spark):
+        rows = {r["scheme"]: r
+                for r in Q5.q_blocking_quality(spark, SF).collect()}
+        finer, coarse = rows["nation_segment"], rows["nation"]
+        assert finer["n_cand_pairs"] < coarse["n_cand_pairs"]
+        assert finer["n_blocks"] > coarse["n_blocks"]
+        assert finer["reduction_e6"] > coarse["reduction_e6"]
+
     def test_entropy_bounds(self, spark):
         rows = Q5.q_token_entropy(spark, SF).collect()
         assert rows

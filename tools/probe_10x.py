@@ -36,6 +36,10 @@ SCALED = [
     "graph_components", "graph_components_star", "graph_triangles",
     # lineitem / customer-driven
     "graph_two_hop", "similarity_join", "group_topk_ties",
+    # round-7 second wave (documents / lineitem driven)
+    "token_entropy", "pmi_cooccur", "cube_report", "kmv_distinct",
+    "corr_report", "graph_bfs_depth", "kcore_decompose", "bloom_probe",
+    "cascade_delete_audit",
 ]
 
 
