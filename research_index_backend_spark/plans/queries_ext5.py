@@ -947,6 +947,9 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("l_suppkey") % _BFS_SEED_MOD == 0)
              .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
                      .alias("id"), F.lit(0).cast("int").alias("d")))
+    # Only each round's FRONTIER materializes (localCheckpoint); the
+    # reached set is a union of already-checkpointed frontiers, so
+    # checkpointing it again would double every round's work.
     dist = seeds.localCheckpoint()
     frontier = dist
     for r in range(1, _BFS_MAX_DEPTH + 1):
@@ -955,7 +958,7 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(r).cast("int").alias("d"))
                .distinct())
         new = nxt.join(dist, "id", "left_anti").localCheckpoint()
-        dist = dist.unionAll(new).localCheckpoint()
+        dist = dist.unionAll(new)
         frontier = new
     return dist.select(F.col("id").alias("node_id"), F.col("d").alias("depth"))
 
