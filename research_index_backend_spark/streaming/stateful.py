@@ -177,3 +177,77 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch — bounded-state rolling uniques
+# ---------------------------------------------------------------------------
+
+KMV_STREAM_K = 64
+_KMV_SPACE = float(1 << 32)
+
+KMV_OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_kept", LongType()),
+    StructField("kmv_est", LongType()),
+])
+
+# state = comma-joined ascending k-min hashes (Arrow-stable packing, same
+# discipline as the dedup seen-set)
+KMV_STATE_SCHEMA = StructType([
+    StructField("mins", StringType()),
+])
+
+
+def _kmv_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    mins: set[int] = set()
+    if state.exists:
+        (packed,) = state.get
+        if packed:
+            mins = {int(x) for x in packed.split(",")}
+    for pdf in pdfs:
+        mins.update(int(x) for x in pdf["h"].unique())
+        if len(mins) > KMV_STREAM_K:
+            mins = set(sorted(mins)[:KMV_STREAM_K])
+    ordered = sorted(mins)
+    state.update((",".join(str(x) for x in ordered),))
+    if len(ordered) < KMV_STREAM_K:
+        est = len(ordered)
+    else:
+        est = int((KMV_STREAM_K - 1) * _KMV_SPACE // ordered[-1])
+    yield pd.DataFrame({"event_type": [key[0]],
+                        "n_kept": [len(ordered)],
+                        "kmv_est": [est]})
+
+
+def kmv_distinct_stream(events: DataFrame) -> DataFrame:
+    """Streaming KMV distinct-user sketch per event_type — the
+    bounded-state rolling-uniques counter (the streaming twin of the
+    batch kmv_distinct catalog query, same md5 hash space and same
+    (k-1)*2^32/h_k estimator).
+
+    The hash is computed JVM-side BEFORE the stateful op (F.conv over
+    md5 — the Python side never hashes, it only maintains the k-min
+    set), so per-key state is <= k int64s regardless of stream length:
+    this is exactly why sketches exist in streaming — exact distinct
+    state grows with cardinality, KMV state is constant. Emits the
+    updated estimate per key each micro-batch (update mode).
+
+    Expects columns event_type, user_id.
+    """
+    from pyspark.sql import functions as F
+
+    with_hash = events.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                1, 8), 16, 10).cast("bigint"))
+    return (
+        with_hash.groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_fn,
+            outputStructType=KMV_OUTPUT_SCHEMA,
+            stateStructType=KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -391,3 +391,61 @@ class TestStreamStaticJoin:
         got = {(r["event_id"], r["segment"])
                for r in spark.sql("SELECT * FROM enrich_out").collect()}
         assert got == batch
+
+
+class TestKmvSketchStream:
+    def test_final_estimate_matches_batch_kmv(self, spark, tmp_path):
+        """The stream's final per-key estimate (after all micro-batches;
+        maxFilesPerTrigger=1 over two files forces cross-batch k-min
+        merging) must equal the batch KMV computed over the same rows
+        with the same hash space and estimator."""
+        import datetime as dt
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from research_index_backend_spark.streaming.stateful import (
+            KMV_STREAM_K,
+            kmv_distinct_stream,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(i, (i * 7919) % 400, "click" if i % 2 == 0 else "view",
+                 base + dt.timedelta(seconds=i), "{}")
+                for i in range(600)]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "props"])
+        src = str(tmp_path / "kmv-src")
+        df.filter("event_id < 300").coalesce(1).write.parquet(
+            src, mode="append")
+        df.filter("event_id >= 300").coalesce(1).write.parquet(
+            src, mode="append")
+
+        from research_index_backend_spark.streaming.windows import (
+            read_events_stream,
+        )
+        stream = read_events_stream(spark, src)
+        q = (kmv_distinct_stream(stream).writeStream.format("memory")
+             .queryName("kmv_stream").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got_pdf = spark.sql("SELECT * FROM kmv_stream").toPandas()
+        final = got_pdf.groupby("event_type").last()
+
+        h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                               1, 8), 16, 10).cast("bigint")
+        w = Window.partitionBy("event_type").orderBy("h")
+        batch = (spark.read.parquet(src)
+                 .select("event_type", "user_id").distinct()
+                 .select("event_type", h.alias("h"))
+                 .select("event_type", "h",
+                         F.row_number().over(w).alias("rn"))
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_distinct"),
+                      F.max(F.when(F.col("rn") == KMV_STREAM_K,
+                                   F.col("h"))).alias("h_k")))
+        for r in batch.collect():
+            exp = (r["n_distinct"] if r["h_k"] is None
+                   else int((KMV_STREAM_K - 1) * float(1 << 32)
+                            // r["h_k"]))
+            assert int(final.loc[r["event_type"], "kmv_est"]) == exp
