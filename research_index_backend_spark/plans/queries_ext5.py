@@ -1495,6 +1495,144 @@ FROM s2
 
 
 # ---------------------------------------------------------------------------
+# keyset_page — scale-safe pagination (keyset predicate, not OFFSET)
+# ---------------------------------------------------------------------------
+
+_PAGE_SIZE = 20
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of orders by (totalprice DESC, orderkey) via KEYSET
+    pagination: anchor on the last row of page 2, then fetch
+    `(price, key) after anchor` LIMIT 20 — the API-serving pattern that
+    replaces OFFSET (which scans and discards every earlier row; at
+    page 10^6 an OFFSET is a full sort of the prefix, a keyset fetch is
+    still one TakeOrdered over a pushed-down predicate).
+
+    The anchor here is derived in-query (two nested TakeOrdereds over
+    the tiny top-40) so the query is self-contained; a real API passes
+    the anchor from the previous response. The tie-safe predicate is
+    the strict composite order (p < p0) OR (p = p0 AND k > k0).
+    """
+    o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey",
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("price_c"))
+    top40 = base.orderBy(F.col("price_c").desc(), "o_orderkey") \
+                .limit(2 * _PAGE_SIZE)
+    anchor = (top40.orderBy(F.col("price_c").asc(),
+                            F.col("o_orderkey").desc())
+              .limit(1)
+              .select(F.col("price_c").alias("p0"),
+                      F.col("o_orderkey").alias("k0")))
+    return (base.crossJoin(F.broadcast(anchor))
+            .filter((F.col("price_c") < F.col("p0"))
+                    | ((F.col("price_c") == F.col("p0"))
+                       & (F.col("o_orderkey") > F.col("k0"))))
+            .select("o_orderkey", "price_c")
+            .orderBy(F.col("price_c").desc(), "o_orderkey")
+            .limit(_PAGE_SIZE))
+
+
+ORACLE_KEYSET = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), anchor AS (
+  SELECT price_c AS p0, o_orderkey AS k0 FROM (
+    SELECT * FROM base ORDER BY price_c DESC, o_orderkey
+    LIMIT {2 * _PAGE_SIZE})
+  ORDER BY price_c ASC, o_orderkey DESC LIMIT 1
+)
+SELECT o_orderkey, price_c
+FROM base, anchor
+WHERE price_c < p0 OR (price_c = p0 AND o_orderkey > k0)
+ORDER BY price_c DESC, o_orderkey LIMIT {_PAGE_SIZE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_ppr — personalized PageRank from a seed set
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+_PPR_DAMPING = 0.85
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the supplier seed set (suppkey % 10
+    == 0) over the symmetrized supplier-part graph — "rank parts near
+    these suppliers", the recommendation variant of PageRank (restart
+    mass returns to the SEEDS, not uniformly).
+
+    Same engine function family as graph_pagerank (one shuffle per
+    round, checkpointed base, in-plan everything); the DuckDB twin
+    unrolls the 3 rounds with the identical IEEE-double recurrence and
+    the result is e4-quantized for the same summation-order reason
+    documented on the pagerank oracle.
+    """
+    from ..graph.analytics import personalized_pagerank
+    l = _t(spark, sf_dir, "lineitem")
+    li = l.select("l_suppkey", "l_partkey").distinct()
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (li.select("l_suppkey").distinct()
+             .filter(F.col("l_suppkey") % 10 == 0)
+             .select(F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string"))
+                     .alias("id")))
+    pr = personalized_pagerank(edges, seeds, n_iter=_PPR_ITERS,
+                               damping=_PPR_DAMPING, broadcast_ranks=True)
+    return pr.select(
+        "id", F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
+
+
+def _ppr_oracle() -> str:
+    d = f"CAST({_PPR_DAMPING} AS DOUBLE)"
+    parts = [f"""
+WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+fwd AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst FROM li),
+edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+nodes AS (SELECT DISTINCT src AS id FROM edges
+          UNION SELECT DISTINCT dst AS id FROM edges),
+deg AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY 1),
+seeds AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS id
+          FROM li WHERE l_suppkey % 10 = 0),
+ns AS (SELECT count(*) AS n FROM seeds),
+base AS (SELECT n.id,
+                CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+         FROM nodes n LEFT JOIN seeds s ON n.id = s.id),
+r0 AS (SELECT id, is_seed,
+              CAST(is_seed AS DOUBLE) / (SELECT n FROM ns) AS rank
+       FROM base)"""]
+    for i in range(1, _PPR_ITERS + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS id, sum(r.rank / dg.out_deg) AS in_sum
+  FROM edges e JOIN r{i - 1} r ON e.src = r.id
+  JOIN deg dg ON e.src = dg.id
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT b.id, b.is_seed,
+         (CAST(1.0 AS DOUBLE) - {d}) * b.is_seed
+           / CAST((SELECT n FROM ns) AS DOUBLE)
+         + {d} * coalesce(c.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+  FROM base b LEFT JOIN c{i} c ON b.id = c.id)""")
+    parts.append(f"""
+SELECT id, CAST(round(rank * 1e4) AS BIGINT) AS rank_e4
+FROM r{_PPR_ITERS}""")
+    return "".join(parts)
+
+
+ORACLE_PPR = _ppr_oracle()
+
+
+# ---------------------------------------------------------------------------
 # kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
 # ---------------------------------------------------------------------------
 
@@ -1645,6 +1783,8 @@ QUERIES_EXT5.update({
     "exact_percentile_rank": q_exact_percentile_rank,
     "skew_report": q_skew_report,
     "blocking_quality": q_blocking_quality,
+    "keyset_page": q_keyset_page,
+    "graph_ppr": q_graph_ppr,
 })
 
 ORACLE_EXT5.update({
@@ -1671,4 +1811,6 @@ ORACLE_EXT5.update({
     "exact_percentile_rank": ORACLE_EXACT_PCT,
     "skew_report": ORACLE_SKEW,
     "blocking_quality": ORACLE_BLOCKING,
+    "keyset_page": ORACLE_KEYSET,
+    "graph_ppr": ORACLE_PPR,
 })

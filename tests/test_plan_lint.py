@@ -51,6 +51,8 @@ BNLJ_ALLOWED = {
     "cascade_delete_audit",
     # 1-row total-count aggregate cross-joined into each scheme's report
     "blocking_quality",
+    # 1-row pagination anchor broadcast onto the keyset predicate scan
+    "keyset_page",
 }
 
 

@@ -242,6 +242,32 @@ class TestSemantics:
         assert finer["n_blocks"] > coarse["n_blocks"]
         assert finer["reduction_e6"] > coarse["reduction_e6"]
 
+    def test_keyset_page_is_takeordered_no_global_sort(self, spark):
+        """The page fetch must be TakeOrderedAndProject over the
+        filtered scan — OFFSET-style global sort is exactly what keyset
+        pagination exists to avoid."""
+        p = plan_of(Q5.q_keyset_page(spark, SF))
+        assert "TakeOrderedAndProject" in p
+        rows = Q5.q_keyset_page(spark, SF).collect()
+        assert len(rows) == Q5._PAGE_SIZE
+        keys = [(-r["price_c"], r["o_orderkey"]) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_ppr_mass_concentrates_on_seed_side(self, spark):
+        """Restart mass returns to the seeds, so seed suppliers must
+        out-rank the average non-seed supplier, and total mass stays
+        <= 1 (leaks only via damping, never grows)."""
+        rows = Q5.q_graph_ppr(spark, SF).collect()
+        seeds = [r["rank_e4"] for r in rows
+                 if r["id"].startswith("s")
+                 and int(r["id"][1:]) % 10 == 0]
+        nonseeds = [r["rank_e4"] for r in rows
+                    if r["id"].startswith("s")
+                    and int(r["id"][1:]) % 10 != 0]
+        assert seeds and nonseeds
+        assert (sum(seeds) / len(seeds)) > (sum(nonseeds) / len(nonseeds))
+        assert sum(r["rank_e4"] for r in rows) <= 10_000 + len(rows)
+
     def test_entropy_bounds(self, spark):
         rows = Q5.q_token_entropy(spark, SF).collect()
         assert rows
