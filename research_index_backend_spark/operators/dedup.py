@@ -178,6 +178,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return _jaccard_from_inverted(inv, None, threshold, max_token_df)
 
 
+def adaptive_lsh_bits(n_rows: int, target_bucket: int = 125,
+                      floor_bits: int = 4) -> int:
+    """Bucket-granularity sizing for LSH self-joins: enough bits that the
+    AVERAGE bucket holds ~target_bucket rows — ceil(log2(N/target)),
+    floored at floor_bits.
+
+    This is the knob that keeps bucketed near-dup LINEAR as the corpus
+    grows: with a FIXED bit count, bucket size grows with N and the
+    per-bucket self-join grows with N^2 — measured on this repo's 10x
+    probe as a 13.6x/14.1x wall-clock blow-up for 10x data
+    (BENCH_HISTORY r7, embedding family) before this sizing landed.
+    More bits lower per-table recall; n_tables is the compensating
+    recall knob. The checked SFs (<=2000 vectors) all size to
+    floor_bits, so oracle SQL with hardcoded plane counts stays valid.
+    """
+    import math
+    return max(floor_bits,
+               math.ceil(math.log2(max(n_rows / float(target_bucket),
+                                       1.0))))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold_e6: int = 300_000,

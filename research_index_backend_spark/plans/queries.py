@@ -858,10 +858,19 @@ def q_dedup_embedding(spark, sf_dir):
     oracle's HAVING): cap = greatest(100, N div 4). A fixed cap
     mis-scales — with 16 buckets the average bucket holds N/16, so any
     constant eventually excludes every bucket (cap=100 at sf0.1 left
-    zero candidates and the bench measured pure overhead)."""
-    from ..operators.dedup import embedding_near_dup_pairs
+    zero candidates and the bench measured pure overhead).
+
+    Bit count is CORPUS-SIZED (adaptive_lsh_bits: ceil(log2(N/125)),
+    floor 4): a fixed bit count lets bucket sizes grow with N and the
+    self-join go quadratic — the 10x probe measured 13.6x wall for 10x
+    data before this landed (BENCH_HISTORY r7). At the oracle-checked
+    SFs N<=2000 sizes to 4 bits, so the SQL twin's plane set is
+    unchanged; the one count() here is plan-build sizing, same
+    precedent as pagerank's |V| count."""
+    from ..operators.dedup import adaptive_lsh_bits, embedding_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4,
+    bits = adaptive_lsh_bits(emb.count())
+    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=bits,
                                     max_bucket_size=100,
                                     max_bucket_denom=4)
 

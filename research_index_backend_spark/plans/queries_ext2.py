@@ -1311,10 +1311,16 @@ def q_dedup_embedding_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join keys on (table, bucket) in one shuffle; the cap applies
     per (table, bucket); pairs caught by both tables dedupe after
     scoring. Deterministic md5-parity hyperplanes keep the whole thing
-    SQL-oracle-checkable."""
-    from ..operators.dedup import embedding_near_dup_pairs
+    SQL-oracle-checkable.
+
+    Bits are corpus-sized (adaptive_lsh_bits, floor 4 == the checked-SF
+    value, so the oracle's plane set holds); the second table's plane
+    offset tracks the sized bit count so the two families stay
+    independent at any N."""
+    from ..operators.dedup import adaptive_lsh_bits, embedding_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=4,
+    bits = adaptive_lsh_bits(emb.count())
+    return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=bits,
                                     n_tables=2, max_bucket_size=100,
                                     max_bucket_denom=4)
 

@@ -11,8 +11,13 @@ Shard k remaps identities so cross-shard rows never collide:
   more parts and suppliers, same per-part degree).
 - customer: custkey offset, name shard-suffixed (block count scales
   linearly, block sizes unchanged).
-- dims (region/nation/supplier/part/orders/events/embeddings) copied
-  unscaled — queries driven by them are not probe-meaningful.
+- embeddings: vec_id offset per shard; every dimension perturbed by a
+  deterministic shard-and-dim-keyed offset (~±0.05) so cross-shard
+  replicas are NOT near-duplicates of each other (verbatim copies would
+  hand every cosine operator 10-clone cliques), while in-shard geometry
+  — and therefore in-shard near-dup/cluster structure — is preserved.
+- dims (region/nation/supplier/part/orders/events) copied unscaled —
+  queries driven by them are not probe-meaningful.
 
 Usage: python tools/gen_10x.py [K]   (default K=10 shards)
 """
@@ -66,12 +71,31 @@ def main(k_shards: int = 10) -> None:
         .repartition(8).write.mode("overwrite") \
         .parquet(f"{DST}/customer.parquet")
 
-    for t in ("region", "nation", "supplier", "part", "orders", "events",
-              "embeddings"):
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+
+    def mk_emb(d, k):
+        # md5((k, dim)) -> uniform in [-0.05, 0.05): breaks cross-shard
+        # near-duplicates, preserves in-shard distances exactly.
+        def perturb(i):
+            return ((F.conv(F.substring(
+                F.md5(F.concat_ws("/", F.lit(k), i.cast("string"))),
+                1, 6), 16, 10).cast("double") % 1000) / 10000.0 - 0.05)
+        return d.select(
+            (F.col("vec_id") + F.lit(k * OFF)).alias("vec_id"),
+            F.transform(F.col("embedding"),
+                        lambda x, i: (x + perturb(i)).cast("float"))
+            .alias("embedding"),
+            "label")
+
+    shards(emb, mk_emb).repartition(16).write.mode("overwrite") \
+        .parquet(f"{DST}/embeddings.parquet")
+
+    for t in ("region", "nation", "supplier", "part", "orders", "events"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite") \
             .parquet(f"{DST}/{t}.parquet")
     print("done:", {t: spark.read.parquet(f"{DST}/{t}.parquet").count()
-                    for t in ("documents", "lineitem", "customer")})
+                    for t in ("documents", "lineitem", "customer",
+                              "embeddings")})
 
 
 if __name__ == "__main__":

@@ -40,6 +40,9 @@ SCALED = [
     "token_entropy", "pmi_cooccur", "cube_report", "kmv_distinct",
     "corr_report", "graph_bfs_depth", "kcore_decompose", "bloom_probe",
     "cascade_delete_audit",
+    # embeddings-driven (scaled since gen_10x perturbs per-shard replicas)
+    "kmeans_embed", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_hyperplane_topk", "dedup_embedding", "dedup_embedding_multi",
 ]
 
 
