@@ -277,3 +277,26 @@ class TestSemantics:
             import math
             assert r["entropy_e6"] <= round(
                 math.log2(r["n_tokens"]) * 1e6) + 1
+
+
+class TestAdaptiveLshBits:
+    def test_sizing_contract(self):
+        """Checked-SF corpora (<=2000 vectors) must size to the floor (so
+        the static oracles stay valid); larger corpora must grow bits
+        logarithmically; monotone in N."""
+        from research_index_backend_spark.operators.dedup import (
+            adaptive_lsh_bits,
+        )
+        assert adaptive_lsh_bits(500) == 4
+        assert adaptive_lsh_bits(2000) == 4
+        assert adaptive_lsh_bits(20000) == 8
+        assert adaptive_lsh_bits(200000) == 11
+        prev = 0
+        for n in (1, 10, 100, 1000, 10**4, 10**5, 10**6, 10**7):
+            bits = adaptive_lsh_bits(n)
+            assert bits >= prev
+            prev = bits
+        # average bucket stays within 2x of target once past the floor
+        for n in (10**4, 10**5, 10**6):
+            bits = adaptive_lsh_bits(n)
+            assert n / (2 ** bits) <= 125 * 2
