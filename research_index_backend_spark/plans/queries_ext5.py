@@ -719,6 +719,7 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
         .localCheckpoint()
     cur = edges
+    prev_n = cur.count()
     for _ in range(_KCORE_ROUNDS):
         keep = (cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
                 .filter(F.col("deg") >= _KCORE_K)
@@ -726,6 +727,15 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (cur.join(keep, "src", "semi")
                .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
                .localCheckpoint())
+        # fixpoint early-exit: the round cap is the ORACLE's contract
+        # (6 unrolled CTE rounds); once a peel removes nothing, every
+        # further round is the identity, so stopping is result-identical
+        # while skipping the dead rounds' aggregates + joins. count() on
+        # the just-checkpointed frame is a metadata-cheap action.
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (cur.groupBy(F.col("src").alias("node_id"))
             .agg(F.count(F.lit(1)).alias("core_degree")))
 
@@ -958,6 +968,8 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(r).cast("int").alias("d"))
                .distinct())
         new = nxt.join(dist, "id", "left_anti").localCheckpoint()
+        if not new.take(1):   # frontier exhausted -> all later rounds empty
+            break
         dist = dist.unionAll(new)
         frontier = new
     return dist.select(F.col("id").alias("node_id"), F.col("d").alias("depth"))
