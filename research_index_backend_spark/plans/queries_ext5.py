@@ -1645,6 +1645,113 @@ ORACLE_PPR = _ppr_oracle()
 
 
 # ---------------------------------------------------------------------------
+# ivm_update — incremental view maintenance (partial-aggregate merge)
+# ---------------------------------------------------------------------------
+
+
+def q_ivm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a grouped count/sum view: merge
+    the BASE view's aggregate state with a DELTA batch's aggregate and
+    get exactly the full-recompute answer — the algebra behind every
+    "don't recompute the world" pipeline (and what foreachBatch upserts
+    rely on implicitly).
+
+    Here the base/delta split is a deterministic slice of orders
+    (key % 10) so the oracle can full-recompute; in production the base
+    aggregate is a STORED table and this plan's cost is O(delta) + a
+    group-cardinality merge — the 100 TB point is that count/sum/min/max
+    states merge associatively, so the fact table is touched once per
+    delta, never per refresh. The merge is a full-outer on the group key
+    with coalesce-0 addition (a group may exist in only one side).
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def agg(df, pre):
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias(f"{pre}_n"),
+            F.sum(cents).alias(f"{pre}_sum"),
+            F.max(cents).alias(f"{pre}_max"))
+
+    merged = agg(base, "b").join(agg(delta, "d"), "status", "full_outer")
+    z = F.lit(0).cast("bigint")
+    return merged.select(
+        "status",
+        (F.coalesce("b_n", z) + F.coalesce("d_n", z)).alias("n_orders"),
+        (F.coalesce("b_sum", z) + F.coalesce("d_sum", z))
+        .alias("sum_price_c"),
+        F.greatest(F.coalesce("b_max", F.lit(None)),
+                   F.coalesce("d_max", F.lit(None))).alias("max_price_c"))
+
+
+# The oracle is the FULL RECOMPUTE — passing means the incremental merge
+# is exactly equivalent, which is the operator's entire contract.
+ORACLE_IVM = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c,
+       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_price_c
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply — ordered changelog applied onto final state
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog to produce final row state: per key, the
+    LAST operation in (ts, event_id) order wins; a trailing delete
+    erases the row — the snapshot-from-changelog materialization every
+    CDC sink (Debezium->lake, binlog replay) performs.
+
+    The event stream is the changelog (event_type 'error' plays the
+    DELETE op; everything else upserts its value). One shuffle on the
+    key, one window for last-op selection, delete filter at the end —
+    and the plan is exactly keep-latest dedup plus tombstone handling,
+    so at 100 TB it inherits the same partial window-group-limit
+    behavior as group_top1.
+    """
+    e = _t(spark, sf_dir, "events")
+    ops = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (ops.select("user_id", "op", "value_c",
+                       F.row_number().over(w).alias("rn"),
+                       F.count(F.lit(1)).over(
+                           Window.partitionBy("user_id")).alias("n_ops"))
+            .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+            .select("user_id", F.col("value_c").alias("final_value_c"),
+                    "n_ops"))
+
+
+ORACLE_CDC = """
+WITH ops AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), ranked AS (
+  SELECT user_id, op, value_c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM ops
+)
+SELECT user_id, value_c AS final_value_c, n_ops
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
 # kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
 # ---------------------------------------------------------------------------
 
@@ -1797,6 +1904,8 @@ QUERIES_EXT5.update({
     "blocking_quality": q_blocking_quality,
     "keyset_page": q_keyset_page,
     "graph_ppr": q_graph_ppr,
+    "ivm_update": q_ivm_update,
+    "cdc_apply": q_cdc_apply,
 })
 
 ORACLE_EXT5.update({
@@ -1825,4 +1934,6 @@ ORACLE_EXT5.update({
     "blocking_quality": ORACLE_BLOCKING,
     "keyset_page": ORACLE_KEYSET,
     "graph_ppr": ORACLE_PPR,
+    "ivm_update": ORACLE_IVM,
+    "cdc_apply": ORACLE_CDC,
 })
