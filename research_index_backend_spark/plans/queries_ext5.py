@@ -1752,6 +1752,62 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 
 
 # ---------------------------------------------------------------------------
+# schema_evolution_merge — unionByName across table versions
+# ---------------------------------------------------------------------------
+
+
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge two SCHEMA VERSIONS of the same logical table — the v1
+    slice lacks a column the v2 slice added — via
+    unionByName(allowMissingColumns): positional UNION would silently
+    misalign columns; by-name union null-fills the missing column, and
+    the nulls are then defaulted. This is the lakehouse
+    schema-evolution read path (old parquet files simply don't have the
+    new column).
+
+    The v1/v2 split is a deterministic orders slice so the DuckDB twin
+    (UNION ALL BY NAME) constructs identical inputs. Per-version rollup
+    proves the null-fill lands only on v1 rows. Cost is a plain union —
+    no shuffle until the 2-row report aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents.alias("price_c"),
+        F.lit("v1").alias("schema_version"))
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("price_c"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("v2").alias("schema_version"))
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return (merged
+            .select("schema_version",
+                    F.coalesce("status", F.lit("UNKNOWN")).alias("status"),
+                    "price_c")
+            .groupBy("schema_version", "status")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("price_c").alias("sum_price_c")))
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH v1 AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         'v1' AS schema_version
+  FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         o_orderstatus AS status, 'v2' AS schema_version
+  FROM orders WHERE o_orderkey % 2 = 1
+), merged AS (
+  SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+)
+SELECT schema_version, coalesce(status, 'UNKNOWN') AS status,
+       count(*) AS n_rows, sum(price_c) AS sum_price_c
+FROM merged GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
 # ---------------------------------------------------------------------------
 
@@ -1906,6 +1962,7 @@ QUERIES_EXT5.update({
     "graph_ppr": q_graph_ppr,
     "ivm_update": q_ivm_update,
     "cdc_apply": q_cdc_apply,
+    "schema_evolution_merge": q_schema_evolution_merge,
 })
 
 ORACLE_EXT5.update({
@@ -1936,4 +1993,5 @@ ORACLE_EXT5.update({
     "graph_ppr": ORACLE_PPR,
     "ivm_update": ORACLE_IVM,
     "cdc_apply": ORACLE_CDC,
+    "schema_evolution_merge": ORACLE_SCHEMA_EVOLUTION,
 })
