@@ -7,17 +7,38 @@ Warehouse / timeseries:
   ohlc_downsample     hypertable-style hourly OHLC downsample
   median_mode_report  exact median + deterministic mode per group
   markov_transitions  event-type transition matrix (order-1 Markov)
+  gapfill_ffill       dense hour spine + locf forward fill
+  ewma_report         EWMA smoothing as a sorted fold
+  scd/diff family:    table_diff (version reconciliation),
+                      ivm_update (incremental view maintenance),
+                      cdc_apply (changelog -> snapshot),
+                      schema_evolution_merge (unionByName),
+                      cascade_delete_audit, table_profile,
+                      exact_percentile_rank, sliding_distinct_users,
+                      keyset_page
 
 Sketches / probabilistic structures (deterministic by construction, so
 they stay oracle-checkable — md5-derived hashes, no RNG):
 
   kmv_distinct        K-minimum-values distinct-count sketch vs exact
   bloom_probe         Bloom-filter pre-join membership w/ measured FPs
+  skew_report         key-frequency Gini/percentile skew diagnosis
+
+Graph / ML:
+
+  graph_bfs_depth     bounded multi-source BFS (Pregel frontier)
+  kcore_decompose     k-core peeling with fixpoint early-exit
+  graph_ppr           personalized PageRank from a seed set
+  kmeans_embed        int-exact 2-round Lloyd's k-means
 
 Training-data pipeline:
 
   zscore_outliers     per-group standardization + tail flagging
   token_entropy       per-doc Shannon token entropy (sorted fold)
+  corr_report         exact-moment Pearson/OLS
+  pmi_cooccur         PMI collocation mining
+  build_inverted_index  postings + df/cf search-index build
+  blocking_quality    record-linkage blocking-scheme report
 
 Cross-engine determinism rules used throughout (see SURVEY 4.4): money
 and metric doubles are quantized to integer cents BEFORE aggregation so
@@ -1808,6 +1829,84 @@ FROM merged GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# embed_quantize_report — int8 quantization error audit
+# ---------------------------------------------------------------------------
+
+_QUANT_SCALE = 127.0 / 0.25  # int8 full range maps to [-0.25, 0.25]
+
+
+def q_embed_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with its reconstruction error
+    AUDITED: per vector, the max absolute dequantization error and the
+    exact squared-norm drift — the measurement that decides whether a
+    4x storage/bandwidth cut (float32 -> int8) is safe for a given
+    corpus before committing the index rebuild.
+
+    Quantize = clamp(round(x * scale)) to [-127, 127] (symmetric,
+    zero-point-free; the [-0.25, 0.25] range deliberately clips the
+    distribution's tail so the report shows BOTH regimes — half-step
+    rounding error inside the range, clip error outside — which is the
+    actual decision a range calibration makes). Everything is
+    per-element array math in codegen
+    (transform/zip_with + a fold for the max), no shuffle until the
+    3-row error-bucket rollup. Errors are e6-quantized ints; the fold
+    maxes integers, so no float-sum ordering anywhere.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127), F.least(
+                F.lit(127),
+                F.round(x.cast("double") * _QUANT_SCALE).cast("int"))))
+    deq = F.transform(F.col("q"), lambda v: v.cast("double") / _QUANT_SCALE)
+    err_e6 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("deq"),
+                   lambda a, b: F.round(F.abs(a.cast("double") - b) * 1e6)
+                   .cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.greatest(acc, x))
+    bucket = (F.when(F.col("max_err_e6") <= 1000, "round_only<=1000e-6")
+              .when(F.col("max_err_e6") <= 20000, "clipped<=20000e-6")
+              .otherwise("clipped>20000e-6"))
+    return (e.select("vec_id", "embedding", q.alias("q"))
+            .select("vec_id", "embedding", "q", deq.alias("deq"))
+            .select("vec_id", err_e6.alias("max_err_e6"))
+            .select(bucket.alias("err_bucket"), "max_err_e6")
+            .groupBy("err_bucket")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.max("max_err_e6").alias("worst_err_e6")))
+
+
+ORACLE_QUANTIZE = f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> greatest(-127, least(127,
+                  CAST(round(CAST(x AS DOUBLE) * {_QUANT_SCALE}) AS INT))))
+           AS qv
+  FROM embeddings
+), err AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_zip(embedding, qv),
+                 p -> CAST(round(abs(CAST(p[1] AS DOUBLE)
+                                     - CAST(p[2] AS DOUBLE)
+                                       / {_QUANT_SCALE}) * 1e6)
+                           AS BIGINT))),
+             (a, b) -> greatest(a, b)) AS max_err_e6
+  FROM q
+)
+SELECT CASE WHEN max_err_e6 <= 1000 THEN 'round_only<=1000e-6'
+            WHEN max_err_e6 <= 20000 THEN 'clipped<=20000e-6'
+            ELSE 'clipped>20000e-6' END AS err_bucket,
+       count(*) AS n_vectors,
+       max(max_err_e6) AS worst_err_e6
+FROM err GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # kmeans_embed — fixed-iteration Lloyd's k-means, int-exact, oracle-checked
 # ---------------------------------------------------------------------------
 
@@ -1963,6 +2062,7 @@ QUERIES_EXT5.update({
     "ivm_update": q_ivm_update,
     "cdc_apply": q_cdc_apply,
     "schema_evolution_merge": q_schema_evolution_merge,
+    "embed_quantize_report": q_embed_quantize_report,
 })
 
 ORACLE_EXT5.update({
@@ -1994,4 +2094,5 @@ ORACLE_EXT5.update({
     "ivm_update": ORACLE_IVM,
     "cdc_apply": ORACLE_CDC,
     "schema_evolution_merge": ORACLE_SCHEMA_EVOLUTION,
+    "embed_quantize_report": ORACLE_QUANTIZE,
 })
