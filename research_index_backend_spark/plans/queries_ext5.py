@@ -1829,6 +1829,97 @@ FROM merged GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# ann_recall_report — recall@k of the LSH index vs exact brute force
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH ANN index against the exact brute-force
+    top-5, per query — the evaluation every approximate index ships
+    with (an ANN path without a measured recall number is a guess, not
+    an index).
+
+    Composes the two existing catalog pipelines verbatim
+    (operators.ann.brute_force_topk / lsh_topk) and left-joins approx
+    onto exact on (query, neighbor): recall = hits/k. At 100 TB the
+    evaluation runs on a SAMPLED query set exactly like this fixed
+    5-query batch — the exact side's cost is the sample size times a
+    corpus scan, paid once per index build, not per serve.
+    """
+    from ..operators.ann import brute_force_topk, lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=_RECALL_K).select(
+        "query_id", "neighbor_id")
+    approx = lsh_topk(emb, queries, k=_RECALL_K, n_bits=4).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor"))
+    hits = exact.join(
+        approx, (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]), "left") \
+        .select(exact["query_id"],
+                approx["a_neighbor"].isNotNull().cast("bigint")
+                .alias("hit"))
+    return (hits.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("k"),
+                 F.sum("hit").alias("n_hit"))
+            .select("query_id", "k", "n_hit",
+                    F.floor(F.col("n_hit") * 1_000_000 / F.col("k"))
+                    .alias("recall_e6")))
+
+
+ORACLE_ANN_RECALL = f"""
+WITH exq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5
+), ex_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM embeddings e, exq q WHERE e.vec_id <> q.query_id
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sim, 9) DESC, neighbor_id)
+             AS rnk
+    FROM ex_scored) WHERE rnk <= {_RECALL_K}
+), bucketed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+), apq AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed
+  WHERE vec_id < 5
+), ap_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM bucketed e JOIN apq q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sim, 9) DESC, neighbor_id)
+             AS rnk
+    FROM ap_scored) WHERE rnk <= {_RECALL_K}
+)
+SELECT e.query_id, count(*) AS k,
+       sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_hit,
+       CAST(floor(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) * 1000000.0 / count(*))
+            AS BIGINT) AS recall_e6
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # embed_quantize_report — int8 quantization error audit
 # ---------------------------------------------------------------------------
 
@@ -2063,6 +2154,7 @@ QUERIES_EXT5.update({
     "cdc_apply": q_cdc_apply,
     "schema_evolution_merge": q_schema_evolution_merge,
     "embed_quantize_report": q_embed_quantize_report,
+    "ann_recall_report": q_ann_recall_report,
 })
 
 ORACLE_EXT5.update({
@@ -2095,4 +2187,5 @@ ORACLE_EXT5.update({
     "cdc_apply": ORACLE_CDC,
     "schema_evolution_merge": ORACLE_SCHEMA_EVOLUTION,
     "embed_quantize_report": ORACLE_QUANTIZE,
+    "ann_recall_report": ORACLE_ANN_RECALL,
 })

@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     "flagship_contains_tag", "theta_range_check",
     "bm25_topk", "rerank_topk", "tfidf_topk",
     "ann_cosine_topk", "ann_ivf_topk",
+    # the recall evaluation embeds the brute-force side by design (the
+    # exact baseline IS a query-batch x corpus broadcast product)
+    "ann_recall_report",
     # 1-row broadcast corpus-totals cross join (same shape as bm25's
     # avgdl+N stats side)
     "vocab_drift",
