@@ -1829,6 +1829,154 @@ FROM merged GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# anomaly_mad — robust outlier report (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+# 3 * 1.4826 (the normal-consistency constant), pre-multiplied so both
+# engines apply ONE double literal — a two-literal product could in
+# principle associate differently.
+_MAD_THRESHOLD = 4.4478
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier report per event type — the
+    median/MAD counterpart of zscore_outliers: mean/stddev are
+    themselves dragged by the outliers they're meant to find, MAD is
+    50%-breakdown robust (the detector monitoring pipelines actually
+    deploy for skewed metrics).
+
+    Exactness discipline: medians over int cents land on exact .5
+    halves, so deviations are computed in DOUBLED units (dev2 =
+    |2x - 2*median|, an exact int64) and the MAD is a median over
+    those ints — every quantity is integer-or-exact-half until the one
+    final threshold comparison (dev2 > 4.4478 * mad2, same literal,
+    same tree, both engines). Two median aggregates per group, both on
+    the 5-row group key; the flag pass joins the 5-row stats broadcast
+    back, map-only, like zscore.
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_type",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("value_c"))
+    med = base.groupBy("event_type").agg(
+        F.round(F.median("value_c") * 2).cast("bigint").alias("med2"))
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "med2",
+        F.abs(F.col("value_c") * 2 - F.col("med2")).alias("dev2"))
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.median("dev2") * 2).cast("bigint").alias("mad4"))
+    flagged = (dev.join(F.broadcast(mad), "event_type")
+               .select("event_type", "med2", "mad4",
+                       (F.col("dev2").cast("double")
+                        > F.lit(_MAD_THRESHOLD)
+                        * F.col("mad4").cast("double") / F.lit(2.0))
+                       .cast("bigint").alias("is_outlier")))
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.max("med2").alias("median_x2_c"),
+                 F.max("mad4").alias("mad_x4_c"),
+                 F.sum("is_outlier").alias("n_outliers")))
+
+
+ORACLE_MAD = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), med AS (
+  SELECT event_type, CAST(round(median(value_c) * 2) AS BIGINT) AS med2
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, m.med2, abs(b.value_c * 2 - m.med2) AS dev2
+  FROM base b JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, CAST(round(median(dev2) * 2) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*) AS n_rows,
+       max(d.med2) AS median_x2_c,
+       max(m.mad4) AS mad_x4_c,
+       sum(CASE WHEN CAST(d.dev2 AS DOUBLE)
+                     > {_MAD_THRESHOLD} * CAST(m.mad4 AS DOUBLE) / 2.0
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_paths — top navigation paths per 30-minute session
+# ---------------------------------------------------------------------------
+
+_PATH_GAP_US = 30 * 60 * 1_000_000
+_PATH_MAX_STEPS = 8
+_PATH_TOPK = 10
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common event-type paths per session (30-min gap
+    sessionization, first 8 steps) — the navigation-path mining behind
+    funnel discovery ("what do users actually do?" as opposed to the
+    funnels you guessed at).
+
+    Sessionize = lag + cumsum on the per-user sort the event pipeline
+    already pays; the path string is an ORDERED collect (sorted struct
+    list → slice → join), so it's deterministic under any partitioning;
+    the path cap bounds row width for pathological sessions. Path
+    counting is a map-side-combinable agg over short strings; top-k is
+    TakeOrdered.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (e.select("user_id", "ts", "event_id", "event_type",
+                     F.unix_micros("ts").alias("ts_us"))
+            .withColumn("gap",
+                        (F.col("ts_us") - F.lag("ts_us").over(w)
+                         > _PATH_GAP_US).cast("int"))
+            .withColumn("session_id",
+                        F.sum(F.coalesce("gap", F.lit(0))).over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    paths = (sess.groupBy("user_id", "session_id")
+             .agg(F.array_join(
+                 F.slice(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct(
+                             "ts", "event_id", "event_type"))),
+                         lambda s: s["event_type"]),
+                     1, _PATH_MAX_STEPS), ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), "path")
+            .limit(_PATH_TOPK))
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > {_PATH_GAP_US}
+              THEN 1 ELSE 0 END AS gap
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM gaps
+), paths AS (
+  SELECT user_id, session_id,
+         array_to_string(
+             list(event_type ORDER BY ts, event_id)[1:{_PATH_MAX_STEPS}],
+             '>') AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_recall_report — recall@k of the LSH index vs exact brute force
 # ---------------------------------------------------------------------------
 
@@ -2155,6 +2303,8 @@ QUERIES_EXT5.update({
     "schema_evolution_merge": q_schema_evolution_merge,
     "embed_quantize_report": q_embed_quantize_report,
     "ann_recall_report": q_ann_recall_report,
+    "anomaly_mad": q_anomaly_mad,
+    "session_paths": q_session_paths,
 })
 
 ORACLE_EXT5.update({
@@ -2188,4 +2338,6 @@ ORACLE_EXT5.update({
     "schema_evolution_merge": ORACLE_SCHEMA_EVOLUTION,
     "embed_quantize_report": ORACLE_QUANTIZE,
     "ann_recall_report": ORACLE_ANN_RECALL,
+    "anomaly_mad": ORACLE_MAD,
+    "session_paths": ORACLE_SESSION_PATHS,
 })
