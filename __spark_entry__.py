@@ -77,6 +77,7 @@ _VERIFY_FIRST = (
     "keyset_page", "graph_ppr", "ivm_update", "cdc_apply",
     "schema_evolution_merge", "embed_quantize_report",
     "ann_recall_report", "anomaly_mad", "session_paths",
+    "seasonality_report", "graph_jaccard_similarity",
     "graph_motif_wedge", "graph_motif_path", "asof_tolerance",
     "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration",

@@ -1977,6 +1977,113 @@ ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# seasonality_report — hour-of-day x day-of-week seasonal profile
+# ---------------------------------------------------------------------------
+
+
+def q_seasonality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile matrix: average event value per (day-of-week,
+    hour-of-day) cell — the baseline surface anomaly detectors and
+    capacity planners subtract before looking for anything interesting.
+
+    One narrow scan, one 168-cell aggregate (map-side combinable), cell
+    averages as floor(exact int sum / count). dow follows ISO (1 =
+    Monday) via dayofweek shifted, spelled identically in both engines.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (e.select(
+        ((F.dayofweek("ts") + 5) % 7 + 1).alias("iso_dow"),
+        F.hour("ts").alias("hour_of_day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"))
+        .groupBy("iso_dow", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.floor(F.sum("value_c") / F.count(F.lit(1)).cast("double"))
+             .cast("bigint").alias("avg_value_c")))
+
+
+ORACLE_SEASONALITY = """
+SELECT isodow(ts) AS iso_dow, CAST(hour(ts) AS INT) AS hour_of_day,
+       count(*) AS n_events,
+       CAST(floor(sum(CAST(round(value * 100) AS BIGINT))
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_similarity — neighbor-overlap link prediction
+# ---------------------------------------------------------------------------
+
+_NJ_HUB_CAP = 200
+_NJ_TOPK = 20
+
+
+def q_graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by Jaccard similarity of their part
+    neighborhoods — the neighbor-overlap score behind link prediction
+    and 'entities like this one' recommendations on a bipartite graph.
+
+    Candidate pairs come ONLY from co-occurrence on a shared part
+    (join on partkey, a < b) — never all supplier pairs; parts touched
+    by more than 200 suppliers are hub-capped out first (one
+    ~N-supplier part would contribute N^2/2 wedges — the same
+    quadratic blob two_hop caps). Intersections aggregate from the
+    wedge join; degrees join in from a per-supplier pre-aggregate;
+    the score is one exact-int division. Top-k is TakeOrdered.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    li = l.select("l_suppkey", "l_partkey").distinct()
+    part_deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pd"))
+    ok_parts = part_deg.filter(F.col("pd") <= _NJ_HUB_CAP) \
+                       .select("l_partkey")
+    li_ok = li.join(F.broadcast(ok_parts), "l_partkey", "semi")
+    deg = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    a = li_ok.select("l_partkey", F.col("l_suppkey").alias("sa"))
+    b = li_ok.select("l_partkey", F.col("l_suppkey").alias("sb"))
+    inter = (a.join(b, "l_partkey")
+             .filter(F.col("sa") < F.col("sb"))
+             .groupBy("sa", "sb")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    scored = (inter
+              .join(deg.select(F.col("l_suppkey").alias("sa"),
+                               F.col("deg").alias("da")), "sa")
+              .join(deg.select(F.col("l_suppkey").alias("sb"),
+                               F.col("deg").alias("db")), "sb")
+              .select("sa", "sb", "inter",
+                      F.floor(F.col("inter") * 1_000_000
+                              / (F.col("da") + F.col("db")
+                                 - F.col("inter"))).alias("jaccard_e6")))
+    return scored.orderBy(F.col("jaccard_e6").desc(), "sa", "sb") \
+                 .limit(_NJ_TOPK)
+
+
+ORACLE_GRAPH_JACCARD = f"""
+WITH li AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+), ok_parts AS (
+  SELECT l_partkey FROM li GROUP BY l_partkey
+  HAVING count(*) <= {_NJ_HUB_CAP}
+), li_ok AS (
+  SELECT * FROM li WHERE l_partkey IN (SELECT l_partkey FROM ok_parts)
+), deg AS (
+  SELECT l_suppkey, count(*) AS deg FROM li GROUP BY l_suppkey
+), inter AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS inter
+  FROM li_ok a JOIN li_ok b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT sa, sb, inter,
+       CAST(floor(inter * 1000000
+                  / (da.deg + db.deg - inter)) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN deg da ON da.l_suppkey = sa
+JOIN deg db ON db.l_suppkey = sb
+ORDER BY jaccard_e6 DESC, sa, sb LIMIT {_NJ_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_recall_report — recall@k of the LSH index vs exact brute force
 # ---------------------------------------------------------------------------
 
@@ -2305,6 +2412,8 @@ QUERIES_EXT5.update({
     "ann_recall_report": q_ann_recall_report,
     "anomaly_mad": q_anomaly_mad,
     "session_paths": q_session_paths,
+    "seasonality_report": q_seasonality_report,
+    "graph_jaccard_similarity": q_graph_jaccard_similarity,
 })
 
 ORACLE_EXT5.update({
@@ -2340,4 +2449,6 @@ ORACLE_EXT5.update({
     "ann_recall_report": ORACLE_ANN_RECALL,
     "anomaly_mad": ORACLE_MAD,
     "session_paths": ORACLE_SESSION_PATHS,
+    "seasonality_report": ORACLE_SEASONALITY,
+    "graph_jaccard_similarity": ORACLE_GRAPH_JACCARD,
 })
