@@ -251,3 +251,70 @@ def kmv_distinct_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming event-transition counter — windowless LEAD via keyed state
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("from_type", StringType()),
+    StructField("next_type", StringType()),
+    StructField("n", LongType()),
+])
+
+# state = the user's last-seen event type (the LEAD/LAG boundary carried
+# across micro-batches)
+TRANSITIONS_STATE_SCHEMA = StructType([
+    StructField("last_type", StringType()),
+])
+
+
+def _transitions_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    last = None
+    if state.exists:
+        (last,) = state.get
+    counts: dict[tuple[str, str], int] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in pdf["event_type"]:
+            if last is not None:
+                k = (last, t)
+                counts[k] = counts.get(k, 0) + 1
+            last = t
+    state.update((last,))
+    if counts:
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(counts),
+             "from_type": [k[0] for k in counts],
+             "next_type": [k[1] for k in counts],
+             "n": list(counts.values())})
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch markov_transitions LEAD: per-user
+    (from, next) transition counts maintained incrementally — the
+    batch query's window LAG/LEAD is unavailable under incremental
+    arrival, so the cross-batch boundary (the user's LAST event of the
+    previous micro-batch) is carried as keyed state; everything else is
+    a per-batch ordered scan of that user's rows.
+
+    State is ONE string per user regardless of stream length — the
+    whole point of converting a sort-based batch op to a stateful
+    streaming op. Emits per-batch transition count DELTAS (update
+    mode); the downstream aggregate sums them into the matrix, which
+    is how count deltas compose with ivm_update-style view
+    maintenance. Expects columns user_id, event_id, event_type, ts.
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions_fn,
+            outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
+            stateStructType=TRANSITIONS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

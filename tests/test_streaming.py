@@ -449,3 +449,55 @@ class TestKmvSketchStream:
                    else int((KMV_STREAM_K - 1) * float(1 << 32)
                             // r["h_k"]))
             assert int(final.loc[r["event_type"], "kmv_est"]) == exp
+
+
+class TestTransitionsStream:
+    def test_summed_deltas_match_batch_lead(self, spark, tmp_path):
+        """Summing the stream's per-batch transition deltas must equal
+        the batch LEAD-window transition matrix — including transitions
+        whose two events arrive in DIFFERENT micro-batches (the keyed
+        last-type state carries the boundary)."""
+        import datetime as dt
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from research_index_backend_spark.streaming.stateful import (
+            transitions_stream,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        types = ["click", "view", "purchase"]
+        rows = [(i, i % 5, types[(i * 7) % 3],
+                 base + dt.timedelta(seconds=i), "{}")
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "props"])
+        src = str(tmp_path / "trans-src")
+        df.filter("event_id < 100").coalesce(1).write.parquet(
+            src, mode="append")
+        df.filter("event_id >= 100").coalesce(1).write.parquet(
+            src, mode="append")
+
+        from research_index_backend_spark.streaming.windows import (
+            read_events_stream,
+        )
+        q = (transitions_stream(read_events_stream(spark, src))
+             .writeStream.format("memory").queryName("trans_stream")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["from_type"], r["next_type"]): r["n"]
+               for r in spark.sql(
+                   "SELECT from_type, next_type, sum(n) AS n "
+                   "FROM trans_stream GROUP BY 1, 2").collect()}
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        batch = (spark.read.parquet(src)
+                 .withColumn("next_type", F.lead("event_type").over(w))
+                 .filter(F.col("next_type").isNotNull())
+                 .groupBy(F.col("event_type").alias("from_type"),
+                          "next_type")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        expected = {(r["from_type"], r["next_type"]): r["n"]
+                    for r in batch.collect()}
+        assert got == expected
