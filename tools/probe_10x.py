@@ -43,6 +43,9 @@ SCALED = [
     # embeddings-driven (scaled since gen_10x perturbs per-shard replicas)
     "kmeans_embed", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_hyperplane_topk", "dedup_embedding", "dedup_embedding_multi",
+    "embed_quantize_report", "ann_recall_report",
+    # final r7 wave (lineitem-driven)
+    "graph_jaccard_similarity",
 ]
 
 
