@@ -447,10 +447,13 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score standardization, keeping the z > 3 right
     tail — the anomaly/outlier-flagging primitive.
 
-    Mean and sample stddev come from exact int64 sums (n, sum(cents),
-    sum(cents^2)) so the per-type stats are bit-identical everywhere;
-    z is then one double expression over those exact ints, evaluated
-    with the same tree in both engines. The stats aggregate is 5 rows —
+    Mean and sample stddev come from EXACT sums (n, sum(cents),
+    sum(cents^2)) accumulated in 128-bit decimal — the corr_report
+    discipline: an int64 s1*s1 would overflow around a 3e9-cent group
+    sum, far below the claimed scale — so the per-type stats are
+    bit-identical everywhere; z is then one ALL-DOUBLE expression over
+    those exact sums (each moment cast to double before any product),
+    same tree in both engines. The stats aggregate is 5 rows —
     broadcast back onto the stream, so flagging is a map-only pass over
     events (no window, no second shuffle of the fact table).
     """
@@ -458,13 +461,15 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select("event_id", "event_type",
                     F.round(F.col("value") * 100).cast("bigint")
                     .alias("value_c"))
+    vc_d = F.col("value_c").cast("decimal(18,0)")
     stats = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value_c").alias("s1"),
-        F.sum(F.col("value_c") * F.col("value_c")).alias("s2"))
-    z = ((F.col("value_c") - F.col("s1") / F.col("n"))
-         / F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-                  / (F.col("n") - 1)))
+        F.sum(vc_d).alias("s1"),
+        F.sum(vc_d * vc_d).alias("s2"))
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    z = ((F.col("value_c") - s1d / nd)
+         / F.sqrt((s2d - s1d * s1d / nd) / (nd - 1)))
     return (base.join(F.broadcast(stats), "event_type")
             .select("event_id", "event_type", "value_c",
                     F.floor(z * 10_000).alias("z_e4"))
@@ -482,12 +487,18 @@ WITH base AS (
   FROM base GROUP BY event_type
 )
 SELECT event_id, base.event_type, value_c,
-       CAST(floor((value_c - s1 / CAST(n AS DOUBLE))
-                  / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n) / (n - 1))
+       CAST(floor((value_c - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1))
                   * 10000) AS BIGINT) AS z_e4
 FROM base JOIN stats USING (event_type)
-WHERE CAST(floor((value_c - s1 / CAST(n AS DOUBLE))
-                 / sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n) / (n - 1))
+WHERE CAST(floor((value_c - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1))
                  * 10000) AS BIGINT) > {int(_Z_THRESHOLD * 10_000)}
 """
 
@@ -660,7 +671,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("row_hash"))
             .unionAll(
                 o.filter(F.col("o_orderkey") % 11 == 0)
-                .select((F.col("o_orderkey") + 10_000_000)
+                .select((-(F.col("o_orderkey") + 1))
                         .alias("o_orderkey"),
                         F.md5(F.concat_ws(
                             "|", "o_custkey", "o_orderstatus",
@@ -694,7 +705,7 @@ WITH base AS (
            AS h_new
   FROM orders WHERE o_orderkey % 13 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000,
+  SELECT -(o_orderkey + 1),
          md5(concat_ws('|', o_custkey, o_orderstatus,
                        CAST(round(o_totalprice * 100) AS BIGINT)))
   FROM orders WHERE o_orderkey % 11 = 0
@@ -733,12 +744,7 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = _t(spark, sf_dir, "lineitem")
     li = l.select("l_suppkey", "l_orderkey").distinct()
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"))
-    edges = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
-        .localCheckpoint()
+    edges = _sym_supplier_edges(li).localCheckpoint()
     cur = edges
     prev_n = cur.count()
     for _ in range(_KCORE_ROUNDS):
@@ -942,6 +948,21 @@ ORDER BY pmi_e6 DESC, w1, w2 LIMIT {_PMI_TOPK}
 """
 
 
+
+def _sym_supplier_edges(li):
+    """Symmetrized supplier<->counterparty edge list with 's'/'X'
+    prefixed node ids — the shared graph construction for the BFS /
+    k-core / PPR family (li = a distinct 2-column key frame whose first
+    column is l_suppkey)."""
+    other = [c for c in li.columns if c != "l_suppkey"][0]
+    pref = other.split("_")[1][0]  # l_partkey -> 'p', l_orderkey -> 'o'
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit(pref), F.col(other).cast("string")).alias("dst"))
+    return fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
 # ---------------------------------------------------------------------------
 # graph_bfs_depth — bounded multi-source BFS hop distance
 # ---------------------------------------------------------------------------
@@ -968,12 +989,7 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = _t(spark, sf_dir, "lineitem")
     li = l.select("l_suppkey", "l_partkey").distinct()
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
-    edges = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
-        .localCheckpoint()
+    edges = _sym_supplier_edges(li).localCheckpoint()
     seeds = (li.select("l_suppkey").distinct()
              .filter(F.col("l_suppkey") % _BFS_SEED_MOD == 0)
              .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
@@ -1416,7 +1432,8 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_freq"),
         F.max(F.when(F.col("i") == F.ceil(F.col("nk") * 0.99),
                      F.col("c"))).alias("p99_freq"),
-        F.sum(F.col("i") * F.col("c")).alias("rank_sum"))
+        F.sum((F.col("i") * F.col("c")).cast("decimal(28,0)"))
+        .alias("rank_sum"))
         .select(
             "n_keys", "n_rows", "max_freq", "p99_freq",
             F.floor((F.col("max_freq") * 1_000_000)
@@ -1480,10 +1497,15 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def scheme(name: str, keys: list) -> DataFrame:
         blocks = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
+        # per-block pairs via INTEGER div (nb*(nb-1) is even), summed in
+        # 128-bit decimal: the double-division form loses exactness past
+        # 2^53 pairs — exactly the quadratic-blob regime this report
+        # exists to measure.
+        per_block = F.expr("CAST(nb * (nb - 1) AS BIGINT) div 2")
         return (blocks.agg(
             F.count(F.lit(1)).alias("n_blocks"),
             F.max("nb").alias("max_block"),
-            F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("bigint")
+            F.sum(per_block.cast("decimal(28,0)")).cast("bigint")
             .alias("n_cand_pairs"))
             .crossJoin(F.broadcast(n_total))
             .select(F.lit(name).alias("scheme"), "n_blocks", "max_block",
@@ -1509,8 +1531,8 @@ WITH base AS (
   SELECT count(*) AS nb FROM base GROUP BY c_nationkey, c_mktsegment
 )
 SELECT 'nation' AS scheme, count(*) AS n_blocks, max(nb) AS max_block,
-       CAST(sum(nb * (nb - 1) / 2) AS BIGINT) AS n_cand_pairs,
-       CAST(floor(1e6 - CAST(sum(nb * (nb - 1) / 2) AS BIGINT)
+       CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS n_cand_pairs,
+       CAST(floor(1e6 - CAST(sum(nb * (nb - 1) // 2) AS BIGINT)
                         * 2000000.0
                         / ((SELECT n FROM tot)
                            * ((SELECT n FROM tot) - 1))) AS BIGINT)
@@ -1518,8 +1540,8 @@ SELECT 'nation' AS scheme, count(*) AS n_blocks, max(nb) AS max_block,
 FROM s1
 UNION ALL
 SELECT 'nation_segment', count(*), max(nb),
-       CAST(sum(nb * (nb - 1) / 2) AS BIGINT),
-       CAST(floor(1e6 - CAST(sum(nb * (nb - 1) / 2) AS BIGINT)
+       CAST(sum(nb * (nb - 1) // 2) AS BIGINT),
+       CAST(floor(1e6 - CAST(sum(nb * (nb - 1) // 2) AS BIGINT)
                         * 2000000.0
                         / ((SELECT n FROM tot)
                            * ((SELECT n FROM tot) - 1))) AS BIGINT)
@@ -1608,11 +1630,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.analytics import personalized_pagerank
     l = _t(spark, sf_dir, "lineitem")
     li = l.select("l_suppkey", "l_partkey").distinct()
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
-    edges = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _sym_supplier_edges(li)
     seeds = (li.select("l_suppkey").distinct()
              .filter(F.col("l_suppkey") % 10 == 0)
              .select(F.concat(F.lit("s"),
@@ -1703,8 +1721,7 @@ def q_ivm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("b_n", z) + F.coalesce("d_n", z)).alias("n_orders"),
         (F.coalesce("b_sum", z) + F.coalesce("d_sum", z))
         .alias("sum_price_c"),
-        F.greatest(F.coalesce("b_max", F.lit(None)),
-                   F.coalesce("d_max", F.lit(None))).alias("max_price_c"))
+        F.greatest("b_max", "d_max").alias("max_price_c"))
 
 
 # The oracle is the FULL RECOMPUTE — passing means the incremental merge
@@ -2037,7 +2054,10 @@ def q_graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_parts = part_deg.filter(F.col("pd") <= _NJ_HUB_CAP) \
                        .select("l_partkey")
     li_ok = li.join(F.broadcast(ok_parts), "l_partkey", "semi")
-    deg = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    # degrees over the SAME capped edge set as the intersections — mixing
+    # full-graph degrees with capped intersections would score no
+    # consistent neighborhood (caught in review)
+    deg = li_ok.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
     a = li_ok.select("l_partkey", F.col("l_suppkey").alias("sa"))
     b = li_ok.select("l_partkey", F.col("l_suppkey").alias("sb"))
     inter = (a.join(b, "l_partkey")
@@ -2066,7 +2086,7 @@ WITH li AS (
 ), li_ok AS (
   SELECT * FROM li WHERE l_partkey IN (SELECT l_partkey FROM ok_parts)
 ), deg AS (
-  SELECT l_suppkey, count(*) AS deg FROM li GROUP BY l_suppkey
+  SELECT l_suppkey, count(*) AS deg FROM li_ok GROUP BY l_suppkey
 ), inter AS (
   SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS inter
   FROM li_ok a JOIN li_ok b
