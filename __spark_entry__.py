@@ -45,6 +45,10 @@ from research_index_backend_spark.plans.queries_ext5 import (  # noqa: E402
     ORACLE_EXT5,
     QUERIES_EXT5,
 )
+from research_index_backend_spark.plans.queries_ext6 import (  # noqa: E402
+    ORACLE_EXT6,
+    QUERIES_EXT6,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -65,7 +69,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query pushed past the 50-entry window has a green row in
 # CORRECTNESS_r06.json and stays covered by tools/check.py locally.
 _VERIFY_FIRST = (
-    # --- never officially checked (new this round) ---
+    # --- never officially checked (newest wave first) ---
+    "lang_id_trigram", "cms_heavy_hitters", "hll_distinct",
+    "prefix_dedup", "span_dedup", "spatial_core_points",
+    "containment_dedup", "train_split_report",
     "cube_report", "ohlc_downsample", "median_mode_report",
     "markov_transitions", "kmv_distinct", "bloom_probe",
     "zscore_outliers", "token_entropy", "kmeans_embed",
@@ -109,10 +116,11 @@ def _ordered(mapping: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
-                     **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5})
+                     **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
+                     **QUERIES_EXT6})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
-                     **ORACLE_EXT4, **ORACLE_EXT5})
+                     **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6})

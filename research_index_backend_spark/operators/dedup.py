@@ -178,6 +178,58 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return _jaccard_from_inverted(inv, None, threshold, max_token_df)
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                            n: int = 5, threshold_e6: int = 700_000,
+                            max_token_df: int | None = None) -> DataFrame:
+    """Character-n-gram CONTAINMENT join: (id_a, id_b, cont_e6) for pairs
+    whose shared discriminative shingles cover >= threshold of the
+    SMALLER set — max(|A∩B|/|A|, |A∩B|/|B|) = |A∩B|/min(|A|,|B|).
+
+    Containment is the asymmetric cousin of Jaccard and the right scorer
+    for subset documents: a short doc quoted whole inside a long one has
+    near-1.0 containment but low Jaccard (the union is dominated by the
+    long doc), so a Jaccard threshold silently keeps the duplicate — the
+    classic truncation/quote blind spot in training-data dedup.
+
+    Same inverted-index + df-cap plan as ngram_jaccard_pairs (cost is
+    sum(df^2) over the CAPPED shingles, linear-ish in corpus size); the
+    score is quantized to an e6 integer with integer division BEFORE
+    thresholding so membership is bit-stable across engines.
+    """
+    c = F.col(text_col)
+    positions = F.when(F.length(c) < n, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), F.length(c) - n + 1))
+    inv = (
+        df.select(F.col(id_col).alias("id"), c.alias("__t"),
+                  F.explode(positions).alias("__p"))
+        .select("id",
+                F.lower(F.col("__t").substr(F.col("__p"), F.lit(n)))
+                .alias("tok"))
+        .distinct()
+    )
+    if max_token_df is not None:
+        rare = (inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_token_df).select("tok"))
+        inv = inv.join(rare, "tok", "left_semi")
+        # one materialization, three readers (sizes + both join sides) —
+        # same trade as _jaccard_from_inverted.
+        inv = inv.localCheckpoint()
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = inv.select("tok", F.col("id").alias("id_a"))
+    b = inv.select("tok", F.col("id").alias("id_b"))
+    co = (a.join(b, "tok")
+          .filter(F.col("id_a") < F.col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (co.join(sz_a, "id_a").join(sz_b, "id_b")
+            .select("id_a", "id_b",
+                    F.expr("inter * 1000000 div least(sz_a, sz_b)")
+                    .alias("cont_e6"))
+            .filter(F.col("cont_e6") >= threshold_e6))
+
+
 def adaptive_lsh_bits(n_rows: int, target_bucket: int = 125,
                       floor_bits: int = 4) -> int:
     """Bucket-granularity sizing for LSH self-joins: enough bits that the
