@@ -46,6 +46,10 @@ SCALED = [
     "embed_quantize_report", "ann_recall_report",
     # final r7 wave (lineitem-driven)
     "graph_jaccard_similarity",
+    # ext6 wave (documents / lineitem / embeddings driven)
+    "lang_id_trigram", "cms_heavy_hitters", "hll_distinct",
+    "prefix_dedup", "span_dedup", "spatial_core_points",
+    "containment_dedup", "train_split_report",
 ]
 
 
