@@ -49,6 +49,10 @@ from research_index_backend_spark.plans.queries_ext6 import (  # noqa: E402
     ORACLE_EXT6,
     QUERIES_EXT6,
 )
+from research_index_backend_spark.plans.queries_ext7 import (  # noqa: E402
+    ORACLE_EXT7,
+    QUERIES_EXT7,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,6 +74,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r06.json and stays covered by tools/check.py locally.
 _VERIFY_FIRST = (
     # --- never officially checked (newest wave first) ---
+    # r7 ext7 wave
+    "pit_join", "record_linkage", "k_anonymity", "trend_regression",
+    "interpolate_linear", "merkle_diff", "zone_map_prune",
+    "hll_union_report", "graph_clustering_coeff", "bpe_pair_stats",
+    # official r6 row was a FAIL on an oracle HUGEINT dtype (since cast
+    # to BIGINT) — needs a green official row to overturn it
+    "bool_agg_report",
+    # ext4/5/6 waves, no official row yet
     "lang_id_trigram", "cms_heavy_hitters", "hll_distinct",
     "prefix_dedup", "span_dedup", "spatial_core_points",
     "containment_dedup", "train_split_report",
@@ -89,7 +101,6 @@ _VERIFY_FIRST = (
     "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration",
     "scd2_history", "group_topk_ties",
-    "bool_agg_report",
     # --- r04-window originals, due for re-verification ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -117,10 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
                      **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
-                     **QUERIES_EXT6})
+                     **QUERIES_EXT6, **QUERIES_EXT7})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
-                     **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6})
+                     **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6, **ORACLE_EXT7})

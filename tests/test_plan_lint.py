@@ -56,6 +56,11 @@ BNLJ_ALLOWED = {
     "blocking_quality",
     # 1-row pagination anchor broadcast onto the keyset predicate scan
     "keyset_page",
+    # four 1-row agreement-weight aggregates crossed onto the blocked
+    # pair join (the cascade_delete_audit shape)
+    "record_linkage",
+    # the winning 1-row BPE merge broadcast onto the head corpus
+    "bpe_pair_stats",
 }
 
 
