@@ -167,3 +167,15 @@ class TestSemantics:
     def test_clustering_coeff_pct_bounded(self, spark):
         rows = Q7.q_graph_clustering_coeff(spark, SF).collect()
         assert rows and all(0 <= r["pct"] <= 100 for r in rows)
+
+
+def test_rl_refine_contract():
+    """Pin the corpus-adaptive blocking staircase: level 0 at every
+    checked SF (so the static DuckDB oracle stays valid), level 1 at
+    the benched sf0.1 part count, level 2 on the 10x probe corpus."""
+    assert Q7._rl_refine(2_000) == 0      # sf0.01 (oracle-checked)
+    assert Q7._rl_refine(200) == 0        # sf0.001
+    assert Q7._rl_refine(20_000) == 1     # sf0.1 (benched)
+    assert Q7._rl_refine(200_000) == 2    # 10x probe
+    assert Q7._rl_refine(10**9) == 2      # capped: further scale adds
+    #                                       blocking PASSES, not depth

@@ -90,7 +90,40 @@ def main(k_shards: int = 10) -> None:
     shards(emb, mk_emb).repartition(16).write.mode("overwrite") \
         .parquet(f"{DST}/embeddings.parquet")
 
-    for t in ("region", "nation", "supplier", "part", "orders", "events"):
+    # orders: key/custkey offsets track the lineitem/customer shards so
+    # order-driven operators (merkle_diff, zone_map_prune,
+    # trend_regression, hll_union_report) scale with their real input;
+    # dates/prices replicate verbatim (no pair-generating operator runs
+    # on orders, so clique inflation is not a concern here).
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    shards(orders, lambda d, k: d
+           .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * OFF))
+           .withColumn("o_custkey", F.col("o_custkey") + F.lit(k * OFF))) \
+        .repartition(16).write.mode("overwrite") \
+        .parquet(f"{DST}/orders.parquet")
+
+    # events: user population scales 10x (user_id offset), timeline
+    # unchanged — the shape real per-user operators (pit_join,
+    # interpolate_linear, sessionize) meet at 10x traffic.
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    shards(ev, lambda d, k: d
+           .withColumn("event_id", F.col("event_id") + F.lit(k * OFF))
+           .withColumn("user_id", F.col("user_id") + F.lit(k * OFF))) \
+        .repartition(16).write.mode("overwrite") \
+        .parquet(f"{DST}/events.parquet")
+
+    # part: partkey offsets track lineitem; names shard-suffixed on the
+    # SECOND token so record_linkage's (brand, type) blocks grow 10x —
+    # the honest stress for blocked linkage (blocks scale with corpus
+    # unless the blocking key is corpus-sized; the probe exists to
+    # surface exactly that).
+    part = spark.read.parquet(f"{SRC}/part.parquet")
+    shards(part, lambda d, k: d
+           .withColumn("p_partkey", F.col("p_partkey") + F.lit(k * OFF))) \
+        .repartition(8).write.mode("overwrite") \
+        .parquet(f"{DST}/part.parquet")
+
+    for t in ("region", "nation", "supplier"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite") \
             .parquet(f"{DST}/{t}.parquet")
     print("done:", {t: spark.read.parquet(f"{DST}/{t}.parquet").count()

@@ -50,6 +50,10 @@ SCALED = [
     "lang_id_trigram", "cms_heavy_hitters", "hll_distinct",
     "prefix_dedup", "span_dedup", "spatial_core_points",
     "containment_dedup", "train_split_report",
+    # ext7 wave (orders/events/part scaled in gen_10x since r7)
+    "pit_join", "record_linkage", "k_anonymity", "trend_regression",
+    "interpolate_linear", "merkle_diff", "zone_map_prune",
+    "hll_union_report", "graph_clustering_coeff", "bpe_pair_stats",
 ]
 
 
