@@ -1169,3 +1169,434 @@ ORACLE_EXT7.update({
     "graph_clustering_coeff": ORACLE_CLUSTERING,
     "bpe_pair_stats": ORACLE_BPE,
 })
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantile — mergeable fixed-bin quantile sketch
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 256
+_HQ_PCTS = (50, 90, 99)
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a 256-bin equal-width histogram — the
+    MERGEABLE quantile sketch: bin counts are plain sums, so partial
+    histograms from 1000 executors (or 1000 days of partitions) combine
+    by addition, unlike an exact percentile which needs a global sort.
+    exact_percentile_rank / percentile_report are the exact
+    counterparts; this is what you keep as rolling state.
+
+    Plan: pass 1 is a 1-row (min, max) aggregate, broadcast; pass 2
+    bins every row (map-side combinable into <= 256 groups); the
+    cumulative walk is a window over the 256-row histogram (driver
+    trivial at any corpus size). All integer arithmetic — bin =
+    (c - min) * 256 div (max - min + 1), estimate = the bin's lower
+    edge; the estimate's error bound is one bin width, reported
+    alongside.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+    bounds = o.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    binned = (o.crossJoin(F.broadcast(bounds))
+              .select(F.expr(
+                  f"(c - lo) * {_HQ_BINS} div (hi - lo + 1)").alias("bin"),
+                  "lo", "hi")
+              .groupBy("bin", "lo", "hi")
+              .agg(F.count(F.lit(1)).alias("n_bin")))
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = binned.select(
+        "bin", "lo", "hi", "n_bin",
+        F.sum("n_bin").over(w).alias("cum"),
+        F.sum("n_bin").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding,
+                Window.unboundedFollowing)).alias("n"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("p")
+    hit = (cum.select("*", pcts)
+           .filter((F.col("cum") * 100 >= F.col("n") * F.col("p"))
+                   & ((F.col("cum") - F.col("n_bin")) * 100
+                      < F.col("n") * F.col("p"))))
+    return hit.select(
+        "p", "bin",
+        F.expr(f"lo + bin * (hi - lo + 1) div {_HQ_BINS}").alias("est_c"),
+        F.expr(f"(hi - lo + 1) div {_HQ_BINS} + 1").alias("bin_width_c"),
+        "n_bin",
+        F.expr("cum * 1000000 div n").alias("cum_frac_e6"))
+
+
+ORACLE_HISTOGRAM_QUANTILE = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM o),
+binned AS (
+  SELECT (c - lo) * {_HQ_BINS} // (hi - lo + 1) AS bin, lo, hi,
+         count(*) AS n_bin
+  FROM o CROSS JOIN bounds GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT bin, lo, hi, n_bin,
+         sum(n_bin) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(n_bin) OVER () AS n
+  FROM binned
+)
+SELECT p, bin,
+       lo + bin * (hi - lo + 1) // {_HQ_BINS} AS est_c,
+       (hi - lo + 1) // {_HQ_BINS} + 1 AS bin_width_c,
+       n_bin,
+       cum * 1000000 // n AS cum_frac_e6
+FROM cum CROSS JOIN (SELECT unnest({list(_HQ_PCTS)}) AS p)
+WHERE cum * 100 >= n * p AND (cum - n_bin) * 100 < n * p
+"""
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood — window-based linkage candidate generation
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 3      # successors compared per record
+_SN_CLOSE = 3       # levenshtein threshold for "close" pairs
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage pass over parts: records sort by
+    name within each brand and every record is compared to its next 3
+    neighbors in sort order — the SECOND blocking scheme production
+    linkage unions with key blocking (record_linkage): sorted
+    neighborhoods catch near-misses that land in different equality
+    blocks but adjacent sort positions.
+
+    Plan shape: NO pair join at all — the neighborhood is three LEAD
+    window columns over one (brand)-partitioned sort, then an unpivot;
+    candidate volume is exactly w*n regardless of block-size skew (the
+    property key blocking lacks), and the comparison (JVM levenshtein)
+    runs map-side after the single window sort. At 100 TB the sort key
+    range-partitions; no block can go quadratic BY CONSTRUCTION.
+
+    Output: per brand, candidate count and close-pair count (edit
+    distance <= 3) — the scheme-quality summary blocking_quality
+    consumes.
+    """
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
+    with_next = p.select(
+        "p_brand", "p_name",
+        *[F.lead("p_name", i).over(w).alias(f"nx{i}")
+          for i in range(1, _SN_WINDOW + 1)])
+    cand = with_next.select(
+        "p_brand",
+        F.explode(F.array(*[F.col(f"nx{i}")
+                            for i in range(1, _SN_WINDOW + 1)]))
+        .alias("other"), "p_name").filter(F.col("other").isNotNull())
+    return (cand.select(
+        "p_brand",
+        F.levenshtein("p_name", "other").alias("d"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_candidates"),
+             F.sum((F.col("d") <= _SN_CLOSE).cast("bigint"))
+             .alias("n_close"),
+             F.min("d").alias("min_d")))
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_name, p_partkey) AS rn
+  FROM part
+),
+cand AS (
+  SELECT a.p_brand, a.p_name, b.p_name AS other
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW}
+)
+SELECT p_brand, count(*) AS n_candidates,
+       sum(CAST(levenshtein(p_name, other) <= {_SN_CLOSE} AS BIGINT))
+         AS n_close,
+       min(levenshtein(p_name, other)) AS min_d
+FROM cand GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# label_prop_communities — synchronous label propagation (3 rounds)
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup candidate graph (LSH pair
+    edges) by synchronous label propagation: every node adopts the
+    (most frequent, then smallest) label among its neighbors each
+    round, 3 fixed rounds — the cheap community/cluster pass between
+    connected components (too coarse: one label per component) and
+    modularity methods (not oracle-expressible).
+
+    Deterministic by construction: the argmax is a total order
+    (count desc, label asc) and rounds are synchronous, so the
+    trajectory is engine-independent — the oracle replays the same 3
+    rounds as unrolled CTEs. Each round is one (edge x label) hash
+    join + grouped count + per-node row_number: 2 shuffles/round on
+    narrow int keys, edges checkpointed once. Fixed rounds (not
+    convergence) keep the plan finite; real deployments iterate the
+    same round body.
+
+    Output: community-size histogram (size -> how many communities).
+    """
+    from .queries import q_dedup_lsh_pairs
+    e = q_dedup_lsh_pairs(spark, sf_dir)
+    edges = (e.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .unionAll(e.select(F.col("id_b").alias("u"),
+                                F.col("id_a").alias("v")))
+             .localCheckpoint())
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+              .select("id", F.col("id").alias("lbl")))
+    wpick = Window.partitionBy("id").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(_LP_ROUNDS):
+        nbr = (edges.join(labels.select(F.col("id").alias("v"), "lbl"), "v")
+               .select(F.col("u").alias("id"), "lbl"))
+        cnt = nbr.groupBy("id", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (cnt.select("id", "lbl",
+                             F.row_number().over(wpick).alias("rn"))
+                  .filter(F.col("rn") == 1).select("id", "lbl"))
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n_communities"))
+            .withColumnRenamed("sz", "community_size"))
+
+
+def _oracle_label_prop() -> str:
+    from .queries import ORACLE_LSH
+    rounds = []
+    prev = "labels0"
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+cnt{r} AS (
+  SELECT ed.u AS id, l.lbl, count(*) AS c
+  FROM edges ed JOIN {prev} l ON ed.v = l.id
+  GROUP BY 1, 2
+),
+labels{r} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+    FROM cnt{r})
+  WHERE rn = 1
+)""")
+        prev = f"labels{r}"
+    return f"""
+WITH e AS ({ORACLE_LSH}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM e
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM e
+),
+labels0 AS (
+  SELECT DISTINCT u AS id, u AS lbl FROM edges
+),{','.join(rounds)}
+SELECT sz AS community_size, count(*) AS n_communities
+FROM (SELECT lbl, count(*) AS sz FROM labels{_LP_ROUNDS} GROUP BY lbl)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join — banded interval x interval overlap
+# ---------------------------------------------------------------------------
+
+_IO_BAND_US = 1_800_000_000          # 30-min responsibility bands
+_IO_BUCKET_US = 600_000_000          # 10-min burst buckets
+_IO_BURST_MIN = 3                    # errors per bucket -> burst window
+_IO_GAP_US = 1_800_000_000           # session gap (30 min)
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join with NO shared key: user
+    sessions (gap-30-min sessionization) against global error-burst
+    windows (10-min buckets holding >= 3 error events) — "which
+    sessions ran during an incident", the ops/observability join.
+
+    Scale shape: range_banded_join handles point-in-interval; this is
+    the two-sided case. BOTH interval sets explode into covering
+    30-min bands and meet in a band equi-join (never a cartesian);
+    each genuinely-overlapping pair is counted EXACTLY ONCE by the
+    responsibility rule — only the band containing max(start_a,
+    start_b) (the first band where both are live) emits the pair. Band
+    width trades fan-out (long intervals explode into more bands)
+    against band population; sessions and bursts are both
+    duration-bounded here so fan-out is <= a few bands per interval.
+
+    All arithmetic is exact int64 micros. Output: per burst window,
+    overlapping-session count and total overlapped microseconds.
+    """
+    e = _t(spark, sf_dir, "events")
+    # ts_ns div 1000, never /1000: float division rounds above 2^53
+    ev = e.select("user_id", "event_type",
+                  F.expr("ts_ns div 1000").alias("us"))
+    # sessions: gap-based per user (the sessionize_events rule)
+    wu = Window.partitionBy("user_id").orderBy("us")
+    sess = (ev.select(
+        "user_id", "us",
+        F.when(F.col("us") - F.lag("us").over(wu) > _IO_GAP_US, 1)
+        .otherwise(0).alias("brk"))
+        .select("user_id", "us",
+                F.sum("brk").over(
+                    wu.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end")))
+    # burst windows: 10-min buckets with >= 3 error events
+    bursts = (ev.filter(F.col("event_type") == "error")
+              .select(F.expr(f"us div {_IO_BUCKET_US}").alias("bkt"))
+              .groupBy("bkt").agg(F.count(F.lit(1)).alias("n_err"))
+              .filter(F.col("n_err") >= _IO_BURST_MIN)
+              .select((F.col("bkt") * _IO_BUCKET_US).alias("w_start"),
+                      ((F.col("bkt") + 1) * _IO_BUCKET_US - 1)
+                      .alias("w_end"), "n_err"))
+
+    def banded(df, s, t):
+        return df.select(
+            "*", F.explode(F.sequence(
+                F.expr(f"{s} div {_IO_BAND_US}"),
+                F.expr(f"{t} div {_IO_BAND_US}"))).alias("band"))
+
+    sb = banded(sess, "s_start", "s_end")
+    wb = banded(bursts, "w_start", "w_end")
+    pairs = (sb.join(wb, "band")
+             .filter((F.col("s_start") <= F.col("w_end"))
+                     & (F.col("w_start") <= F.col("s_end"))
+                     & (F.col("band") == F.expr(
+                         f"greatest(s_start, w_start) div {_IO_BAND_US}"))))
+    return (pairs.groupBy("w_start", "n_err")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.expr("least(s_end, w_end)"
+                              " - greatest(s_start, w_start) + 1"))
+                 .alias("overlap_us")))
+
+
+ORACLE_INTERVAL_OVERLAP = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_IO_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+  FROM (SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+        FROM marked)
+  GROUP BY user_id, sid
+),
+bursts AS (
+  SELECT bkt * {_IO_BUCKET_US} AS w_start,
+         (bkt + 1) * {_IO_BUCKET_US} - 1 AS w_end,
+         count(*) AS n_err
+  FROM (SELECT us // {_IO_BUCKET_US} AS bkt FROM ev
+        WHERE event_type = 'error')
+  GROUP BY bkt HAVING count(*) >= {_IO_BURST_MIN}
+)
+SELECT w_start, n_err, count(*) AS n_sessions,
+       sum(least(s_end, w_end) - greatest(s_start, w_start) + 1)
+         AS overlap_us
+FROM sess JOIN bursts
+  ON s_start <= w_end AND w_start <= s_end
+GROUP BY w_start, n_err
+"""
+
+
+# ---------------------------------------------------------------------------
+# oov_rate — tokenizer vocabulary coverage on held-out data
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB = 5000
+_OOV_SPLIT_MOD = 100    # md5-derived split (train_split_report scheme)
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: build a top-5000 token vocabulary from
+    the train split (deterministic md5 80% split — the
+    train_split_report scheme) and measure per-source OOV token rates
+    on the 10% validation split — the coverage check every tokenizer /
+    vocab freeze runs before training.
+
+    Plan: the vocab is one grouped count + distributed TakeOrdered
+    (count desc, token asc — total order, tie-proof), then BROADCAST
+    into a LEFT ANTI-style membership join against the exploded eval
+    tokens; eval tokens shuffle once on the token key, the corpus
+    never shuffles whole-row. Output integers only (rate = e6 div).
+    """
+    d = _t(spark, sf_dir, "documents")
+    split = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("bigint") % _OOV_SPLIT_MOD)
+    toks = d.select(
+        "doc_id", "source", split.alias("s"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    vocab = (toks.filter(F.col("s") < 80)
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "tok").limit(_OOV_VOCAB)
+             .select("tok", F.lit(True).alias("in_vocab")))
+    ev = (toks.filter((F.col("s") >= 80) & (F.col("s") < 90))
+          .join(F.broadcast(vocab), "tok", "left"))
+    return (ev.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("in_vocab").isNull().cast("bigint"))
+                 .alias("n_oov"))
+            .select("source", "n_tokens", "n_oov",
+                    F.expr("n_oov * 1000000 div n_tokens")
+                    .alias("oov_rate_e6")))
+
+
+ORACLE_OOV = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_OOV_SPLIT_MOD} AS s,
+         t AS tok
+  FROM (SELECT doc_id, source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks WHERE s < 80 GROUP BY tok)
+  ORDER BY c DESC, tok LIMIT {_OOV_VOCAB}
+)
+SELECT source, count(*) AS n_tokens,
+       sum(CAST(v.tok IS NULL AS BIGINT)) AS n_oov,
+       sum(CAST(v.tok IS NULL AS BIGINT)) * 1000000 // count(*)
+         AS oov_rate_e6
+FROM toks LEFT JOIN vocab v USING (tok)
+WHERE s >= 80 AND s < 90
+GROUP BY source
+"""
+
+
+QUERIES_EXT7.update({
+    "histogram_quantile": q_histogram_quantile,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "label_prop_communities": q_label_prop_communities,
+    "interval_overlap_join": q_interval_overlap_join,
+    "oov_rate": q_oov_rate,
+})
+
+ORACLE_EXT7.update({
+    "histogram_quantile": ORACLE_HISTOGRAM_QUANTILE,
+    "sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
+    "label_prop_communities": _oracle_label_prop(),
+    "interval_overlap_join": ORACLE_INTERVAL_OVERLAP,
+    "oov_rate": ORACLE_OOV,
+})

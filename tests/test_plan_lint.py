@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "record_linkage",
     # the winning 1-row BPE merge broadcast onto the head corpus
     "bpe_pair_stats",
+    # 1-row (min, max) bounds aggregate broadcast onto the binning scan
+    "histogram_quantile",
 }
 
 

@@ -179,3 +179,63 @@ def test_rl_refine_contract():
     assert Q7._rl_refine(200_000) == 2    # 10x probe
     assert Q7._rl_refine(10**9) == 2      # capped: further scale adds
     #                                       blocking PASSES, not depth
+
+
+class TestWave2:
+    def test_sorted_neighborhood_is_join_free(self, spark):
+        """The neighborhood must come from LEAD windows, not a pair
+        join — the whole point vs key blocking."""
+        p = plan_of(Q7.q_sorted_neighborhood(spark, SF))
+        assert "Join" not in p
+        assert "Window" in p
+
+    def test_interval_overlap_is_banded_equi_join(self, spark):
+        p = plan_of(Q7.q_interval_overlap_join(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_oov_vocab_broadcasts(self, spark):
+        p = plan_of(Q7.q_oov_rate(spark, SF))
+        assert "BroadcastHashJoin" in p
+
+    def test_histogram_quantile_brackets_exact(self, spark):
+        """Each estimated quantile must sit within one bin width of the
+        true discrete percentile (the sketch's error contract)."""
+        rows = {r["p"]: r for r in
+                Q7.q_histogram_quantile(spark, SF).collect()}
+        cents = sorted(
+            int(round(r[0] * 100)) for r in
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .select("o_totalprice").collect())
+        import math
+        for p, r in rows.items():
+            exact = cents[max(0, math.ceil(p / 100 * len(cents)) - 1)]
+            assert r["est_c"] <= exact <= r["est_c"] + r["bin_width_c"]
+
+    def test_label_prop_partition_is_complete(self, spark):
+        """Every graph node lands in exactly one community."""
+        rows = Q7.q_label_prop_communities(spark, SF).collect()
+        n_from_hist = sum(r["community_size"] * r["n_communities"]
+                          for r in rows)
+        from research_index_backend_spark.plans.queries import (
+            q_dedup_lsh_pairs,
+        )
+        e = q_dedup_lsh_pairs(spark, SF)
+        n_nodes = (e.select(F.col("id_a").alias("id"))
+                   .unionAll(e.select(F.col("id_b").alias("id")))
+                   .distinct().count())
+        assert n_from_hist == n_nodes
+
+    def test_interval_overlap_positive_and_bounded(self, spark):
+        """Overlap durations are positive and never exceed the burst
+        window width (the banded-vs-naive equivalence itself is proven
+        by the DuckDB oracle, whose join IS the naive overlap)."""
+        # sf0.01: sf0.001's event density never reaches 3 errors per
+        # 10-min bucket, so the burst set (and the result) is empty
+        rows = Q7.q_interval_overlap_join(
+            spark, "/root/testdata/sf0.01").collect()
+        assert rows
+        for r in rows:
+            assert r["n_sessions"] > 0
+            assert 0 < r["overlap_us"] <= (r["n_sessions"]
+                                           * Q7._IO_BUCKET_US)

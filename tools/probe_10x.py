@@ -54,6 +54,8 @@ SCALED = [
     "pit_join", "record_linkage", "k_anonymity", "trend_regression",
     "interpolate_linear", "merkle_diff", "zone_map_prune",
     "hll_union_report", "graph_clustering_coeff", "bpe_pair_stats",
+    "histogram_quantile", "sorted_neighborhood", "label_prop_communities",
+    "interval_overlap_join", "oov_rate",
 ]
 
 
