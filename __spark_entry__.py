@@ -53,6 +53,10 @@ from research_index_backend_spark.plans.queries_ext7 import (  # noqa: E402
     ORACLE_EXT7,
     QUERIES_EXT7,
 )
+from research_index_backend_spark.plans.queries_ext8 import (  # noqa: E402
+    ORACLE_EXT8,
+    QUERIES_EXT8,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -80,6 +84,7 @@ _VERIFY_FIRST = (
     "hll_union_report", "graph_clustering_coeff", "bpe_pair_stats",
     "histogram_quantile", "sorted_neighborhood", "label_prop_communities",
     "interval_overlap_join", "oov_rate",
+    "incremental_dedup", "zorder_layout", "join_cardinality_est",
     # official r6 row was a FAIL on an oracle HUGEINT dtype (since cast
     # to BIGINT) — needs a green official row to overturn it
     "bool_agg_report",
@@ -130,10 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
                      **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
-                     **QUERIES_EXT6, **QUERIES_EXT7})
+                     **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
-                     **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6, **ORACLE_EXT7})
+                     **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6, **ORACLE_EXT7, **ORACLE_EXT8})

@@ -369,6 +369,26 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return toks.groupBy("id").agg(*aggs)
 
 
+def lsh_band_table(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows from a MinHash signature table: k hashes
+    split into `bands` bands of k/bands rows, bucket = md5 of the
+    band's concatenated signature slice. Shared by the full self-join
+    pairing (minhash_lsh_pairs) and the incremental batch-vs-index
+    path (plans.queries_ext8.q_incremental_dedup)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    return sig.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       k: int = 8, bands: int = 4,
                       max_bucket_size: int | None = None,
@@ -387,21 +407,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     the linear star-edge/components path instead, minhash_lsh_star_edges).
     """
     assert k % bands == 0, "k must divide evenly into bands"
-    rows_per_band = k // bands
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, k=k)
     # callers that also consume the signatures downstream (e.g. the
     # signature-space Jaccard estimator) pass a materialized sig to avoid
     # recomputing the tokenize+min-agg per consumer
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws("|", *parts)).alias("bucket")))
-    exploded = sig.select(
-        F.col("id"), F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    exploded = lsh_band_table(sig, k, bands)
     if max_bucket_size is not None:
         ok = (exploded.groupBy("band", "bucket")
               .agg(F.count(F.lit(1)).alias("__n"))

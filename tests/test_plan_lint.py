@@ -63,6 +63,10 @@ BNLJ_ALLOWED = {
     "bpe_pair_stats",
     # 1-row (min, max) bounds aggregate broadcast onto the binning scan
     "histogram_quantile",
+    # 1-row bounds aggregate broadcast onto the z-value/binning scan
+    "zorder_layout",
+    # per-case 1-row statistics aggregates crossed into the 3-row report
+    "join_cardinality_est",
 }
 
 

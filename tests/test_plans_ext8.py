@@ -1,0 +1,77 @@
+"""Plan-shape + semantics tests for catalog extension 8
+(plans.queries_ext8). Oracle values are pinned by tools/check.py /
+the driver correctness run; these pin the scale-shape contracts."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from research_index_backend_spark.plans import queries_ext8 as Q8
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_incremental_dedup_no_cartesian(self, spark):
+        p = plan_of(Q8.q_incremental_dedup(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_zorder_no_unbroadcast_join(self, spark):
+        """Layouts/predicates explode inline; only the 1-row bounds
+        aggregate may nested-loop."""
+        p = plan_of(Q8.q_zorder_layout(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+
+    def test_join_card_runs_no_real_join(self, spark):
+        """The estimator must not execute the estimated joins — no
+        shuffled join of the fact tables (the FK actual is a semi-join
+        probe; self-join actuals come from grouped counts)."""
+        p = plan_of(Q8.q_join_cardinality_est(spark, SF))
+        assert "CartesianProduct" not in p
+
+
+class TestSemantics:
+    def test_incremental_batch_covered(self, spark):
+        """Every batch doc appears in the per-source report."""
+        rows = Q8.q_incremental_dedup(spark, SF).collect()
+        total = sum(r["n_batch"] for r in rows)
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        expect = d.filter((F.col("doc_id") % Q8._INC_BATCH_MOD) == 7).count()
+        assert total == expect
+        for r in rows:
+            assert r["n_dup"] <= r["n_with_candidate"] <= r["n_batch"]
+
+    def test_zorder_prunes_2d_no_worse_than_1d(self, spark):
+        """For every 2-D predicate, the z-order layout must scan no
+        more than the arrival layout, and rows_matched must be
+        layout-invariant."""
+        rows = Q8.q_zorder_layout(spark, SF).collect()
+        by = {(r["layout"], r["pid"]): r for r in rows}
+        for pid in (0, 1, 2):
+            assert (by[("zorder", pid)]["rows_matched"]
+                    == by[("arrival", pid)]["rows_matched"]
+                    == by[("custsort", pid)]["rows_matched"])
+            assert (by[("zorder", pid)]["scan_frac_e6"]
+                    <= by[("arrival", pid)]["scan_frac_e6"])
+
+    def test_join_card_fk_estimate_exact_for_clean_fk(self, spark):
+        """With a clean FK (every lineitem order exists, orders keys
+        unique), n_o*n_l/max(d_o,d_l) = n_l = actual — rel err 0."""
+        rows = {r["join_case"]: r
+                for r in Q8.q_join_cardinality_est(spark, SF).collect()}
+        fk = rows["orders_lineitem_fk"]
+        assert fk["rel_err_e6"] == 0
+        for r in rows.values():
+            assert r["actual"] > 0 and r["est"] > 0

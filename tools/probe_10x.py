@@ -56,6 +56,7 @@ SCALED = [
     "hll_union_report", "graph_clustering_coeff", "bpe_pair_stats",
     "histogram_quantile", "sorted_neighborhood", "label_prop_communities",
     "interval_overlap_join", "oov_rate",
+    "incremental_dedup", "zorder_layout", "join_cardinality_est",
 ]
 
 
