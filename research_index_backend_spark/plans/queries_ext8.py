@@ -443,3 +443,148 @@ ORACLE_EXT8.update({
     "zorder_layout": _oracle_zorder(),
     "join_cardinality_est": ORACLE_JOIN_CARD,
 })
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_topk — product-quantization ANN (ADC distance tables)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8       # subspaces (64 dims / 8)
+_PQ_SUBDIM = 8     # dims per subspace
+_PQ_CODES = 16     # codes per subspace codebook
+_PQ_K = 5
+_PQ_NQ = 5
+
+
+def _pq_subdist(vcol: str, ccol: str, s: int):
+    """Exact-order double L2 distance of subspace s (8 dims) — the same
+    left-fold expression tree on both engines."""
+    terms = None
+    for j in range(_PQ_SUBDIM):
+        i = s * _PQ_SUBDIM + j + 1  # 1-based element_at
+        d = (F.element_at(F.col(vcol), i).cast("double")
+             - F.element_at(F.col(ccol), i).cast("double"))
+        t = d * d   # explicit product, not pow(): faster, and d*d is
+        #             the exact same IEEE op on both engines by definition
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors compress to 8 one-byte codes
+    (one per 8-dim subspace, 16-entry codebook each) and queries rank
+    the corpus through ADC — a per-query (subspace x code) distance
+    TABLE, so query cost is 8 integer lookups + adds per candidate and
+    the index is 8 bytes/vector instead of 256: the memory story that
+    makes billion-vector ANN fit a cluster, completing the catalog's
+    ANN family (brute / sign-LSH / hyperplane / IVF / recall-eval).
+
+    Determinism: codebooks are the 16 lowest-id vectors' subvectors
+    (the ivf_topk seed-sample convention — kmeans_embed proves the
+    trained-codebook trajectory pattern separately); every distance is
+    ONE fixed-order double expression floor-quantized to e6 BEFORE any
+    argmin/rank, ties break on code/neighbor id. Encoding is a 16-row
+    broadcast product (corpus x codebook), map-side min per (vec,
+    subspace); ADC is a broadcast hash join on (subspace, code) —
+    never a corpus x query product. Top-k is the salted two-stage
+    rank (no |Q|-partition funnel).
+
+    Output: rank-only (query_id, neighbor_id, rnk), ADC-ordered.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = (emb.filter(F.col("vec_id") < _PQ_CODES)
+             .select(F.col("vec_id").alias("c"),
+                     F.col("embedding").alias("cv")))
+    enc_pairs = emb.select("vec_id", "embedding") \
+        .crossJoin(F.broadcast(codes)) \
+        .select("vec_id", "c", F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.floor(_pq_subdist("embedding", "cv", s)
+                             * F.lit(1e6)).cast("bigint").alias("d"))
+            for s in range(_PQ_SUBS)])).alias("sd")) \
+        .select("vec_id", "c", F.col("sd.s").alias("s"),
+                F.col("sd.d").alias("d"))
+    enc = (enc_pairs.groupBy("vec_id", "s")
+           .agg(F.min(F.struct("d", "c")).alias("m"))
+           .select("vec_id", "s", F.col("m.c").alias("code")))
+    q = emb.filter(F.col("vec_id") < _PQ_NQ) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"))
+    table = q.crossJoin(F.broadcast(codes)).select(
+        "query_id", "c", F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.floor(_pq_subdist("qv", "cv", s)
+                             * F.lit(1e6)).cast("bigint").alias("d"))
+            for s in range(_PQ_SUBS)])).alias("sd")) \
+        .select("query_id", F.col("c").alias("code"),
+                F.col("sd.s").alias("s"), F.col("sd.d").alias("d"))
+    adc = (enc.join(F.broadcast(table), ["s", "code"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("d").alias("adc"))
+           .filter(F.col("query_id") != F.col("vec_id")))
+    from pyspark.sql import Window
+    salt = F.pmod(F.hash("vec_id"), F.lit(32))
+    w1 = Window.partitionBy("query_id", "__salt") \
+        .orderBy(F.col("adc"), "vec_id")
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc"), "vec_id")
+    return (adc.withColumn("__salt", salt)
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= _PQ_K)
+            .withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= _PQ_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.col("rnk").cast("bigint").alias("rnk")))
+
+
+def _oracle_pq() -> str:
+    def subdist(v: str, c: str, s: int) -> str:
+        return " + ".join(
+            f"((CAST({v}[{i}] AS DOUBLE) - CAST({c}[{i}] AS DOUBLE))"
+            f" * (CAST({v}[{i}] AS DOUBLE) - CAST({c}[{i}] AS DOUBLE)))"
+            for j in range(_PQ_SUBDIM)
+            for i in [s * _PQ_SUBDIM + j + 1])
+    enc_union = " UNION ALL ".join(
+        f"SELECT e.vec_id, c.c, {s} AS s,"
+        f" CAST(floor(({subdist('e.embedding', 'c.cv', s)}) * 1e6)"
+        f" AS BIGINT) AS d"
+        f" FROM embeddings e CROSS JOIN codes c"
+        for s in range(_PQ_SUBS))
+    tab_union = " UNION ALL ".join(
+        f"SELECT q.query_id, c.c AS code, {s} AS s,"
+        f" CAST(floor(({subdist('q.qv', 'c.cv', s)}) * 1e6)"
+        f" AS BIGINT) AS d"
+        f" FROM q CROSS JOIN codes c"
+        for s in range(_PQ_SUBS))
+    return f"""
+WITH codes AS (
+  SELECT vec_id AS c, embedding AS cv FROM embeddings
+  WHERE vec_id < {_PQ_CODES}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {_PQ_NQ}
+),
+dists AS ({enc_union}),
+enc AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+    FROM dists) WHERE rn = 1
+),
+tab AS ({tab_union}),
+adc AS (
+  SELECT t.query_id, e.vec_id, sum(t.d) AS adc
+  FROM enc e JOIN tab t ON e.s = t.s AND e.code = t.code
+  WHERE TRUE
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+            AS BIGINT) AS rnk
+FROM adc WHERE query_id <> vec_id
+QUALIFY rnk <= {_PQ_K}
+"""
+
+
+QUERIES_EXT8.update({"ann_pq_topk": q_ann_pq_topk})
+ORACLE_EXT8.update({"ann_pq_topk": _oracle_pq()})

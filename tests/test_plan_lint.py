@@ -67,6 +67,9 @@ BNLJ_ALLOWED = {
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report
     "join_cardinality_est",
+    # 16-row codebook broadcast product for PQ encoding/ADC tables (the
+    # kmeans/IVF centroid-assignment shape)
+    "ann_pq_topk",
 }
 
 

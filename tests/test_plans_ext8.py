@@ -75,3 +75,20 @@ class TestSemantics:
         assert fk["rel_err_e6"] == 0
         for r in rows.values():
             assert r["actual"] > 0 and r["est"] > 0
+
+
+class TestPQ:
+    def test_pq_plan_no_corpus_query_product(self, spark):
+        """ADC must be a hash join on (subspace, code); the only
+        nested-loop allowed is the 16-row codebook broadcast."""
+        p = plan_of(Q8.q_ann_pq_topk(spark, SF))
+        assert "CartesianProduct" not in p
+
+    def test_pq_topk_shape_and_selfexclusion(self, spark):
+        rows = Q8.q_ann_pq_topk(spark, SF).collect()
+        qs = {r["query_id"] for r in rows}
+        assert len(qs) == Q8._PQ_NQ
+        for q in qs:
+            rnks = sorted(r["rnk"] for r in rows if r["query_id"] == q)
+            assert rnks == list(range(1, Q8._PQ_K + 1))
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)
