@@ -588,3 +588,172 @@ QUALIFY rnk <= {_PQ_K}
 
 QUERIES_EXT8.update({"ann_pq_topk": q_ann_pq_topk})
 ORACLE_EXT8.update({"ann_pq_topk": _oracle_pq()})
+
+
+# ---------------------------------------------------------------------------
+# prf_expansion — pseudo-relevance-feedback query expansion (2-round BM25)
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 10     # feedback depth (round-1 top-k)
+_PRF_EXP_TERMS = 5    # expansion terms adopted
+_PRF_DF_FRAC = 10     # stopword gate: global df > n_docs/10 excluded
+_PRF_MIN_LEN = 3      # candidate terms shorter than this excluded
+
+
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style) retrieval: BM25
+    round 1 for the seed query, then the top-5 terms that are frequent
+    in the feedback docs but NOT corpus-common join the query, and
+    BM25 round 2 ranks with the expanded term set — the classic recall
+    lever, completing the IR family (inverted index, bm25, rerank,
+    recall-eval).
+
+    The engineering point vs bm25_topk: the term set is now DATA-
+    DRIVEN, so the posting prune is a broadcast semi-join against a
+    term DataFrame instead of an isin literal — the shape a real query
+    pipeline has (queries arrive as rows, not code). The corpus is
+    tokenized ONCE (localCheckpoint) and shared by both rounds, the
+    stats/df sides stay 1-row/n-term broadcasts, per-doc scores fold
+    in sorted-term order (engine-independent double sum, the bm25
+    discipline), and every top-k is TakeOrdered. Expansion-term choice
+    is integer-deterministic: (feedback-df desc, term asc), stopword
+    gate df_global * 10 <= n_docs, length >= 3.
+    """
+    from .queries_ext3 import _BM25_B, _BM25_K1, _BM25_TERMS
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    docs = d.select("doc_id", toks.alias("toks")) \
+            .select("doc_id", F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term")) \
+            .localCheckpoint()
+    stats = docs.groupBy("doc_id").agg(F.first("dl").alias("dl")) \
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    def bm25(terms: DataFrame) -> DataFrame:
+        tf = (docs.join(F.broadcast(terms), "term")
+              .groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.first("dl").alias("dl")))
+        df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        contrib = (
+            tf.join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(F.lit(1.0)
+                      + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                      / (F.col("df") + F.lit(0.5))))
+            .withColumn(
+                "c",
+                F.col("idf") * (F.col("tf") * (1 + _BM25_K1))
+                / (F.col("tf") + _BM25_K1 * (1 - _BM25_B
+                                             + _BM25_B * F.col("dl")
+                                             / F.col("avgdl")))))
+        return (contrib.groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list(F.struct("term", "c")))
+                     .alias("cs"))
+                .select("doc_id",
+                        F.round(F.aggregate(
+                            F.col("cs"), F.lit(0.0),
+                            lambda acc, s: acc + s["c"]) * 1e6)
+                        .cast("bigint").alias("score_e6")))
+
+    seed = spark.createDataFrame([(t,) for t in _BM25_TERMS],
+                                 "term string")
+    fb = (bm25(seed).orderBy(F.col("score_e6").desc(), "doc_id")
+          .limit(_PRF_FB_DOCS).select("doc_id"))
+    fdf = (docs.join(F.broadcast(fb), "doc_id")
+           .select("doc_id", "term").distinct()
+           .groupBy("term").agg(F.count(F.lit(1)).alias("fdf")))
+    # global df ONLY for the feedback-candidate terms (a few hundred
+    # rows broadcast) — a full-vocabulary df agg would scan every
+    # (doc, term) pair for a gate that touches ~|feedback| terms
+    gdf = (docs.join(F.broadcast(fdf.select("term")), "term", "left_semi")
+           .select("doc_id", "term").distinct()
+           .groupBy("term").agg(F.count(F.lit(1)).alias("gdf")))
+    exp = (fdf.join(gdf, "term").crossJoin(F.broadcast(stats))
+           .filter(~F.col("term").isin(*_BM25_TERMS))
+           .filter(F.length("term") >= _PRF_MIN_LEN)
+           .filter(F.col("gdf") * _PRF_DF_FRAC <= F.col("n_docs"))
+           .orderBy(F.col("fdf").desc(), "term").limit(_PRF_EXP_TERMS)
+           .select("term"))
+    expanded = seed.unionByName(exp)
+    return (bm25(expanded).orderBy(F.col("score_e6").desc(), "doc_id")
+            .limit(_PRF_FB_DOCS))
+
+
+def _oracle_prf() -> str:
+    from .queries_ext3 import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    def bm25_ctes(pfx: str, term_src: str) -> str:
+        return f"""
+{pfx}tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM docs WHERE term IN (SELECT term FROM {term_src})
+  GROUP BY doc_id, term
+),
+{pfx}df AS (SELECT term, count(*) AS df FROM {pfx}tf GROUP BY term),
+{pfx}contrib AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * (1 + {_BM25_K1}))
+           / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                   + {_BM25_B} * t.dl / s.avgdl)) AS c
+  FROM {pfx}tf t JOIN {pfx}df d USING (term) CROSS JOIN stats s
+),
+{pfx}scored AS (
+  SELECT doc_id,
+         CAST(round(list_reduce(
+             list_prepend(0.0, list(c ORDER BY term)),
+             (acc, v) -> acc + v) * 1e6) AS BIGINT) AS score_e6
+  FROM {pfx}contrib GROUP BY doc_id
+)"""
+
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM docs GROUP BY doc_id)
+),
+seed AS (SELECT unnest({list(_BM25_TERMS)}) AS term),
+{bm25_ctes('r1', 'seed')},
+fb AS (
+  SELECT doc_id FROM r1scored
+  ORDER BY score_e6 DESC, doc_id LIMIT {_PRF_FB_DOCS}
+),
+fdf AS (
+  SELECT term, count(*) AS fdf FROM (
+    SELECT DISTINCT d.doc_id, d.term
+    FROM docs d JOIN fb USING (doc_id))
+  GROUP BY term
+),
+gdf AS (
+  SELECT term, count(*) AS gdf FROM (
+    SELECT DISTINCT doc_id, term FROM docs)
+  GROUP BY term
+),
+exp AS (
+  SELECT term FROM fdf JOIN gdf USING (term) CROSS JOIN stats
+  WHERE term NOT IN {tuple(_BM25_TERMS)}
+    AND length(term) >= {_PRF_MIN_LEN}
+    AND gdf * {_PRF_DF_FRAC} <= n_docs
+  ORDER BY fdf DESC, term LIMIT {_PRF_EXP_TERMS}
+),
+expanded AS (SELECT term FROM seed UNION ALL SELECT term FROM exp),
+{bm25_ctes('r2', 'expanded')}
+SELECT doc_id, score_e6 FROM r2scored
+ORDER BY score_e6 DESC, doc_id LIMIT {_PRF_FB_DOCS}
+"""
+
+
+QUERIES_EXT8.update({"prf_expansion": q_prf_expansion})
+ORACLE_EXT8.update({"prf_expansion": _oracle_prf()})

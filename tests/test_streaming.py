@@ -501,3 +501,61 @@ class TestTransitionsStream:
         expected = {(r["from_type"], r["next_type"]): r["n"]
                     for r in batch.collect()}
         assert got == expected
+
+
+class TestIndexProbeStream:
+    def test_stream_probe_matches_batch_candidates(self, spark, tmp_path):
+        """The streaming index probe (stateless stream-static joins)
+        must surface exactly the batch pipeline's candidate pairs and
+        verdicts when the index carries the same band table + cap."""
+        from research_index_backend_spark.operators.dedup import (
+            lsh_band_table,
+            minhash_signatures,
+        )
+        from research_index_backend_spark.plans.queries import (
+            _t,
+            LSH_BUCKET_CAP,
+        )
+        from research_index_backend_spark.streaming.dedup import (
+            index_probe_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        idx_docs = d.filter(F.col("doc_id") % 10 != 7)
+        new_docs = d.filter(F.col("doc_id") % 10 == 7)
+
+        sig = minhash_signatures(idx_docs, "text", "doc_id", k=4) \
+            .localCheckpoint()
+        bt = lsh_band_table(sig, k=4, bands=2)
+        ok = (bt.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") <= LSH_BUCKET_CAP)
+              .select("band", "bucket"))
+        index_bands = bt.join(ok, ["band", "bucket"], "left_semi") \
+            .localCheckpoint()
+
+        # batch expectation: same probe, batch engine
+        batch = {(r["doc_id"], r["index_id"], r["band"], r["est_e6"])
+                 for r in index_probe_stream(
+                     new_docs, index_bands, sig).collect()}
+        assert batch  # non-vacuous: sf0.001 has cross-split near-dups
+
+        src = tmp_path / "docs-src"
+        src.mkdir()
+        rows = new_docs.collect()
+        n = len(rows)
+        for i in range(3):
+            spark.createDataFrame(rows[i * n // 3:(i + 1) * n // 3],
+                                  new_docs.schema).coalesce(1) \
+                .write.parquet(str(src / f"b{i}"))
+        stream = (spark.readStream.schema(new_docs.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = (index_probe_stream(stream, index_bands, sig)
+             .writeStream.format("memory").queryName("probe_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r["doc_id"], r["index_id"], r["band"], r["est_e6"])
+               for r in spark.sql("SELECT * FROM probe_out").collect()}
+        assert got == batch
