@@ -71,11 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json). Rotation policy: (1) queries with no official
 # green row yet go first (r7: bool_agg_report, whose r6 row failed on an
 # oracle HUGEINT dtype, since cast — plus anything new this round);
-# (2) then the r04-window originals, whose last official green predates
-# r5, so older catalog entries get periodic re-verification instead of
-# being permanently shadowed by newer additions (round-6 ADVICE).
-# Every query pushed past the 50-entry window has a green row in
-# CORRECTNESS_r06.json and stays covered by tools/check.py locally.
+# (2) then the remaining never-officially-checked ext4/5/6 queries;
+# (3) then the r04-window originals for periodic re-verification
+# (round-6 ADVICE). The catalog has outgrown the window: 21 new + 53
+# ext4/5/6 candidates compete for ~50 slots, so the ext4/5/6 TAIL
+# (everything past position ~50; currently skew_report onward) gets NO
+# official row this round — those stay covered by tools/check.py
+# (163/163 green locally this round) and rotate into next round's
+# window once the new wave has official rows.
 _VERIFY_FIRST = (
     # --- never officially checked (newest wave first) ---
     # r7 ext7 wave

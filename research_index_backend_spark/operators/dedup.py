@@ -369,12 +369,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return toks.groupBy("id").agg(*aggs)
 
 
-def lsh_band_table(sig: DataFrame, k: int, bands: int) -> DataFrame:
-    """(id, band, bucket) rows from a MinHash signature table: k hashes
-    split into `bands` bands of k/bands rows, bucket = md5 of the
-    band's concatenated signature slice. Shared by the full self-join
-    pairing (minhash_lsh_pairs) and the incremental batch-vs-index
-    path (plans.queries_ext8.q_incremental_dedup)."""
+def lsh_band_table(sig: DataFrame, k: int, bands: int,
+                   keep: tuple = ()) -> DataFrame:
+    """(id, band, bucket[, *keep]) rows from a MinHash signature table:
+    k hashes split into `bands` bands of k/bands rows, bucket = md5 of
+    the band's concatenated signature slice. The SINGLE definition of
+    the band/bucket format — shared by the full self-join pairing
+    (minhash_lsh_pairs), the incremental batch-vs-index path
+    (plans.queries_ext8.q_incremental_dedup) and the streaming index
+    probe (streaming.dedup.index_probe_stream); `keep` passes extra
+    columns (e.g. the mh components for signature-space verification)
+    through untouched, so stream-side callers never rebuild the format."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -384,8 +389,8 @@ def lsh_band_table(sig: DataFrame, k: int, bands: int) -> DataFrame:
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("|", *parts)).alias("bucket")))
     return sig.select(
-        F.col("id"), F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"),
+        F.col("id"), *keep, F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", *keep, F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
 
 

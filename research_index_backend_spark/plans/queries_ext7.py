@@ -411,11 +411,17 @@ def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = nd * sxy - sx * sy
     varx = nd * sxx - sx * sx
     vary = nd * syy - sy * sy
-    return m.select(
-        "n_name", F.col("n").alias("n_months"),
-        F.floor(cov / varx * F.lit(100.0)).cast("bigint").alias("slope_e2"),
-        F.floor(cov * cov / (varx * vary) * F.lit(1000000.0))
-        .cast("bigint").alias("r2_e6"))
+    # n >= 2 guard: a single-month group has varx = 0 and cov/varx = NaN,
+    # which Spark's non-ANSI bigint cast turns into 0 while DuckDB keeps
+    # NULL — a cross-engine divergence AND a silently-wrong flat slope.
+    # x is unique within a group, so n >= 2 <=> varx > 0.
+    return (m.filter(F.col("n") >= 2)
+            .select(
+                "n_name", F.col("n").alias("n_months"),
+                F.floor(cov / varx * F.lit(100.0)).cast("bigint")
+                .alias("slope_e2"),
+                F.floor(cov * cov / (varx * vary) * F.lit(1000000.0))
+                .cast("bigint").alias("r2_e6")))
 
 
 ORACLE_TREND = """
@@ -450,6 +456,7 @@ SELECT n_name, n AS n_months,
                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                   * 1000000.0) AS BIGINT) AS r2_e6
 FROM m
+WHERE n >= 2
 """
 
 
@@ -642,9 +649,13 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.count(F.lit(1)).alias("n1"))
     fp2 = h2.groupBy("b").agg(F.sum("h").alias("fp2"),
                               F.count(F.lit(1)).alias("n2"))
+    # count mismatch joins the dirty predicate: it is free state the
+    # fingerprint agg already carries and rules out the ~2^-40-per-bucket
+    # case of an add+remove pair whose hash sums collide
     dirty = (fp1.join(fp2, "b", "full_outer")
              .filter((F.col("fp1").isNull()) | (F.col("fp2").isNull())
-                     | (F.col("fp1") != F.col("fp2")))
+                     | (F.col("fp1") != F.col("fp2"))
+                     | (F.col("n1") != F.col("n2")))
              .select("b"))
     d1 = h1.join(F.broadcast(dirty), "b")
     d2 = h2.join(F.broadcast(dirty), "b")
@@ -700,6 +711,7 @@ dirty AS (
   SELECT coalesce(fp1.b, fp2.b) AS b
   FROM fp1 FULL OUTER JOIN fp2 ON fp1.b = fp2.b
   WHERE fp1.fp IS NULL OR fp2.fp IS NULL OR fp1.fp <> fp2.fp
+     OR fp1.n <> fp2.n
 ),
 d1 AS (SELECT h1.* FROM h1 JOIN dirty USING (b)),
 d2 AS (SELECT h2.* FROM h2 JOIN dirty USING (b))

@@ -352,12 +352,18 @@ def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("c").alias("top_n"),
                     F.count(F.lit(1)).alias("top_d")))
         tot = f.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("d"))
+        # remainder product in decimal-128: (n - top_n)^2 wraps int64
+        # past ~3e9 remainder rows — the zscore s1*s1 overflow class
         return (actual.crossJoin(top).crossJoin(tot)
                 .select(
                     F.lit(name).alias("join_case"), "actual",
-                    F.expr("top_sq + CASE WHEN d - top_d > 0 THEN"
-                           " (n - top_n) * (n - top_n) div (d - top_d)"
-                           " ELSE 0 END").alias("est")))
+                    F.expr(
+                        "CAST(CAST(top_sq AS DECIMAL(38,0))"
+                        " + CASE WHEN d - top_d > 0 THEN"
+                        " (CAST(n - top_n AS DECIMAL(38,0))"
+                        "  * CAST(n - top_n AS DECIMAL(38,0)))"
+                        " div CAST(d - top_d AS DECIMAL(38,0))"
+                        " ELSE 0 END AS BIGINT)").alias("est")))
 
     e = _t(spark, sf_dir, "events")
     li = _t(spark, sf_dir, "lineitem")
@@ -371,7 +377,10 @@ def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count(F.lit(1)).alias("actual")))
     fk = (fk_actual.crossJoin(fk_o).crossJoin(fk_l)
           .select(F.lit("orders_lineitem_fk").alias("join_case"), "actual",
-                  F.expr("n_o * n_l div greatest(d_o, d_l)").alias("est")))
+                  F.expr("CAST(CAST(n_o AS DECIMAL(38,0))"
+                         " * CAST(n_l AS DECIMAL(38,0))"
+                         " div CAST(greatest(d_o, d_l) AS DECIMAL(38,0))"
+                         " AS BIGINT)").alias("est")))
     out = (self_join_case("events_self_user", e, "user_id")
            .unionByName(self_join_case("lineitem_self_part", li,
                                        "l_partkey"))

@@ -60,21 +60,15 @@ def index_probe_stream(docs: DataFrame, index_bands: DataFrame,
 
     Returns append-mode candidate rows (doc_id, index_id, band,
     est_e6, is_dup)."""
-    rows_per_band = k // bands
-    sig = docs.select("doc_id", *streaming_signature("text", k))
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}")
-                 for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws("|", *parts)).alias("bucket")))
-    banded = sig.select(
-        "doc_id", *[F.col(f"mh{i}") for i in range(k)],
-        F.explode(F.array(*band_cols)).alias("bb")) \
-        .select("doc_id", *[F.col(f"mh{i}") for i in range(k)],
-                F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
+    from ..operators.dedup import lsh_band_table
+    sig = docs.select(F.col("doc_id").alias("id"),
+                      *streaming_signature("text", k))
+    # the probe side builds its buckets through the SAME helper that
+    # defines the index format (keep= carries the mh components along
+    # for the signature-space verify — no stream-stream self-join)
+    banded = lsh_band_table(
+        sig, k, bands, keep=tuple(f"mh{i}" for i in range(k))) \
+        .withColumnRenamed("id", "doc_id")
     idx = index_bands.select(F.col("id").alias("index_id"), "band",
                              "bucket")
     isig = index_sigs.select(F.col("id").alias("index_id"),

@@ -16,8 +16,15 @@ Shard k remaps identities so cross-shard rows never collide:
   replicas are NOT near-duplicates of each other (verbatim copies would
   hand every cosine operator 10-clone cliques), while in-shard geometry
   — and therefore in-shard near-dup/cluster structure — is preserved.
-- dims (region/nation/supplier/part/orders/events) copied unscaled —
-  queries driven by them are not probe-meaningful.
+- orders: order/cust keys offset per shard (tracks lineitem/customer);
+  dates/prices verbatim (no pair-generating operator runs on orders).
+- events: event/user ids offset per shard — 10x the user population on
+  the same timeline.
+- part: partkey offset per shard, names shard-suffixed (suffix lands on
+  the second name token) so linkage operators never see 10 verbatim
+  name clones per block — per-shard near-miss structure matches sf0.1.
+- dims (region/nation/supplier) copied unscaled — queries driven by
+  them are not probe-meaningful.
 
 Usage: python tools/gen_10x.py [K]   (default K=10 shards)
 """
@@ -119,7 +126,8 @@ def main(k_shards: int = 10) -> None:
     # surface exactly that).
     part = spark.read.parquet(f"{SRC}/part.parquet")
     shards(part, lambda d, k: d
-           .withColumn("p_partkey", F.col("p_partkey") + F.lit(k * OFF))) \
+           .withColumn("p_partkey", F.col("p_partkey") + F.lit(k * OFF))
+           .withColumn("p_name", F.concat("p_name", F.lit(str(k))))) \
         .repartition(8).write.mode("overwrite") \
         .parquet(f"{DST}/part.parquet")
 
