@@ -615,8 +615,11 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-specific).
 
     Output: per dirty bucket, adds/removes/changes — clean buckets
-    never reach the row diff.
+    never reach the row diff. The diff engine itself is the reusable
+    operators.merkle.bucket_diff (property-tested against exact pandas
+    set differences over arbitrary mutation patterns).
     """
+    from ..operators.merkle import bucket_diff
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key"),
         F.col("o_orderstatus").alias("status"),
@@ -635,41 +638,9 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select((F.col("key") + 134217728).alias("key"),
                       "status", "prio",
                       (F.col("cents") + 1).alias("cents"))))
-
-    def hashed(df: DataFrame) -> DataFrame:
-        h = F.conv(F.substring(
-            F.md5(F.concat_ws("|", "key", "status", "prio", "cents")),
-            1, 10), 16, 10).cast("bigint")
-        return df.select(
-            "key", (F.col("key") / _MD_BUCKET).cast("bigint").alias("b"),
-            h.alias("h"))
-
-    h1, h2 = hashed(v1), hashed(v2)
-    fp1 = h1.groupBy("b").agg(F.sum("h").alias("fp1"),
-                              F.count(F.lit(1)).alias("n1"))
-    fp2 = h2.groupBy("b").agg(F.sum("h").alias("fp2"),
-                              F.count(F.lit(1)).alias("n2"))
-    # count mismatch joins the dirty predicate: it is free state the
-    # fingerprint agg already carries and rules out the ~2^-40-per-bucket
-    # case of an add+remove pair whose hash sums collide
-    dirty = (fp1.join(fp2, "b", "full_outer")
-             .filter((F.col("fp1").isNull()) | (F.col("fp2").isNull())
-                     | (F.col("fp1") != F.col("fp2"))
-                     | (F.col("n1") != F.col("n2")))
-             .select("b"))
-    d1 = h1.join(F.broadcast(dirty), "b")
-    d2 = h2.join(F.broadcast(dirty), "b")
-    diff = (d1.withColumnRenamed("h", "h1")
-            .join(d2.withColumnRenamed("h", "h2"), ["b", "key"],
-                  "full_outer"))
-    return (diff.groupBy("b")
-            .agg(F.sum(F.col("h1").isNull().cast("bigint")).alias("n_added"),
-                 F.sum(F.col("h2").isNull().cast("bigint"))
-                 .alias("n_removed"),
-                 F.sum((F.col("h1").isNotNull() & F.col("h2").isNotNull()
-                        & (F.col("h1") != F.col("h2"))).cast("bigint"))
-                 .alias("n_changed"))
-            .withColumnRenamed("b", "bucket"))
+    return bucket_diff(v1, v2, key="key",
+                       hash_cols=["key", "status", "prio", "cents"],
+                       bucket_width=_MD_BUCKET)
 
 
 ORACLE_MERKLE = f"""

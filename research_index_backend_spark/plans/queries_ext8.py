@@ -766,3 +766,184 @@ ORDER BY score_e6 DESC, doc_id LIMIT {_PRF_FB_DOCS}
 
 QUERIES_EXT8.update({"prf_expansion": q_prf_expansion})
 ORACLE_EXT8.update({"prf_expansion": _oracle_prf()})
+
+
+# ---------------------------------------------------------------------------
+# tpch_q1 / tpch_q3 / tpch_q5 — the marquee TPC-H shapes, exact-integer money
+# ---------------------------------------------------------------------------
+# The catalog covers every operator these use individually; the marquee
+# shapes matter because they are the industry-recognizable END-TO-END
+# plans (scan-heavy agg / selective 3-way join + top-k / 6-way snowflake)
+# whose physical profile (pushed filters, broadcast dims, partial aggs,
+# TakeOrdered) a reviewer can eyeball against any engine. Money math is
+# exact-integer throughout: cents/pct as int64, extended terms
+# accumulated in decimal-128 (cents*(100-d)*(100+t) sums pass 2^63 near
+# ~1e9 rows), so the DuckDB twins hash-match bit-for-bit.
+
+_Q1_CUTOFF = "2001-06-01"
+_Q3_DATE = "1998-03-15"
+_Q5_REGION = "ASIA"
+_Q5_YEAR = 1997
+
+
+def _li_money():
+    return [
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d_pct"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("t_pct"),
+    ]
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: one shipdate-filtered scan, map-side
+    combinable aggregate into 6 groups — the canonical scan-bound
+    query. The filter reaches the parquet scan (PushedFilters) and the
+    whole body is one WholeStageCodegen span + one 6-row shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+    base = li.select(
+        "l_returnflag", "l_linestatus",
+        F.round("l_quantity").cast("bigint").alias("qty"), *_li_money())
+    cd = F.col("cents").cast("decimal(38,0)")
+    disc = cd * (F.lit(100) - F.col("d_pct"))
+    charge = disc * (F.lit(100) + F.col("t_pct"))
+    return (base.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("qty").alias("sum_qty"),
+                 F.sum(cd).cast("bigint").alias("sum_base_e2"),
+                 F.sum(disc).cast("bigint").alias("sum_disc_e4"),
+                 F.sum(charge).cast("bigint").alias("sum_charge_e6"),
+                 F.expr("sum(qty) div count(1)").alias("avg_qty"),
+                 F.expr("CAST(sum(cents) div count(1) AS BIGINT)")
+                 .alias("avg_price_e2"),
+                 F.expr("sum(d_pct) div count(1)").alias("avg_disc_pct"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+ORACLE_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_e2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+            AS BIGINT) AS sum_charge_e6,
+       sum(CAST(round(l_quantity) AS BIGINT)) // count(*) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // count(*)
+            AS BIGINT) AS avg_price_e2,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) // count(*)
+         AS avg_disc_pct,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (adapted: o_orderpriority carries the
+    priority column this schema has): selective 3-way join + grouped
+    revenue + top-10. Customer segment filter prunes before the join,
+    the customer dim broadcasts, and the top-10 is TakeOrdered."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp"))
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+           .cast("decimal(38,0)")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100)
+              .cast("bigint")))
+    # order date emitted as an ISO STRING: raw timestamps/dates land in
+    # pandas at engine-specific resolutions (ns vs us vs date object)
+    # and fail the value hash
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"),
+                     "o_orderpriority")
+            .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+            .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
+            .limit(10))
+
+
+ORACLE_TPCH_Q3 = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local supplier volume: the 6-way snowflake join
+    (region > nation > customer > orders > lineitem > supplier) with
+    the local-supplier condition s_nationkey = c_nationkey. Dims
+    broadcast (region/nation/supplier/customer at test SF), the two
+    fact joins hash on orderkey, and the result is a per-nation
+    revenue rollup."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION)
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == _Q5_YEAR)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+           .cast("decimal(38,0)")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100)
+              .cast("bigint")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("bigint").alias("revenue_e4")))
+
+
+ORACLE_TPCH_Q5 = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey
+  AND r_name = '{_Q5_REGION}'
+  AND year(o_orderdate) = {_Q5_YEAR}
+GROUP BY n_name
+"""
+
+
+QUERIES_EXT8.update({
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+})
+
+ORACLE_EXT8.update({
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q3": ORACLE_TPCH_Q3,
+    "tpch_q5": ORACLE_TPCH_Q5,
+})

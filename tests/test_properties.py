@@ -105,3 +105,44 @@ class TestSparkNormalizeProperties:
             "once", normalize_doi("once").alias("twice")).collect()
         for r in out:
             assert r["once"] == r["twice"]
+
+
+class TestMerkleBucketDiffProperties:
+    """operators.merkle.bucket_diff vs exact set differences, over
+    hypothesis-generated mutation patterns — the completeness contract
+    (no mutation ever hides in a 'clean' bucket) that the one fixed
+    mutation recipe in q_merkle_diff cannot enumerate."""
+
+    @given(
+        dels=st.sets(st.integers(0, 199), max_size=30),
+        upds=st.sets(st.integers(0, 199), max_size=30),
+        adds=st.sets(st.integers(200, 260), max_size=20),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_diff_matches_exact_sets(self, spark, dels, upds, adds):
+        from research_index_backend_spark.operators.merkle import bucket_diff
+        base = [(k, f"s{k % 3}", k * 10) for k in range(200)]
+        v2_rows = [(k, s, v + (7 if k in upds else 0))
+                   for k, s, v in base if k not in dels]
+        v2_rows += [(k, "new", k * 10) for k in adds]
+        v1 = spark.createDataFrame(base, "key long, status string, v long")
+        v2 = spark.createDataFrame(v2_rows,
+                                   "key long, status string, v long")
+        out = bucket_diff(v1, v2, key="key",
+                          hash_cols=["key", "status", "v"],
+                          bucket_width=16).collect()
+        got_added = sum(r["n_added"] for r in out)
+        got_removed = sum(r["n_removed"] for r in out)
+        got_changed = sum(r["n_changed"] for r in out)
+        # exact expectations: deletes and updates are disjoint effects on
+        # the same key only when the key survives
+        exp_removed = len(dels)
+        exp_changed = len(upds - dels)
+        exp_added = len(adds)
+        assert (got_added, got_removed, got_changed) == (
+            exp_added, exp_removed, exp_changed)
+        # dirtiness is tight: every reported bucket really changed
+        touched = ({k // 16 for k in dels} | {k // 16 for k in upds - dels}
+                   | {k // 16 for k in adds})
+        assert {r["bucket"] for r in out} == touched
