@@ -947,3 +947,73 @@ ORACLE_EXT8.update({
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q5": ORACLE_TPCH_Q5,
 })
+
+
+# ---------------------------------------------------------------------------
+# bitmap_index_join — set intersection via bitmap indexes (bit_or/popcount)
+# ---------------------------------------------------------------------------
+
+_BM_WORD = 63   # bits per word: 1 << 63 overflows SIGNED int64 (both
+#                 engines), so keys pack 63 to a word
+
+
+def q_bitmap_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-occurrence computed through BITMAP INDEXES: per brand,
+    the set of orders containing that brand packs into int64 words
+    (word = orderkey div 63, bit = orderkey mod 63, bit_or aggregate);
+    the intersection of two brands is then a word-aligned equi-join +
+    popcount(a & b) — the bitmap-index answer to the same question the
+    co-purchase joins answer, with per-pair cost |universe|/63 words
+    REGARDLESS of how dense the sets are. This is how OLAP engines
+    evaluate multi-predicate set intersections (Druid/Pinot bitmap
+    indexes, Oracle bitmap joins); at 100 TB the word table range-
+    partitions and each pair's AND is embarrassingly parallel.
+
+    All integer: bit_or/shiftleft/bit_count are codegen JVM intrinsics
+    with exact DuckDB equivalents. Output: top-20 brand pairs by
+    co-occurring order count (ties: brand names asc).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bo = (li.join(p, li.l_partkey == p.p_partkey)
+          .select("p_brand", (F.col("l_orderkey") / _BM_WORD)
+                  .cast("bigint").alias("word"),
+                  F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                         f" CAST(l_orderkey % {_BM_WORD} AS INT))")
+                  .alias("bit"))
+          .groupBy("p_brand", "word")
+          .agg(F.bit_or("bit").alias("bits")))
+    a = bo.select(F.col("p_brand").alias("brand_a"), "word",
+                  F.col("bits").alias("ba"))
+    b = bo.select(F.col("p_brand").alias("brand_b"), "word",
+                  F.col("bits").alias("bb"))
+    return (a.join(b, "word")
+            .filter(F.col("brand_a") < F.col("brand_b"))
+            .select("brand_a", "brand_b",
+                    F.bit_count(F.col("ba").bitwiseAND(F.col("bb")))
+                    .cast("bigint").alias("pc"))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.sum("pc").alias("n_cooccur"))
+            .orderBy(F.col("n_cooccur").desc(), "brand_a", "brand_b")
+            .limit(20))
+
+
+ORACLE_BITMAP = f"""
+WITH bo AS (
+  SELECT p_brand, l_orderkey // {_BM_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(l_orderkey % {_BM_WORD} AS INT))
+           AS bits
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_orderkey // {_BM_WORD}
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       sum(CAST(bit_count(a.bits & b.bits) AS BIGINT)) AS n_cooccur
+FROM bo a JOIN bo b ON a.word = b.word AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_cooccur DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+QUERIES_EXT8.update({"bitmap_index_join": q_bitmap_index_join})
+ORACLE_EXT8.update({"bitmap_index_join": ORACLE_BITMAP})
