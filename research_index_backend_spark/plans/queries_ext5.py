@@ -99,8 +99,10 @@ SELECT coalesce(l_returnflag, 'ALL') AS flag,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
        count(*) AS n_rows,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -549,7 +551,7 @@ WITH tok AS (
 ), counts AS (
   SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
 )
-SELECT doc_id, sum(c) AS n_tokens,
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
        CAST(round((log2(sum(c))
                    - list_reduce(
                        list_prepend(0.0,
@@ -623,10 +625,10 @@ WITH base AS (
 )
 SELECT g.event_type,
        strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
-       last_value(hr.avg_c IGNORE NULLS)
-         OVER (PARTITION BY g.event_type ORDER BY g.h
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS filled_avg_c,
+       CAST(last_value(hr.avg_c IGNORE NULLS)
+              OVER (PARTITION BY g.event_type ORDER BY g.h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS filled_avg_c,
        hr.avg_c IS NULL AS is_gap
 FROM grid g LEFT JOIN hourly hr
   ON g.event_type = hr.event_type AND g.h = hr.h
@@ -1337,7 +1339,7 @@ WITH td AS (
     FROM documents)
   GROUP BY term, doc_id
 )
-SELECT term, count(*) AS df, sum(c) AS cf,
+SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
        array_to_string(list_sort(list(doc_id))[1:{_IDX_POSTINGS_CAP}], ',')
          AS postings_head
 FROM td GROUP BY term HAVING count(*) >= {_IDX_MIN_DF}
@@ -1454,7 +1456,8 @@ WITH freq AS (
          count(*) OVER () AS nk
   FROM freq
 ), agg AS (
-  SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_freq,
+  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         max(c) AS max_freq,
          max(CASE WHEN i = ceil(nk * 0.99) THEN c END) AS p99_freq,
          sum(i * c) AS rank_sum
   FROM ranked
@@ -1729,7 +1732,8 @@ def q_ivm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_IVM = """
 SELECT o_orderstatus AS status,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_price_c
 FROM orders GROUP BY o_orderstatus
 """
@@ -1840,7 +1844,7 @@ WITH v1 AS (
   SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
 )
 SELECT schema_version, coalesce(status, 'UNKNOWN') AS status,
-       count(*) AS n_rows, sum(price_c) AS sum_price_c
+       count(*) AS n_rows, CAST(sum(price_c) AS BIGINT) AS sum_price_c
 FROM merged GROUP BY 1, 2
 """
 
@@ -1912,9 +1916,9 @@ WITH base AS (
 SELECT d.event_type, count(*) AS n_rows,
        max(d.med2) AS median_x2_c,
        max(m.mad4) AS mad_x4_c,
-       sum(CASE WHEN CAST(d.dev2 AS DOUBLE)
-                     > {_MAD_THRESHOLD} * CAST(m.mad4 AS DOUBLE) / 2.0
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN CAST(d.dev2 AS DOUBLE)
+                          > {_MAD_THRESHOLD} * CAST(m.mad4 AS DOUBLE) / 2.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 """
@@ -2183,8 +2187,8 @@ WITH exq AS (
     FROM ap_scored) WHERE rnk <= {_RECALL_K}
 )
 SELECT e.query_id, count(*) AS k,
-       sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_hit,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
        CAST(floor(sum(CASE WHEN a.neighbor_id IS NOT NULL
                            THEN 1 ELSE 0 END) * 1000000.0 / count(*))
             AS BIGINT) AS recall_e6

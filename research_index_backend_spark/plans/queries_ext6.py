@@ -236,8 +236,8 @@ probes AS (
                                   1, 8)) AS BIGINT) % {_CMS_W} AS bucket
   FROM topk, unnest(generate_series(0, {_CMS_D - 1})) AS t(seed)
 )
-SELECT p.tok, max(p.n) AS exact, min(s.bsum) AS cms_est,
-       min(s.bsum) - max(p.n) AS overcount
+SELECT p.tok, max(p.n) AS exact, CAST(min(s.bsum) AS BIGINT) AS cms_est,
+       CAST(min(s.bsum) - max(p.n) AS BIGINT) AS overcount
 FROM probes p JOIN sketch s USING (seed, bucket)
 GROUP BY p.tok
 """
@@ -438,11 +438,13 @@ flagged AS (
 )
 SELECT doc_id >= {_PREFIX_PLANT_BASE} AS planted,
        count(*) AS n_docs,
-       sum(CASE WHEN lead_text = text THEN 1 ELSE 0 END) AS n_exact_dup,
-       sum(CASE WHEN starts_with(lead_text, text) AND lead_text <> text
-                THEN 1 ELSE 0 END) AS n_prefix_dup,
-       sum(CASE WHEN length(text) < {_PREFIX_BLOCK} THEN 1 ELSE 0 END)
-         AS n_short_unchecked
+       CAST(sum(CASE WHEN lead_text = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(sum(CASE WHEN starts_with(lead_text, text)
+                     AND lead_text <> text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_prefix_dup,
+       CAST(sum(CASE WHEN length(text) < {_PREFIX_BLOCK} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_short_unchecked
 FROM flagged GROUP BY 1
 """
 
@@ -519,9 +521,10 @@ dup AS (
   SELECT h, count(DISTINCT doc_id) >= 2 AS is_dup FROM sp GROUP BY h
 )
 SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans,
-       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_spans,
-       (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000) // count(*)
-         AS dup_frac_e6
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST((sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS dup_frac_e6
 FROM sp JOIN dup USING (h)
 GROUP BY source
 """
@@ -613,10 +616,10 @@ nbr AS (
   GROUP BY a.vec_id
 )
 SELECT p.label, count(*) AS n_points,
-       sum(CASE WHEN coalesce(n.n_nbr, 0) >= {_MIN_PTS} THEN 1 ELSE 0 END)
-         AS n_core,
-       sum(CASE WHEN coalesce(n.n_nbr, 0) = 0 THEN 1 ELSE 0 END)
-         AS n_isolated
+       CAST(sum(CASE WHEN coalesce(n.n_nbr, 0) >= {_MIN_PTS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       CAST(sum(CASE WHEN coalesce(n.n_nbr, 0) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_isolated
 FROM pts p LEFT JOIN nbr n USING (vec_id)
 GROUP BY p.label
 """
@@ -736,8 +739,9 @@ WITH d AS (
          length(text) AS n_chars
   FROM documents
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_toks) AS n_tokens,
-       sum(n_chars) AS n_chars
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM d GROUP BY split, lang
 """
 

@@ -154,7 +154,7 @@ SELECT CASE WHEN cum_n IS NULL THEN 'cold'
             WHEN cum_n < 60 THEN 'mid'
             ELSE 'heavy' END AS bucket,
        count(*) AS n_purchases,
-       sum(value_c) AS spend_c,
+       CAST(sum(value_c) AS BIGINT) AS spend_c,
        CAST(floor(CAST(sum(cum_n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
             AS BIGINT) AS avg_prior_events
 FROM pit GROUP BY 1
@@ -356,10 +356,11 @@ WITH classes AS (
 ),
 ks AS (SELECT unnest({list(_KA_THRESHOLDS)}) AS k)
 SELECT k, count(*) AS n_classes,
-       sum(CAST(cnt < k AS BIGINT)) AS n_classes_at_risk,
-       sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS n_rows_at_risk,
-       (sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) * 1000000)
-         // sum(cnt) AS risk_frac_e6
+       CAST(sum(CAST(cnt < k AS BIGINT)) AS BIGINT) AS n_classes_at_risk,
+       CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST((sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) * 1000000)
+            // sum(cnt) AS BIGINT) AS risk_frac_e6
 FROM classes CROSS JOIN ks
 GROUP BY k
 """
@@ -559,14 +560,15 @@ filled AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT k,
-       sum(CAST(v IS NOT NULL AS BIGINT)) AS n_observed,
-       sum(CAST(v IS NULL AS BIGINT)) AS n_interp,
-       sum(CASE WHEN v IS NOT NULL THEN v END) AS sum_obs_c,
-       sum(CASE WHEN v IS NULL THEN
+       CAST(sum(CAST(v IS NOT NULL AS BIGINT)) AS BIGINT) AS n_observed,
+       CAST(sum(CAST(v IS NULL AS BIGINT)) AS BIGINT) AS n_interp,
+       CAST(sum(CASE WHEN v IS NOT NULL THEN v END) AS BIGINT)
+         AS sum_obs_c,
+       CAST(sum(CASE WHEN v IS NULL THEN
              CAST(floor(CAST(pv AS DOUBLE)
                         + CAST(nv - pv AS DOUBLE) * CAST(k - pk AS DOUBLE)
                           / CAST(nk - pk AS DOUBLE)) AS BIGINT)
-           END) AS sum_interp_c
+           END) AS BIGINT) AS sum_interp_c
 FROM filled GROUP BY k
 """
 
@@ -687,10 +689,10 @@ dirty AS (
 d1 AS (SELECT h1.* FROM h1 JOIN dirty USING (b)),
 d2 AS (SELECT h2.* FROM h2 JOIN dirty USING (b))
 SELECT coalesce(d1.b, d2.b) AS bucket,
-       sum(CAST(d1.h IS NULL AS BIGINT)) AS n_added,
-       sum(CAST(d2.h IS NULL AS BIGINT)) AS n_removed,
-       sum(CAST(d1.h IS NOT NULL AND d2.h IS NOT NULL
-                AND d1.h <> d2.h AS BIGINT)) AS n_changed
+       CAST(sum(CAST(d1.h IS NULL AS BIGINT)) AS BIGINT) AS n_added,
+       CAST(sum(CAST(d2.h IS NULL AS BIGINT)) AS BIGINT) AS n_removed,
+       CAST(sum(CAST(d1.h IS NOT NULL AND d2.h IS NOT NULL
+                     AND d1.h <> d2.h AS BIGINT)) AS BIGINT) AS n_changed
 FROM d1 FULL OUTER JOIN d2 ON d1.b = d2.b AND d1.key = d2.key
 GROUP BY 1
 """
@@ -777,11 +779,12 @@ per_file AS (
   GROUP BY 1, 2, 3
 )
 SELECT layout, thr, count(*) AS n_files,
-       sum(CAST(max_c <= thr AS BIGINT)) AS n_pruned,
-       sum(CASE WHEN max_c > thr THEN cnt ELSE 0 END) AS rows_scanned,
-       sum(n_match) AS rows_matched,
-       (sum(CASE WHEN max_c > thr THEN cnt ELSE 0 END) * 1000000)
-         // sum(cnt) AS scan_frac_e6
+       CAST(sum(CAST(max_c <= thr AS BIGINT)) AS BIGINT) AS n_pruned,
+       CAST(sum(CASE WHEN max_c > thr THEN cnt ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       CAST((sum(CASE WHEN max_c > thr THEN cnt ELSE 0 END) * 1000000)
+            // sum(cnt) AS BIGINT) AS scan_frac_e6
 FROM per_file GROUP BY 1, 2
 """
 
@@ -1231,7 +1234,7 @@ SELECT p, bin,
        lo + bin * (hi - lo + 1) // {_HQ_BINS} AS est_c,
        (hi - lo + 1) // {_HQ_BINS} + 1 AS bin_width_c,
        n_bin,
-       cum * 1000000 // n AS cum_frac_e6
+       CAST(cum * 1000000 // n AS BIGINT) AS cum_frac_e6
 FROM cum CROSS JOIN (SELECT unnest({list(_HQ_PCTS)}) AS p)
 WHERE cum * 100 >= n * p AND (cum - n_bin) * 100 < n * p
 """
@@ -1299,8 +1302,8 @@ cand AS (
    AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW}
 )
 SELECT p_brand, count(*) AS n_candidates,
-       sum(CAST(levenshtein(p_name, other) <= {_SN_CLOSE} AS BIGINT))
-         AS n_close,
+       CAST(sum(CAST(levenshtein(p_name, other) <= {_SN_CLOSE} AS BIGINT))
+            AS BIGINT) AS n_close,
        min(levenshtein(p_name, other)) AS min_d
 FROM cand GROUP BY p_brand
 """
@@ -1491,8 +1494,8 @@ bursts AS (
   GROUP BY bkt HAVING count(*) >= {_IO_BURST_MIN}
 )
 SELECT w_start, n_err, count(*) AS n_sessions,
-       sum(least(s_end, w_end) - greatest(s_start, w_start) + 1)
-         AS overlap_us
+       CAST(sum(least(s_end, w_end) - greatest(s_start, w_start) + 1)
+            AS BIGINT) AS overlap_us
 FROM sess JOIN bursts
   ON s_start <= w_end AND w_start <= s_end
 GROUP BY w_start, n_err
@@ -1559,9 +1562,9 @@ vocab AS (
   ORDER BY c DESC, tok LIMIT {_OOV_VOCAB}
 )
 SELECT source, count(*) AS n_tokens,
-       sum(CAST(v.tok IS NULL AS BIGINT)) AS n_oov,
-       sum(CAST(v.tok IS NULL AS BIGINT)) * 1000000 // count(*)
-         AS oov_rate_e6
+       CAST(sum(CAST(v.tok IS NULL AS BIGINT)) AS BIGINT) AS n_oov,
+       CAST(sum(CAST(v.tok IS NULL AS BIGINT)) * 1000000 // count(*)
+            AS BIGINT) AS oov_rate_e6
 FROM toks LEFT JOIN vocab v USING (tok)
 WHERE s >= 80 AND s < 90
 GROUP BY source

@@ -142,12 +142,13 @@ per_doc AS (
   FROM est GROUP BY id_b
 )
 SELECT source, count(*) AS n_batch,
-       sum(CAST(p.n_cand IS NOT NULL AS BIGINT)) AS n_with_candidate,
-       sum(CAST(coalesce(p.best_e6, 0) >= {_INC_DUP_E6} AS BIGINT))
-         AS n_dup,
-       (count(*) - sum(CAST(coalesce(p.best_e6, 0) >= {_INC_DUP_E6}
-                            AS BIGINT))) * 1000000 // count(*)
-         AS novel_rate_e6
+       CAST(sum(CAST(p.n_cand IS NOT NULL AS BIGINT)) AS BIGINT)
+         AS n_with_candidate,
+       CAST(sum(CAST(coalesce(p.best_e6, 0) >= {_INC_DUP_E6} AS BIGINT))
+            AS BIGINT) AS n_dup,
+       CAST((count(*) - sum(CAST(coalesce(p.best_e6, 0) >= {_INC_DUP_E6}
+                                 AS BIGINT))) * 1000000 // count(*)
+            AS BIGINT) AS novel_rate_e6
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id_b
 WHERE d.doc_id % {_INC_BATCH_MOD} = 7
 GROUP BY source
@@ -305,15 +306,16 @@ per_file AS (
   FROM ex GROUP BY 1, 2, 3
 )
 SELECT layout, pid, count(*) AS n_files,
-       sum(CAST(ck_hi < c_lo OR ck_lo >= c_hi OR mm_hi < m_lo
-                OR mm_lo >= m_hi AS BIGINT)) AS n_pruned,
-       sum(CASE WHEN NOT (ck_hi < c_lo OR ck_lo >= c_hi OR mm_hi < m_lo
-                          OR mm_lo >= m_hi) THEN cnt ELSE 0 END)
-         AS rows_scanned,
-       sum(n_match) AS rows_matched,
-       sum(CASE WHEN NOT (ck_hi < c_lo OR ck_lo >= c_hi OR mm_hi < m_lo
-                          OR mm_lo >= m_hi) THEN cnt ELSE 0 END)
-         * 1000000 // sum(cnt) AS scan_frac_e6
+       CAST(sum(CAST(ck_hi < c_lo OR ck_lo >= c_hi OR mm_hi < m_lo
+                     OR mm_lo >= m_hi AS BIGINT)) AS BIGINT) AS n_pruned,
+       CAST(sum(CASE WHEN NOT (ck_hi < c_lo OR ck_lo >= c_hi
+                               OR mm_hi < m_lo OR mm_lo >= m_hi)
+                     THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       CAST(sum(CASE WHEN NOT (ck_hi < c_lo OR ck_lo >= c_hi
+                               OR mm_hi < m_lo OR mm_lo >= m_hi)
+                     THEN cnt ELSE 0 END)
+            * 1000000 // sum(cnt) AS BIGINT) AS scan_frac_e6
 FROM per_file GROUP BY 1, 2
 """
 
@@ -822,7 +824,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS sum_base_e2,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -832,11 +834,11 @@ SELECT l_returnflag, l_linestatus,
                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
                 * (100 + CAST(round(l_tax * 100) AS BIGINT)))
             AS BIGINT) AS sum_charge_e6,
-       sum(CAST(round(l_quantity) AS BIGINT)) // count(*) AS avg_qty,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) // count(*) AS BIGINT) AS avg_qty,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // count(*)
             AS BIGINT) AS avg_price_e2,
-       sum(CAST(round(l_discount * 100) AS BIGINT)) // count(*)
-         AS avg_disc_pct,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) // count(*)
+            AS BIGINT) AS avg_disc_pct,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
@@ -1007,7 +1009,7 @@ WITH bo AS (
   GROUP BY p_brand, l_orderkey // {_BM_WORD}
 )
 SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
-       sum(CAST(bit_count(a.bits & b.bits) AS BIGINT)) AS n_cooccur
+       CAST(sum(CAST(bit_count(a.bits & b.bits) AS BIGINT)) AS BIGINT) AS n_cooccur
 FROM bo a JOIN bo b ON a.word = b.word AND a.p_brand < b.p_brand
 GROUP BY 1, 2
 ORDER BY n_cooccur DESC, brand_a, brand_b

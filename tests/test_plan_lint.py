@@ -70,6 +70,9 @@ BNLJ_ALLOWED = {
     # 16-row codebook broadcast product for PQ encoding/ADC tables (the
     # kmeans/IVF centroid-assignment shape)
     "ann_pq_topk",
+    # 1-row corpus-stats (N, avgdl) cross join in BOTH BM25 rounds — the
+    # same shape as bm25_topk above
+    "prf_expansion",
 }
 
 

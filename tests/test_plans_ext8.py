@@ -92,3 +92,33 @@ class TestPQ:
             rnks = sorted(r["rnk"] for r in rows if r["query_id"] == q)
             assert rnks == list(range(1, Q8._PQ_K + 1))
         assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+class TestMarqueeShapes:
+    def test_tpch_q1_filter_pushed_and_join_free(self, spark):
+        p = plan_of(Q8.q_tpch_q1(spark, SF))
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+        assert "Join" not in p
+
+    def test_tpch_q3_topk_is_take_ordered(self, spark):
+        p = plan_of(Q8.q_tpch_q3(spark, SF))
+        assert "TakeOrdered" in p
+        assert "CartesianProduct" not in p
+
+    def test_tpch_q5_no_cartesian(self, spark):
+        p = plan_of(Q8.q_tpch_q5(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_bitmap_join_is_word_equi_join(self, spark):
+        p = plan_of(Q8.q_bitmap_index_join(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "TakeOrdered" in p
+
+    def test_prf_round2_terms_flow_as_broadcast(self, spark):
+        """Both BM25 rounds must prune postings with broadcast hash
+        joins on the term frames — never a full-corpus score."""
+        p = plan_of(Q8.q_prf_expansion(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p

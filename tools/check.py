@@ -43,6 +43,20 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
                        f"oracle={sorted(oracle_pdf.columns)}")
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for c in a.columns:
+        # DTYPE-KIND-STRICT like the driver's value hash: DuckDB HUGEINT
+        # (any uncast sum()/min() over BIGINT, // on HUGEINT)
+        # materializes as float64 while Spark's bigint is int64 — same
+        # values, different repr/hash (the r6 bool_agg_report failure
+        # class). Width differences within a kind (int32 vs int64) repr
+        # identically and pass; int-vs-float and timestamp-resolution
+        # differences fail. tools/dtype_audit.py sweeps the catalog.
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        if ka != kb or (ka == "M" and str(a[c].dtype) != str(b[c].dtype)):
+            return False, (f"col {c}: dtype spark={a[c].dtype} "
+                           f"oracle={b[c].dtype} (driver hash mismatch "
+                           f"even if values agree)")
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = av.astype(float)
