@@ -1019,3 +1019,81 @@ LIMIT 20
 
 QUERIES_EXT8.update({"bitmap_index_join": q_bitmap_index_join})
 ORACLE_EXT8.update({"bitmap_index_join": ORACLE_BITMAP})
+
+
+# ---------------------------------------------------------------------------
+# bpe_train — the iterative BPE merge loop (4 rounds, driver-orchestrated)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 4
+_BPE_MERGE_SYMS = "ABCD"   # heads are lower()ed, so uppercase is free
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four rounds of the BPE trainer loop: count adjacent pairs, adopt
+    the winner as a merge, rewrite the corpus, repeat —
+    bpe_pair_stats shows one step; this is the ITERATIVE
+    driver-orchestration shape every tokenizer trainer runs (like
+    kmeans_embed for Lloyd's): per round ONE map-side-combinable count
+    whose shuffle carries |distinct pairs| rows, a 1-row broadcast
+    winner, and a map-only rewrite; the corpus is localCheckpointed
+    between rounds so round r never replays rounds 1..r-1's rewrites,
+    and driver state is just the merge list (the real trainer keeps
+    the same, sized by vocab not corpus).
+
+    Merge symbols come from the uppercase range (heads are lowercased,
+    so 'A'..'D' are provably absent); ties break (count desc, pair
+    asc). Output: the learned merge table (round, winning pair, its
+    count at adoption time).
+    """
+    from .queries_ext7 import _BPE_HEAD
+    d = _t(spark, sf_dir, "documents")
+    cur = (d.filter(F.length("text") >= 2)
+           .select(F.lower(F.substring("text", 1, _BPE_HEAD))
+                   .alias("head"))
+           .localCheckpoint())
+    merges = None
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = cur.filter(F.length("head") >= 2).select(F.explode(F.expr(
+            "transform(sequence(1, length(head) - 1),"
+            " i -> substring(head, i, 2))")).alias("pair"))
+        cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+        top = (cnt.orderBy(F.col("n").desc(), "pair").limit(1)
+               .select(F.lit(r).alias("round"), "pair", "n"))
+        merges = top if merges is None else merges.unionByName(top)
+        sym = _BPE_MERGE_SYMS[r - 1]
+        cur = (cur.crossJoin(F.broadcast(
+            top.select(F.col("pair").alias("mp"))))
+            .select(F.expr(f"replace(head, mp, '{sym}')").alias("head"))
+            .localCheckpoint())
+    return merges
+
+
+def _oracle_bpe_train() -> str:
+    from .queries_ext7 import _BPE_HEAD
+    ctes = [f"""d0 AS (
+  SELECT lower(substr(text, 1, {_BPE_HEAD})) AS head
+  FROM documents WHERE length(text) >= 2
+)"""]
+    outs = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        sym = _BPE_MERGE_SYMS[r - 1]
+        ctes.append(f"""c{r} AS (
+  SELECT pair, count(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, length(head) - 1),
+                                 i -> substr(head, i, 2))) AS pair
+    FROM d{r - 1} WHERE length(head) >= 2)
+  GROUP BY pair
+),
+t{r} AS (SELECT pair, n FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+d{r} AS (
+  SELECT replace(head, (SELECT pair FROM t{r}), '{sym}') AS head
+  FROM d{r - 1}
+)""")
+        outs.append(f"SELECT {r} AS round, pair, n FROM t{r}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(outs))
+
+
+QUERIES_EXT8.update({"bpe_train": q_bpe_train})
+ORACLE_EXT8.update({"bpe_train": _oracle_bpe_train()})

@@ -73,6 +73,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-stats (N, avgdl) cross join in BOTH BM25 rounds — the
     # same shape as bm25_topk above
     "prf_expansion",
+    # per-round 1-row winning-merge broadcast rewrites (bpe_pair_stats
+    # shape, iterated)
+    "bpe_train",
 }
 
 
