@@ -1,0 +1,49 @@
+"""Partitioning-invariance: the catalog's determinism claims say every
+query's RESULT is independent of physical parallelism (md5-derived
+uniforms, sorted folds, total-order tie-breaks, exact-integer
+accumulators). This test executes a representative slice — the queries
+whose plans are most partitioning-sensitive (window folds, sorted
+aggregates, sampling, iterative rounds, salted top-k) — under two very
+different shuffle-partition settings and asserts row-identical results.
+
+A query that passes the DuckDB oracle but FAILS here would be one whose
+determinism came from a lucky physical plan — exactly the bug class
+that surfaces only on a real cluster, where partition counts differ
+from local[32].
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+# partitioning-sensitive representatives: folds/windows (token_entropy,
+# ewma, bm25, lm_quality), sampling (weighted/stratified/train-split),
+# iterative rounds (kmeans, label_prop, bpe_train, graph_components),
+# salted top-k (ann_pq), hash-bucketed self-joins (dedup_lsh_pairs),
+# carry-forward as-of (pit_join), order-sensitive LISTAGG
+SENSITIVE = [
+    "token_entropy", "ewma_report", "bm25_topk", "lm_quality_score",
+    "weighted_sample", "stratified_sample", "train_split_report",
+    "kmeans_embed", "label_prop_communities", "bpe_train",
+    "graph_components", "ann_pq_topk", "dedup_lsh_pairs", "pit_join",
+    "listagg_report", "histogram_quantile",
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_partitioning(spark, name):
+    qs = E.queries()
+    fn = qs[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = {tuple(map(str, r)) for r in fn(spark, SF).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        b = {tuple(map(str, r)) for r in fn(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
