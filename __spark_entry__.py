@@ -88,7 +88,7 @@ _VERIFY_FIRST = (
     "histogram_quantile", "sorted_neighborhood", "label_prop_communities",
     "interval_overlap_join", "oov_rate",
     "incremental_dedup", "zorder_layout", "join_cardinality_est",
-    "ann_pq_topk", "prf_expansion", "tpch_q1", "tpch_q3", "tpch_q5", "bitmap_index_join", "bpe_train",
+    "ann_pq_topk", "prf_expansion", "tpch_q1", "tpch_q3", "tpch_q5", "bitmap_index_join", "bpe_train", "watermark_audit",
     # official r6 row was a FAIL on an oracle HUGEINT dtype (since cast
     # to BIGINT) — needs a green official row to overturn it
     "bool_agg_report",

@@ -28,7 +28,7 @@ extensions the build brief requires, expressed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import _t, LSH_BUCKET_CAP, _oracle_minhash_cte
@@ -1097,3 +1097,93 @@ d{r} AS (
 
 QUERIES_EXT8.update({"bpe_train": q_bpe_train})
 ORACLE_EXT8.update({"bpe_train": _oracle_bpe_train()})
+
+
+# ---------------------------------------------------------------------------
+# watermark_audit — out-of-orderness profile for watermark sizing
+# ---------------------------------------------------------------------------
+
+_WM_BUCKET = 8192                          # events per prefix-max bucket
+_WM_THRESH_US = (60_000_000, 600_000_000, 3_600_000_000)
+
+
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing analysis: how late does each event arrive
+    relative to the maximum event-time already seen in arrival order
+    (event_id is the arrival proxy)? An event with lateness > W would
+    be DROPPED by a withWatermark(W) stream, so the report counts
+    drops at candidate watermarks — the offline study every streaming
+    deployment runs before choosing its lateness bound.
+
+    The running maximum over a GLOBAL arrival order is the textbook
+    single-partition window trap; here it is a two-level parallel
+    prefix-max instead: arrival buckets of 8192 events each compute
+    their internal running max in bounded per-bucket windows, the
+    per-bucket maxima (a few hundred rows) take an exclusive prefix
+    max in one tiny window, and the broadcast join back makes every
+    event's global prefix max = greatest(bucket-internal running max,
+    previous buckets' max) — the classic scan decomposition, linear
+    and fully parallel at any scale.
+
+    All exact int64 micros. Output: one row per candidate watermark
+    (n_events, n_late = would-be drops, drop_frac_e6, max_lateness).
+    """
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("event_id", F.expr("ts_ns div 1000").alias("us"),
+                  F.expr(f"event_id div {_WM_BUCKET}").alias("b"))
+    win = (Window.partitionBy("b").orderBy("event_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    local = ev.select(
+        "event_id", "us", "b",
+        F.max("us").over(win).alias("pmax_in_bucket"))  # exclusive
+    bmax = ev.groupBy("b").agg(F.max("us").alias("bmax"))
+    wpre = (Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = bmax.select(
+        "b", F.max("bmax").over(wpre).alias("pmax_before_bucket"))
+    lateness = F.greatest(
+        F.coalesce(F.col("pmax_in_bucket"), F.lit(0)),
+        F.coalesce(F.col("pmax_before_bucket"), F.lit(0))) - F.col("us")
+    late = (local.join(F.broadcast(prefix), "b")
+            .select(F.when(lateness > 0, lateness).otherwise(F.lit(0))
+                    .alias("late_us")))
+    thr = F.explode(F.array(*[F.lit(t) for t in _WM_THRESH_US])) \
+        .alias("watermark_us")
+    return (late.select("late_us", thr)
+            .groupBy("watermark_us")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.col("late_us") > F.col("watermark_us"))
+                       .cast("bigint")).alias("n_late"),
+                 F.max("late_us").alias("max_lateness_us"))
+            .select("watermark_us", "n_events", "n_late",
+                    F.expr("n_late * 1000000 div n_events")
+                    .alias("drop_frac_e6"), "max_lateness_us"))
+
+
+ORACLE_WATERMARK = f"""
+WITH ev AS (
+  SELECT event_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+late AS (
+  SELECT CASE WHEN coalesce(max(us) OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              - us > 0
+         THEN coalesce(max(us) OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              - us
+         ELSE 0 END AS late_us
+  FROM ev
+)
+SELECT watermark_us, count(*) AS n_events,
+       CAST(sum(CAST(late_us > watermark_us AS BIGINT)) AS BIGINT)
+         AS n_late,
+       CAST(sum(CAST(late_us > watermark_us AS BIGINT)) * 1000000
+            // count(*) AS BIGINT) AS drop_frac_e6,
+       max(late_us) AS max_lateness_us
+FROM late CROSS JOIN (SELECT unnest({list(_WM_THRESH_US)}) AS watermark_us)
+GROUP BY watermark_us
+"""
+
+
+QUERIES_EXT8.update({"watermark_audit": q_watermark_audit})
+ORACLE_EXT8.update({"watermark_audit": ORACLE_WATERMARK})
