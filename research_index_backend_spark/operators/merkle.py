@@ -13,7 +13,14 @@ scans (partition pruning when the table is key-range partitioned,
 which div-bucketing models).
 
 Hash inputs must be exact integer/string renderings (cents, never
-float-to-string: that formatting is engine-specific).
+float-to-string: that formatting is engine-specific). The row hash is
+collision-proof by construction: each column contributes the md5 of
+its own string rendering (fixed 32-hex pieces — no delimiter games)
+with NULL encoded as the 4-char sentinel 'null', which no md5 digest
+can equal, so ('a|b','c') vs ('a','b|c') and (x, NULL) vs (NULL, x)
+hash differently. Buckets use exact integer `div` (truncating — the
+same semantics as DuckDB's `//`), never float division, so keys past
+2^53 still land in the right bucket.
 """
 
 from __future__ import annotations
@@ -32,12 +39,13 @@ def bucket_diff(v1: DataFrame, v2: DataFrame, key: str,
     clean buckets never reach the row-level FULL OUTER join.
     """
     def hashed(df: DataFrame) -> DataFrame:
+        pieces = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+                  for c in hash_cols]
         h = F.conv(F.substring(
-            F.md5(F.concat_ws("|", *hash_cols)), 1, 10), 16, 10) \
-            .cast("bigint")
+            F.md5(F.concat(*pieces)), 1, 10), 16, 10).cast("bigint")
         return df.select(
             F.col(key),
-            (F.col(key) / bucket_width).cast("bigint").alias("b"),
+            F.expr(f"{key} div {bucket_width}").alias("b"),
             h.alias("h"))
 
     h1, h2 = hashed(v1), hashed(v2)

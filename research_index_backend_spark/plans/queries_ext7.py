@@ -666,16 +666,22 @@ v2 AS (
 ),
 h1 AS (
   SELECT key, key // {_MD_BUCKET} AS b,
-         CAST(concat('0x', substr(md5(concat_ws('|', key, status, prio,
-                                                cents)), 1, 10))
-              AS BIGINT) AS h
+         CAST(concat('0x', substr(md5(
+                concat(coalesce(md5(CAST(key AS VARCHAR)), 'null'),
+                       coalesce(md5(status), 'null'),
+                       coalesce(md5(prio), 'null'),
+                       coalesce(md5(CAST(cents AS VARCHAR)), 'null'))),
+              1, 10)) AS BIGINT) AS h
   FROM o
 ),
 h2 AS (
   SELECT key, key // {_MD_BUCKET} AS b,
-         CAST(concat('0x', substr(md5(concat_ws('|', key, status, prio,
-                                                cents)), 1, 10))
-              AS BIGINT) AS h
+         CAST(concat('0x', substr(md5(
+                concat(coalesce(md5(CAST(key AS VARCHAR)), 'null'),
+                       coalesce(md5(status), 'null'),
+                       coalesce(md5(prio), 'null'),
+                       coalesce(md5(CAST(cents AS VARCHAR)), 'null'))),
+              1, 10)) AS BIGINT) AS h
   FROM v2
 ),
 fp1 AS (SELECT b, sum(h) AS fp, count(*) AS n FROM h1 GROUP BY b),

@@ -1058,8 +1058,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(head) - 1),"
             " i -> substring(head, i, 2))")).alias("pair"))
         cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+        # materialize the 1-row winner: it feeds BOTH the rewrite and
+        # the returned merge table — unchecked, the corpus-wide count
+        # would re-run when the merges union is collected
         top = (cnt.orderBy(F.col("n").desc(), "pair").limit(1)
-               .select(F.lit(r).alias("round"), "pair", "n"))
+               .select(F.lit(r).alias("round"), "pair", "n")
+               .localCheckpoint())
         merges = top if merges is None else merges.unionByName(top)
         sym = _BPE_MERGE_SYMS[r - 1]
         cur = (cur.crossJoin(F.broadcast(

@@ -40,10 +40,12 @@ def test_result_invariant_under_partitioning(spark, name):
     fn = qs[name]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # sorted MULTISETS, not sets: a row whose multiplicity depends
+        # on partitioning must fail, not collapse
         spark.conf.set("spark.sql.shuffle.partitions", "5")
-        a = {tuple(map(str, r)) for r in fn(spark, SF).collect()}
+        a = sorted(tuple(map(str, r)) for r in fn(spark, SF).collect())
         spark.conf.set("spark.sql.shuffle.partitions", "31")
-        b = {tuple(map(str, r)) for r in fn(spark, SF).collect()}
+        b = sorted(tuple(map(str, r)) for r in fn(spark, SF).collect())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b, f"{name}: result depends on shuffle partitioning"

@@ -146,3 +146,20 @@ class TestMerkleBucketDiffProperties:
         touched = ({k // 16 for k in dels} | {k // 16 for k in upds - dels}
                    | {k // 16 for k in adds})
         assert {r["bucket"] for r in out} == touched
+
+
+class TestMerkleHashCollisionResistance:
+    """The review-found collision classes: NULL-skipping concat and
+    delimiter ambiguity must NOT produce equal row hashes."""
+
+    def test_null_shift_and_delimiter_rows_are_dirty(self, spark):
+        from research_index_backend_spark.operators.merkle import bucket_diff
+        v1 = spark.createDataFrame(
+            [(1, "a", None), (2, "a|b", "c")],
+            "key long, x string, y string")
+        v2 = spark.createDataFrame(
+            [(1, None, "a"), (2, "a", "b|c")],
+            "key long, x string, y string")
+        out = bucket_diff(v1, v2, key="key", hash_cols=["key", "x", "y"],
+                          bucket_width=16).collect()
+        assert sum(r["n_changed"] for r in out) == 2

@@ -53,7 +53,11 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         ka = "i" if ka == "u" else ka
         kb = "i" if kb == "u" else kb
-        if ka != kb or (ka == "M" and str(a[c].dtype) != str(b[c].dtype)):
+        # int widths repr identically; float widths do NOT (0.1 as
+        # float32 reprs 0.10000000149...) and timestamp resolutions
+        # differ — both must match exactly
+        if ka != kb or (ka in ("M", "f")
+                        and str(a[c].dtype) != str(b[c].dtype)):
             return False, (f"col {c}: dtype spark={a[c].dtype} "
                            f"oracle={b[c].dtype} (driver hash mismatch "
                            f"even if values agree)")

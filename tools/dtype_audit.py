@@ -29,12 +29,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.001")
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
-# dtype pairs that hash identically (same repr for the same values)
-_OK = {
-    ("int64", "int64"), ("int32", "int32"), ("int32", "int64"),
-    ("int64", "int32"), ("float64", "float64"), ("object", "object"),
-    ("bool", "bool"),
-}
+def _mismatch(a: str, b: str) -> bool:
+    """Same rule as tools/check.py's dtype-kind gate: integer widths
+    repr identically (pass); float widths and timestamp resolutions do
+    not (strict); everything else compares by kind."""
+    import numpy as np
+    ka, kb = np.dtype(a).kind, np.dtype(b).kind
+    ka = "i" if ka == "u" else ka
+    kb = "i" if kb == "u" else kb
+    return ka != kb or (ka in ("M", "f") and a != b)
 
 
 def main(names: list[str]) -> int:
@@ -66,15 +69,15 @@ def main(names: list[str]) -> int:
             print(f"{name}: ERR {str(exc)[:140]}", flush=True)
             bad += 1
             continue
-        for col in sdt:
-            a, b = sdt[col], odt.get(col, "<missing>")
-            # timestamps: resolution suffix differences hash differently
-            if a == b:
+        for col in sorted(set(sdt) | set(odt)):
+            a, b = sdt.get(col, "<missing>"), odt.get(col, "<missing>")
+            if "<missing>" in (a, b):
+                print(f"{name}.{col}: spark={a} oracle={b}", flush=True)
+                bad += 1
                 continue
-            if (a, b) in _OK:
-                continue
-            print(f"{name}.{col}: spark={a} oracle={b}", flush=True)
-            bad += 1
+            if a != b and _mismatch(a, b):
+                print(f"{name}.{col}: spark={a} oracle={b}", flush=True)
+                bad += 1
     print(f"{'FAIL' if bad else 'OK'}: {bad} mismatched columns "
           f"across {len(names)} queries")
     return 1 if bad else 0
