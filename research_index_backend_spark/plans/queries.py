@@ -529,9 +529,9 @@ def q_similarity_join(spark, sf_dir):
     the oracle-expressible levenshtein ratio; the exact-difflib variant is
     operators.similarity_join(exact=True) (no SQL twin)."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    a = c.select((F.col("c_custkey") / 100).cast("bigint").alias("blk"),
+    a = c.select(F.expr("c_custkey div 100").alias("blk"),
                  F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
-    b = c.select((F.col("c_custkey") / 100).cast("bigint").alias("blk"),
+    b = c.select(F.expr("c_custkey div 100").alias("blk"),
                  F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn(

@@ -286,7 +286,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12),
                16, 10).cast("bigint")
     hashed = keys.select("grp", h.alias("h"))
-    reg = (F.col("h") / _HLL_RHO_SPACE).cast("bigint")  # h < 2^48: floor ok
+    reg = F.expr(f"h div {_HLL_RHO_SPACE}")
     v = F.col("h") % _HLL_RHO_SPACE
     rho = F.when(v == 0, F.lit(41)) \
         .otherwise(F.lit(41) - F.length(F.bin(v)))

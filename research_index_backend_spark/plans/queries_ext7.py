@@ -212,8 +212,8 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_type", "p_size",
         F.element_at(F.split("p_name", " "), 1).alias("adj"),
         F.element_at(F.split("p_name", " "), 2).alias("noun"),
-        (F.round(F.col("p_retailprice") * 100).cast("bigint")
-         .cast("bigint") / F.lit(10000)).cast("bigint").alias("price_band"))
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 10000")
+        .alias("price_band"))
     refine = _rl_refine(p.count())   # one column-pruned count job
     if refine >= 1:
         p = p.withColumn("blk1", F.substring("adj", 1, 1))
@@ -627,7 +627,7 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
-    bucket = (F.col("key") / _MD_BUCKET).cast("bigint")
+    bucket = F.expr(f"key div {_MD_BUCKET}")
     stripe = bucket % _MD_STRIDE
     v1 = o
     v2 = (o.filter(~((stripe == 0) & (F.col("key") % 97 == 0)))
@@ -742,7 +742,7 @@ def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit("time").alias("layout"),
                      F.col("m").cast("bigint").alias("file_id")),
             F.struct(F.lit("value").alias("layout"),
-                     (F.col("cents") / _ZM_BAND).cast("bigint")
+                     F.expr(f"cents div {_ZM_BAND}")
                      .alias("file_id")))).alias("f"))
     thr = F.explode(F.array(*[F.lit(t) for t in _ZM_THRESHOLDS])).alias("thr")
     per_file = (rows.select("cents", F.col("f.layout").alias("layout"),
@@ -839,7 +839,7 @@ def q_hll_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
                16, 10).cast("bigint")
     hashed = keys.select("scope", h.alias("h"))
-    reg = (F.col("h") / _HLL_RHO_SPACE).cast("bigint")
+    reg = F.expr(f"h div {_HLL_RHO_SPACE}")
     v = F.col("h") % _HLL_RHO_SPACE
     rho = F.when(v == 0, F.lit(41)).otherwise(F.lit(41) - F.length(F.bin(v)))
     regs = (hashed.select("scope", reg.alias("reg"), rho.alias("rho"))
@@ -930,7 +930,6 @@ FROM raws r JOIN exact e USING (scope)
 # graph_clustering_coeff — local clustering coefficient histogram
 # ---------------------------------------------------------------------------
 
-_CC_PI_SHIFT = 2 ** 33   # π-key = deg * 2^33 + id: total order by (deg, id)
 _CC_TOPK = 2000          # hub-core size: bounds wedge volume at K^2
 
 
@@ -982,23 +981,27 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (edges.select(F.col("u").alias("id"))
              .unionAll(edges.select(F.col("v").alias("id"))))
     deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-    pk = (F.col("deg") * F.lit(_CC_PI_SHIFT) + F.col("id")).alias("pk")
-    k = deg.select("id", pk)
-    ed = (edges.join(k.select(F.col("id").alias("u"),
-                              F.col("pk").alias("ku")), "u")
-          .join(k.select(F.col("id").alias("v"),
-                         F.col("pk").alias("kv")), "v"))
-    u_first = F.col("ku") < F.col("kv")
+    # Orientation order is the two-column lexicographic (deg, id) —
+    # never a packed deg*2^k+id key, whose total order silently breaks
+    # once ids overflow the shift (round-7 ADVICE).
+    ed = (edges.join(deg.select(F.col("id").alias("u"),
+                                F.col("deg").alias("du")), "u")
+          .join(deg.select(F.col("id").alias("v"),
+                           F.col("deg").alias("dv")), "v"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
     o = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).localCheckpoint()
     e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"),
-                  F.col("kdst").alias("ky"))
+                  F.col("ddst").alias("dy"))
     e2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"),
-                  F.col("kdst").alias("kz"))
-    wedges = (e1.join(e2, "x").filter(F.col("ky") < F.col("kz")))
+                  F.col("ddst").alias("dz"))
+    wedges = (e1.join(e2, "x")
+              .filter((F.col("dy") < F.col("dz")) | (
+                  (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))))
     closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
     corner = (tri.select(F.col("x").alias("id"))
@@ -1009,8 +1012,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(tcnt, "id", "left")
                 .select("id", "deg",
                         F.coalesce(F.col("tri"), F.lit(0)).alias("tri")))
-    coeff = F.expr("tri * 2000000 div (deg * (deg - 1))")
-    return (per_node.select((coeff / 10000).cast("bigint").alias("pct"))
+    coeff = F.expr("tri * 2000000 div (deg * (deg - 1)) div 10000")
+    return (per_node.select(coeff.alias("pct"))
             .groupBy("pct").agg(F.count(F.lit(1)).alias("n_nodes")))
 
 
@@ -1035,19 +1038,23 @@ nodes AS (
   SELECT u AS id FROM edges UNION ALL SELECT v FROM edges
 ),
 deg AS (SELECT id, count(*) AS deg FROM nodes GROUP BY id),
-k AS (SELECT id, deg * {_CC_PI_SHIFT} + id AS pk FROM deg),
 o AS (
-  SELECT CASE WHEN ku.pk < kv.pk THEN e.u ELSE e.v END AS src,
-         CASE WHEN ku.pk < kv.pk THEN e.v ELSE e.u END AS dst,
-         CASE WHEN ku.pk < kv.pk THEN kv.pk ELSE ku.pk END AS kdst
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN dv.deg ELSE du.deg END AS ddst
   FROM edges e
-  JOIN k ku ON e.u = ku.id
-  JOIN k kv ON e.v = kv.id
+  JOIN deg du ON e.u = du.id
+  JOIN deg dv ON e.v = dv.id
 ),
 tri AS (
   SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
   FROM o e1
-  JOIN o e2 ON e1.src = e2.src AND e1.kdst < e2.kdst
+  JOIN o e2 ON e1.src = e2.src
+           AND (e1.ddst < e2.ddst
+                OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
   JOIN o c ON c.src = e1.dst AND c.dst = e2.dst
 ),
 corner AS (

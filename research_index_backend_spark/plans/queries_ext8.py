@@ -978,8 +978,8 @@ def q_bitmap_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     bo = (li.join(p, li.l_partkey == p.p_partkey)
-          .select("p_brand", (F.col("l_orderkey") / _BM_WORD)
-                  .cast("bigint").alias("word"),
+          .select("p_brand", F.expr(f"l_orderkey div {_BM_WORD}")
+                  .alias("word"),
                   F.expr(f"shiftleft(CAST(1 AS BIGINT),"
                          f" CAST(l_orderkey % {_BM_WORD} AS INT))")
                   .alias("bit"))
