@@ -68,57 +68,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (observed: exactly the first 50 entries land in
-# CORRECTNESS_r{N}.json). Rotation policy: (1) queries with no official
-# green row yet go first (r7: bool_agg_report, whose r6 row failed on an
-# oracle HUGEINT dtype, since cast — plus anything new this round);
-# (2) then the remaining never-officially-checked ext4/5/6 queries;
-# (3) then the r04-window originals for periodic re-verification
-# (round-6 ADVICE). The catalog has outgrown the window: 21 new + 53
-# ext4/5/6 candidates compete for ~50 slots, so the ext4/5/6 TAIL
-# (everything past position ~50; currently skew_report onward) gets NO
-# official row this round — those stay covered by tools/check.py
-# (163/163 green locally this round) and rotate into next round's
-# window once the new wave has official rows.
+# CORRECTNESS_r{N}.json). Rotation policy (round-7 ADVICE item 1):
+# (1) the 30 queries that have never had an official row — computed
+# from the union of CORRECTNESS_r01..r07 against the catalog — go
+# first, so after this round every one of the 174 queries has had an
+# official green row at least once; (2) the remaining ~20 slots are
+# the STALEST officially-checked queries (last official row = r5, the
+# original r04-window set); (3) the rest of the r5 set follows in case
+# the window widens, then dict order (r6/r7-checked queries, freshest,
+# go last). Queries outside the window stay covered by tools/check.py
+# (174/174 green locally at round-7 close).
 _VERIFY_FIRST = (
-    # --- never officially checked (newest wave first) ---
-    # r7 ext7 wave
-    "pit_join", "record_linkage", "k_anonymity", "trend_regression",
-    "interpolate_linear", "merkle_diff", "zone_map_prune",
-    "hll_union_report", "graph_clustering_coeff", "bpe_pair_stats",
-    "histogram_quantile", "sorted_neighborhood", "label_prop_communities",
-    "interval_overlap_join", "oov_rate",
-    "incremental_dedup", "zorder_layout", "join_cardinality_est",
-    "ann_pq_topk", "prf_expansion", "tpch_q1", "tpch_q3", "tpch_q5", "bitmap_index_join", "bpe_train", "watermark_audit",
-    # official r6 row was a FAIL on an oracle HUGEINT dtype (since cast
-    # to BIGINT) — needs a green official row to overturn it
-    "bool_agg_report",
-    # ext4/5/6 waves, no official row yet
-    "lang_id_trigram", "cms_heavy_hitters", "hll_distinct",
-    "prefix_dedup", "span_dedup", "spatial_core_points",
-    "containment_dedup", "train_split_report",
-    "cube_report", "ohlc_downsample", "median_mode_report",
-    "markov_transitions", "kmv_distinct", "bloom_probe",
-    "zscore_outliers", "token_entropy", "kmeans_embed",
-    "corr_report", "pmi_cooccur", "graph_bfs_depth",
-    "gapfill_ffill", "table_diff", "kcore_decompose",
+    # --- never officially checked (30; ext4-8 tail of the r7 window) ---
     "ewma_report", "cascade_delete_audit", "table_profile",
     "sliding_distinct_users", "build_inverted_index",
     "exact_percentile_rank", "skew_report", "blocking_quality",
     "keyset_page", "graph_ppr", "ivm_update", "cdc_apply",
-    "schema_evolution_merge", "embed_quantize_report",
-    "ann_recall_report", "anomaly_mad", "session_paths",
-    "seasonality_report", "graph_jaccard_similarity",
-    "graph_motif_wedge", "graph_motif_path", "asof_tolerance",
-    "pii_scrub", "vocab_drift", "grouping_sets_report",
-    "mix_plan", "token_histogram", "quality_calibration",
-    "scd2_history", "group_topk_ties",
-    # --- r04-window originals, due for re-verification ---
+    "schema_evolution_merge", "embed_quantize_report", "ann_recall_report",
+    "anomaly_mad", "session_paths", "seasonality_report",
+    "graph_jaccard_similarity", "graph_motif_wedge", "graph_motif_path",
+    "asof_tolerance", "pii_scrub", "vocab_drift", "grouping_sets_report",
+    "mix_plan", "token_histogram", "quality_calibration", "scd2_history",
+    "group_topk_ties",
+    # --- rewritten this round (banded two-level window; needs a fresh
+    # official row on the new plan even though r6's row was green) ---
+    "pareto_frontier",
+    # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
     "date_decompose", "theta_range_check", "similarity_join",
     "groupby_count_report", "windowed_events", "sliding_windows",
     "sessionize_events", "dedup_exact", "doc_fingerprint", "doc_winnow",
-    "dedup_minhash_sigs", "dedup_lsh_pairs", "dedup_jaccard",
+    "dedup_minhash_sigs",
+    # --- r5 overflow (land only if the window widens past 50) ---
+    "dedup_lsh_pairs", "dedup_jaccard",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "quality_filter",
     "token_stats", "graph_degree", "graph_two_hop", "skew_salted_join",

@@ -751,6 +751,8 @@ FROM events
 # pareto_frontier — 2-D skyline via sort + strict-suffix max
 # ---------------------------------------------------------------------------
 
+_PF_BAND = 8192  # cents of x-domain per suffix-max band
+
 
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (skyline) of customers over (account balance,
@@ -758,20 +760,22 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The semantic definition is a quadratic NOT EXISTS self-join — that is
     exactly what the ORACLE runs. The Spark plan is the O(n log n)
-    2-D skyline instead: collapse to max-y per x, then a single RANGE
-    frame over x (strictly-greater suffix, rangeBetween(1, ∞)) computes
-    the best y any higher-x point achieves; a point survives iff its y
-    strictly beats that. One shuffle + one sort; the hash-match against
-    the quadratic definition proves the rewrite. Balance is keyed in
-    exact integer cents — RANGE frames and dominance ties must not ride
-    on float equality.
+    2-D skyline instead: collapse to max-y per x, then compute, for
+    each point, the best y any strictly-higher-x point achieves; a
+    point survives iff its y strictly beats that. Balance is keyed in
+    exact integer cents — dominance ties must not ride on float
+    equality.
 
-    Scale note: the global (unpartitioned) window runs on the COLLAPSED
-    per-x table — cardinality is the x-value domain, not the corpus, so
-    the single window partition is bounded (here: cents in a fixed
-    range). For an unbounded x-domain, band x, take per-band frontiers,
-    then frontier the band winners (same two-level move as
-    sequence_pack_sharded).
+    The strict-suffix max is the watermark_audit two-level scan
+    decomposition, never a global window: x-value bands of 8192 cents
+    each run their internal x-descending exclusive running max in a
+    bounded per-band window; the per-band maxima (a tiny table,
+    |x-domain|/8192 rows) take one exclusive suffix max; the broadcast
+    join back makes best_higher_x = greatest(in-band suffix,
+    higher-bands' max) — linear and fully parallel for any x-domain.
+    The band key floor-divides via pmod because balances go negative:
+    truncating div would fold (-b, +b) into one band and break the
+    band order.
     """
     from pyspark.sql import Window
     c = _t(spark, sf_dir, "customer").select(
@@ -783,15 +787,22 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("x", F.coalesce("y", F.lit(0)).alias("y")))
     pts = pts0.groupBy("x").agg(F.max("y").alias("y"))
     # x is DISTINCT after the collapse, so "strictly higher x" == "all
-    # previous rows in x-descending order" — an O(n) running max. The
-    # direct rangeBetween(1, unboundedFollowing) frame is semantically
-    # identical but Spark's unbounded-FOLLOWING frame processor
-    # re-aggregates the suffix per row (measured 4.0s vs 0.6s at sf0.1).
-    w = (Window.orderBy(F.col("x").desc())
-         .rowsBetween(Window.unboundedPreceding, -1))
-    return (pts.withColumn("best_higher_x", F.max("y").over(w))
-            .filter(F.col("best_higher_x").isNull()
-                    | (F.col("y") > F.col("best_higher_x")))
+    # previous rows in x-descending order" — an O(n) running max,
+    # decomposed into bands so no partition holds the whole x-domain.
+    banded = pts.select(
+        "x", "y",
+        F.expr(f"(x - pmod(x, {_PF_BAND})) div {_PF_BAND}").alias("b"))
+    win = (Window.partitionBy("b").orderBy(F.col("x").desc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    local = banded.withColumn("best_in_band", F.max("y").over(win))
+    bmax = banded.groupBy("b").agg(F.max("y").alias("bmax"))
+    wsuf = (Window.orderBy(F.col("b").desc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    suffix = bmax.select(
+        "b", F.max("bmax").over(wsuf).alias("best_higher_band"))
+    best = F.greatest(F.col("best_in_band"), F.col("best_higher_band"))
+    return (local.join(F.broadcast(suffix), "b")
+            .filter(best.isNull() | (F.col("y") > best))
             .select(F.col("x").alias("acctbal_cents"), F.col("y")
                     .alias("n_orders")))
 

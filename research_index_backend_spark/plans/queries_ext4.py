@@ -536,12 +536,28 @@ FROM b GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+_QC_BAND = 8192  # distinct ttr_e6 values per prefix-sum band
+
+
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile table of a quality proxy (type-token ratio): ntile(10)
-    over (score, doc_id) — the classifier-calibration report run before
-    picking a quality threshold for a training cut. One window sort on
-    the narrow (score, id) pair + one hash agg; at 100 TB the exact
-    ntile becomes approx quantile cuts, same report shape."""
+    """Decile calibration table of a quality proxy (type-token ratio)
+    — the report run before picking a quality threshold for a
+    training cut. Deciles are VALUE-based: every row with score v
+    lands in decile ceil(10 * cdf(v)), where cdf is the inclusive
+    cumulative row fraction at v. Equal scores always share a decile
+    (no arbitrary tie-splitting, so the report is deterministic and
+    partition-invariant), and decile sizes are n/10 up to tie mass.
+
+    Scale shape: rows collapse to per-score counts first, and the
+    score domain is CAPPED BY THE e6 QUANTIZATION at 1e6+1 distinct
+    values regardless of corpus size — every window here runs on that
+    bounded table, never on corpus rows, and even those windows are
+    the two-level band decomposition (8192-value bands + a tiny band
+    prefix) rather than one global sort. The total count is a 1-row
+    broadcast. Replaces the previous global ntile(10) over all rows —
+    the single-partition-window trap flagged in round 7.
+    """
+    from pyspark.sql import Window
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     base = (d.select("doc_id", toks.alias("toks"))
@@ -550,14 +566,29 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.size(F.array_distinct("toks"))
                             / F.greatest(F.size("toks"), F.lit(1)) * 1e6)
                     .cast("bigint").alias("ttr_e6")))
-    from pyspark.sql import Window
-    dec = F.ntile(10).over(Window.orderBy("ttr_e6", "doc_id"))
-    return (base.select("doc_id", "n_toks", "ttr_e6", dec.alias("decile"))
+    vals = (base.groupBy("ttr_e6")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("n_toks").alias("toks"))
+            .withColumn("b", F.expr(f"ttr_e6 div {_QC_BAND}")))
+    w_in = (Window.partitionBy("b").orderBy("ttr_e6")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = vals.withColumn("cum_in", F.sum("cnt").over(w_in))
+    bsum = vals.groupBy("b").agg(F.sum("cnt").alias("bc"))
+    w_b = (Window.orderBy("b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = bsum.select("b", F.sum("bc").over(w_b).alias("before"))
+    total = vals.agg(F.sum("cnt").alias("n"))
+    cum = F.col("cum_in") + F.coalesce(F.col("before"), F.lit(0))
+    dec = F.expr("(cum * 10 - 1) div n + 1")  # = ceil(10*cum/n), cum>=1
+    return (local.join(F.broadcast(prefix), "b")
+            .crossJoin(F.broadcast(total))
+            .select("ttr_e6", "cnt", "toks", cum.alias("cum"), "n")
+            .select(dec.alias("decile"), "ttr_e6", "cnt", "toks")
             .groupBy("decile")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
+            .agg(F.sum("cnt").alias("n_docs"),
                  F.min("ttr_e6").alias("ttr_lo"),
                  F.max("ttr_e6").alias("ttr_hi"),
-                 F.sum("n_toks").alias("sum_tokens")))
+                 F.sum("toks").alias("sum_tokens")))
 
 
 ORACLE_QUALITY_CAL = r"""
@@ -571,13 +602,22 @@ WITH base AS (
                list_filter(string_split_regex(lower(text), '\s+'),
                            t -> t <> '') AS toks
         FROM documents)
-), ranked AS (
-  SELECT *, ntile(10) OVER (ORDER BY ttr_e6, doc_id) AS decile FROM base
+), vals AS (
+  SELECT ttr_e6, count(*) AS cnt, sum(n_toks) AS toks
+  FROM base GROUP BY 1
+), cum AS (
+  SELECT ttr_e6, cnt, toks,
+         CAST(sum(cnt) OVER (ORDER BY ttr_e6
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM vals
 )
-SELECT decile, count(*) AS n_docs,
+SELECT CAST((c * 10 - 1) // n + 1 AS INT) AS decile,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
        min(ttr_e6) AS ttr_lo, max(ttr_e6) AS ttr_hi,
-       CAST(sum(n_toks) AS BIGINT) AS sum_tokens
-FROM ranked GROUP BY 1
+       CAST(sum(toks) AS BIGINT) AS sum_tokens
+FROM cum GROUP BY 1
 """
 
 

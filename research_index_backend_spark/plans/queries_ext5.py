@@ -1405,6 +1405,8 @@ FROM ranked GROUP BY event_type
 # skew_report — join/shuffle key-skew diagnosis
 # ---------------------------------------------------------------------------
 
+_SK_BAND = 8192  # distinct frequency values per prefix-sum band
+
 
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnosis of lineitem's part key — the profiling query
@@ -1414,28 +1416,50 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything).
 
     Frequencies are one pre-aggregate (map-side combined); every
-    downstream stat runs on the KEY distribution (|keys| rows, not
-    |rows|): p99/max by rank selection, Gini by the rank-sum identity
-    2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the ascending-frequency
-    ranking — all integer sums until the final double division. This
-    report is why the catalog's skew_salted_join knows its salt
-    factor.
+    downstream stat runs on the FREQUENCY DISTRIBUTION (one row per
+    distinct frequency value — at most sqrt(2*n_rows) rows, since k
+    distinct counts sum to at least k(k+1)/2): p99/max by locating the
+    rank inside a tie group's [prev+1, prev+m] span, Gini by the
+    rank-sum identity 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n, where each
+    tie group of m keys sharing frequency c contributes
+    c*(m*prev + m*(m+1)/2) — the per-key rank never materializes, so
+    the (c, key) ranking window over |keys| rows is gone. The
+    exclusive key-count prefix over the distribution table is the
+    two-level band decomposition (8192-value bands + tiny band
+    prefix); the key total is a 1-row broadcast. All integer/decimal
+    sums until the final double division. This report is why the
+    catalog's skew_salted_join knows its salt factor.
     """
     l = _t(spark, sf_dir, "lineitem")
     freq = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("c", "l_partkey")
-    wall = Window.partitionBy()
-    ranked = freq.select(
-        "c", F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("nk"))
-    return (ranked.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("c").alias("n_rows"),
+    fdist = (freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+             .withColumn("b", F.expr(f"c div {_SK_BAND}")))
+    w_in = (Window.partitionBy("b").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    local = fdist.withColumn("prev_in", F.sum("m").over(w_in))
+    bsum = fdist.groupBy("b").agg(F.sum("m").alias("bm"))
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bsum.select("b", F.sum("bm").over(w_b).alias("before"))
+    tot = fdist.agg(F.sum("m").alias("nk"))
+    dist = (local.join(F.broadcast(prefix), "b")
+            .crossJoin(F.broadcast(tot))
+            .select("c", "m", "nk",
+                    (F.coalesce(F.col("prev_in"), F.lit(0))
+                     + F.coalesce(F.col("before"), F.lit(0)))
+                    .alias("prev")))
+    md = F.col("m").cast("decimal(38,0)")
+    group_rank_sum = (F.col("c").cast("decimal(38,0)")
+                      * (md * F.col("prev").cast("decimal(38,0)")
+                         + md * (md + F.lit(1)) / F.lit(2)))
+    p99_rank = F.ceil(F.col("nk") * 0.99)
+    return (dist.agg(
+        F.sum("m").alias("n_keys"),
+        F.sum(F.col("c") * F.col("m")).alias("n_rows"),
         F.max("c").alias("max_freq"),
-        F.max(F.when(F.col("i") == F.ceil(F.col("nk") * 0.99),
+        F.max(F.when((p99_rank > F.col("prev"))
+                     & (p99_rank <= F.col("prev") + F.col("m")),
                      F.col("c"))).alias("p99_freq"),
-        F.sum((F.col("i") * F.col("c")).cast("decimal(28,0)"))
-        .alias("rank_sum"))
+        F.sum(group_rank_sum).alias("rank_sum"))
         .select(
             "n_keys", "n_rows", "max_freq", "p99_freq",
             F.floor((F.col("max_freq") * 1_000_000)

@@ -31,6 +31,8 @@ SENSITIVE = [
     "kmeans_embed", "label_prop_communities", "bpe_train",
     "graph_components", "ann_pq_topk", "dedup_lsh_pairs", "pit_join",
     "listagg_report", "histogram_quantile",
+    # r8 banded two-level window rewrites (band prefix + broadcast-back)
+    "pareto_frontier", "quality_calibration", "skew_report",
 ]
 
 

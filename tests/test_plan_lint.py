@@ -7,6 +7,10 @@ Invariants:
   only on an explicit allowlist);
 - no row-at-a-time Python UDFs (BatchEvalPython) in any plan — Python in
   the hot path must be Arrow-batched (ArrowEvalPython / mapInPandas);
+- no unpartitioned WindowExec over anything that scales with the corpus
+  — every Window node must carry a partition spec unless the query is on
+  an explicit allowlist of tiny-by-construction inputs (band maxima,
+  histogram bins, source dims);
 - plans that scan parquet never read a table's full column set
   unprojected unless the query genuinely consumes every column.
 """
@@ -15,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -76,7 +81,69 @@ BNLJ_ALLOWED = {
     # per-round 1-row winning-merge broadcast rewrites (bpe_pair_stats
     # shape, iterated)
     "bpe_train",
+    # 1-row key-total aggregate crossed onto the frequency-distribution
+    # table (banded-rewrite r8; cascade_delete_audit shape)
+    "skew_report",
+    # 1-row corpus-count aggregate crossed onto the per-score table
+    # (banded-rewrite r8; same 1-row-total shape)
+    "quality_calibration",
 }
+
+
+# Queries whose executed plans carry an UNPARTITIONED Window node whose
+# input is TINY BY CONSTRUCTION (never corpus-scale), so the single
+# partition is deliberate and bounded. Anything NOT listed here that
+# plans a global window is the round-7-flagged scale killer (sorting the
+# corpus through one task) and fails the lint.
+GLOBAL_WINDOW_ALLOWED = {
+    # two-level band decompositions: level 1 is partitioned by band;
+    # the only global window is the prefix max/sum over the BAND-MAXIMA
+    # table (|x-domain| / 8192 rows, not corpus rows)
+    "pareto_frontier", "watermark_audit", "quality_calibration",
+    "skew_report",
+    # prefix-sum over the fixed histogram-bin table (256 bins)
+    "histogram_quantile",
+    # share normalization over the SOURCE dim (tens of rows; docstring
+    # documents the bound) — sum() over () on the per-source aggregate
+    "mix_plan",
+}
+
+
+def _split_top_level_lists(args: str) -> list[str]:
+    """Split a formatted-explain Arguments line into its top-level
+    bracketed lists: '[fns], [part], [order]' -> 3 parts."""
+    parts, depth, cur, i = [], 0, "", 0
+    while i < len(args):
+        ch = args[i]
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if depth == 0 and args[i:i + 4] == "], [":
+            parts.append(cur + "]")
+            cur = ""
+            i += 3  # leave '[' for the next iteration's depth count
+            continue
+        cur += ch
+        i += 1
+    parts.append(cur)
+    return parts
+
+
+def _has_unpartitioned_window(plan: str) -> bool:
+    """True if any Window node in a formatted plan has an empty
+    partition spec. Arguments shapes: [fns], [part], [order] (3 lists,
+    partitioned); [fns], [part] (partitioned, unordered frame — the
+    second list has no ASC/DESC); [fns], [order] (UNpartitioned,
+    ordered — ASC/DESC present); [fns] (UNpartitioned over ())."""
+    for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan):
+        lists = _split_top_level_lists(m.group(1))
+        if len(lists) >= 3:
+            continue
+        if len(lists) == 2 and not re.search(r" (ASC|DESC)", lists[1]):
+            continue
+        return True
+    return False
 
 
 def _plans(spark):
@@ -102,6 +169,23 @@ def test_nested_loop_joins_only_where_theta_semantics_require(all_plans):
     bad = [n for n, p in all_plans.items()
            if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED]
     assert not bad, f"unexpected BroadcastNestedLoopJoin in: {bad}"
+
+
+def test_no_unpartitioned_window_over_corpus(all_plans):
+    # A WindowExec with an empty partition spec moves its whole input
+    # through ONE task — fatal at corpus scale. Allowed only where the
+    # window input is bounded by construction (see allowlist rationale).
+    bad = [n for n, p in all_plans.items()
+           if _has_unpartitioned_window(p) and n not in GLOBAL_WINDOW_ALLOWED]
+    assert not bad, f"unpartitioned Window over non-allowlisted input: {bad}"
+
+
+def test_global_window_allowlist_is_tight(all_plans):
+    # Every allowlist entry must actually plan a global window — stale
+    # entries would silently widen the lint's blind spot.
+    stale = [n for n in GLOBAL_WINDOW_ALLOWED
+             if not _has_unpartitioned_window(all_plans[n])]
+    assert not stale, f"allowlisted but no global window in plan: {stale}"
 
 
 def test_no_row_at_a_time_python_udfs(all_plans):
