@@ -90,6 +90,8 @@ _VERIFY_FIRST = (
     "asof_tolerance", "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration", "scd2_history",
     "group_topk_ties",
+    # --- new this round ---
+    "ann_pq_trained",
     # --- rewritten this round (banded two-level window; needs a fresh
     # official row on the new plan even though r6's row was green) ---
     "pareto_frontier",

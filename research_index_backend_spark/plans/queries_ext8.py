@@ -1191,3 +1191,244 @@ GROUP BY watermark_us
 
 QUERIES_EXT8.update({"watermark_audit": q_watermark_audit})
 ORACLE_EXT8.update({"watermark_audit": ORACLE_WATERMARK})
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_trained — PQ with k-means-TRAINED sub-codebooks + recall vs brute
+# ---------------------------------------------------------------------------
+
+_PQT_SUBS = 8      # subspaces (64 dims / 8)
+_PQT_SUBDIM = 8    # dims per subspace
+_PQT_CODES = 16    # codes per subspace codebook
+_PQT_ITERS = 2     # Lloyd rounds per sub-codebook
+_PQT_K = 5
+_PQT_NQ = 5
+
+
+def _pqt_sub(pts: DataFrame) -> DataFrame:
+    """Explode milli-lattice vectors into (vec_id, s, sv) subvector
+    rows — one row per 8-dim subspace."""
+    return pts.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice("v", s * _PQT_SUBDIM + 1, _PQT_SUBDIM)
+                 .alias("sv"))
+        for s in range(_PQT_SUBS)])).alias("x")) \
+        .select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+
+
+def _pqt_d2():
+    # built lazily: higher-order-function lambdas need an active session
+    return F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def _pqt_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest code per (vector, subspace): the codebook is a 128-row
+    (8 subspaces x 16 codes) broadcast, distances are exact int64 folds
+    on the milli lattice, ties break on cid."""
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
+    return (sub.join(F.broadcast(cb), "s")
+            .select("vec_id", "s", "sv", "cid", _pqt_d2().alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn"))
+
+
+def _pqt_update(assigned: DataFrame) -> DataFrame:
+    """New sub-centroids: exact int sums per (s, cid, dim), floor-mean
+    back onto the int lattice, reassembled in dim order. Clusters that
+    lose every point drop out — both engines replay that identically."""
+    dims = assigned.select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+    per_dim = dims.groupBy("s", "cid", "pos").agg(
+        F.floor(F.sum("val") / F.count(F.lit(1)).cast("double"))
+        .cast("bigint").alias("cdim"))
+    return (per_dim.groupBy("s", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cdim")))
+                 .alias("ps"))
+            .select("s", "cid",
+                    F.transform("ps", lambda p: p["cdim"]).alias("cv")))
+
+
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook product quantization: per-subspace 16-entry
+    codebooks are TRAINED with 2 Lloyd rounds over the corpus
+    subvectors (seed = the 16 lowest vec_ids' subvectors, the
+    kmeans_embed convention), then the corpus encodes to 8 one-byte
+    codes and queries rank through the same ADC join as ann_pq_topk —
+    this composes the catalog's kmeans_embed trajectory with the PQ
+    serving path (VERDICT r7 item 5), and measures what training buys:
+    each reported neighbor carries a `hit` flag against the EXACT
+    int64 brute-force top-k, so per-query recall@5 is sum(hit)/5.
+
+    Determinism (the kmeans_embed contract): everything runs on the
+    int64 milli lattice — seed codebooks are data subvectors, every
+    distance is an exact integer fold, centroid updates are
+    floor(sum/count), assignment ties break on cid, rank ties on
+    neighbor id. A SQL engine replays the identical 2-round
+    trajectory; the oracle's unrolled CTEs do exactly that.
+
+    Scale shape: the codebook is a 128-row broadcast at every stage —
+    training assignment is map-side over subvector partitions and each
+    update is ONE shuffle on (s, cid, dim) with map-side partial sums
+    (rows shrink 8x to subvector granularity, codebook localCheckpoints
+    per round so round i never replays round i-1); encoding is the
+    same map-side assignment; ADC is a broadcast hash join on
+    (s, code) — query cost is 8 lookups+adds per candidate on an
+    8-byte/vector index, never a corpus x query product; top-k is the
+    salted two-stage rank. The brute-force side exists only as the
+    recall harness (query batch broadcast against the corpus, the
+    ann_recall_report shape) — it is the evaluation yardstick, not the
+    serving path.
+    """
+    pts = _km_quantize_pq(_t(spark, sf_dir, "embeddings")).localCheckpoint()
+    sub = _pqt_sub(pts).localCheckpoint()
+    cb = (_pqt_sub(pts.filter(F.col("vec_id") < _PQT_CODES))
+          .select("s", F.col("vec_id").alias("cid"),
+                  F.col("sv").alias("cv"))).localCheckpoint()
+    for _ in range(_PQT_ITERS):
+        cb = _pqt_update(_pqt_assign(sub, cb)).localCheckpoint()
+    enc = (_pqt_assign(sub, cb)
+           .select("vec_id", "s", F.col("cid").alias("code")))
+
+    q = (pts.filter(F.col("vec_id") < _PQT_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv")))
+    qsub = q.select("query_id", F.explode(F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice("qv", s * _PQT_SUBDIM + 1, _PQT_SUBDIM)
+                 .alias("sv"))
+        for s in range(_PQT_SUBS)])).alias("x")) \
+        .select("query_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    table = (qsub.join(F.broadcast(cb), "s")
+             .select("query_id", "s", F.col("cid").alias("code"),
+                     _pqt_d2().alias("d")))
+    adc = (enc.join(F.broadcast(table), ["s", "code"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("d").alias("adc"))
+           .filter(F.col("query_id") != F.col("vec_id")))
+    salt = F.pmod(F.hash("vec_id"), F.lit(32))
+    w1 = (Window.partitionBy("query_id", "__salt")
+          .orderBy(F.col("adc"), "vec_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc"), "vec_id")
+    pq_top = (adc.withColumn("__salt", salt)
+              .withColumn("r1", F.row_number().over(w1))
+              .filter(F.col("r1") <= _PQT_K)
+              .withColumn("rnk", F.row_number().over(w2))
+              .filter(F.col("rnk") <= _PQT_K)
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.col("rnk").cast("bigint").alias("rnk")))
+
+    bd2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    exact = (pts.crossJoin(F.broadcast(q))
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .select("query_id", "vec_id", bd2.alias("d2")))
+    e1 = (Window.partitionBy("query_id", "__salt")
+          .orderBy(F.col("d2"), "vec_id"))
+    e2 = Window.partitionBy("query_id").orderBy(F.col("d2"), "vec_id")
+    exact_top = (exact.withColumn("__salt", salt)
+                 .withColumn("r1", F.row_number().over(e1))
+                 .filter(F.col("r1") <= _PQT_K)
+                 .withColumn("er", F.row_number().over(e2))
+                 .filter(F.col("er") <= _PQT_K)
+                 .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    return (pq_top.join(exact_top.withColumn("hit", F.lit(1)),
+                        ["query_id", "neighbor_id"], "left")
+            .select("query_id", "neighbor_id", "rnk",
+                    F.coalesce("hit", F.lit(0)).cast("bigint").alias("hit")))
+
+
+def _km_quantize_pq(df: DataFrame) -> DataFrame:
+    """Milli-lattice quantization (the kmeans_embed _km_quantize rule,
+    local twin so ext8 carries no ext5 import)."""
+    return df.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1000)
+                    .cast("bigint")).alias("v"))
+
+
+def _oracle_pq_trained() -> str:
+    d2 = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+          "list_transform(list_zip(b.sv, c.cv), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)")
+    qd2 = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           "list_transform(list_zip(p.v, q.qv), "
+           "p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2]))), (x, y) -> x + y)")
+    parts = [f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {_PQT_SUBDIM} + 1,
+                    s * {_PQT_SUBDIM} + {_PQT_SUBDIM}) AS sv
+  FROM pts, (SELECT unnest(generate_series(0, {_PQT_SUBS - 1})) AS s)
+), cb0 AS (
+  SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQT_CODES}
+)"""]
+    for i in range(_PQT_ITERS):
+        parts.append(f""", a{i} AS (
+  SELECT vec_id, s, sv, cid FROM (
+    SELECT b.vec_id, b.s, b.sv, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id, b.s
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM sub b JOIN cb{i} c ON b.s = c.s)
+  WHERE rn = 1
+), cb{i + 1} AS (
+  SELECT s, cid, list(cdim ORDER BY pos) AS cv FROM (
+    SELECT s, cid, i AS pos,
+           CAST(floor(sum(sv[i]) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             AS cdim
+    FROM a{i}, generate_series(1, {_PQT_SUBDIM}) t(i)
+    GROUP BY s, cid, i) GROUP BY s, cid
+)""")
+    parts.append(f""", enc AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT b.vec_id, b.s, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id, b.s
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM sub b JOIN cb{_PQT_ITERS} c ON b.s = c.s)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {_PQT_NQ}
+), qsub AS (
+  SELECT query_id, s,
+         list_slice(qv, s * {_PQT_SUBDIM} + 1,
+                    s * {_PQT_SUBDIM} + {_PQT_SUBDIM}) AS sv
+  FROM q, (SELECT unnest(generate_series(0, {_PQT_SUBS - 1})) AS s)
+), tab AS (
+  SELECT b.query_id, b.s, c.cid AS code, {d2} AS d
+  FROM qsub b JOIN cb{_PQT_ITERS} c ON b.s = c.s
+), adc AS (
+  SELECT t.query_id, e.vec_id, sum(t.d) AS adc
+  FROM enc e JOIN tab t ON e.s = t.s AND e.code = t.code
+  WHERE TRUE GROUP BY 1, 2
+), pq_top AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, vec_id) AS BIGINT) AS rnk
+  FROM adc WHERE query_id <> vec_id
+  QUALIFY rnk <= {_PQT_K}
+), exact_top AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT q.query_id, p.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qd2}, p.vec_id) AS er
+    FROM pts p CROSS JOIN q WHERE p.vec_id <> q.query_id)
+  WHERE er <= {_PQT_K}
+)
+SELECT t.query_id, t.neighbor_id, t.rnk,
+       CAST(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS hit
+FROM pq_top t LEFT JOIN exact_top e
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id""")
+    return "".join(parts)
+
+
+QUERIES_EXT8.update({"ann_pq_trained": q_ann_pq_trained})
+ORACLE_EXT8.update({"ann_pq_trained": _oracle_pq_trained()})

@@ -29,7 +29,8 @@ SENSITIVE = [
     "token_entropy", "ewma_report", "bm25_topk", "lm_quality_score",
     "weighted_sample", "stratified_sample", "train_split_report",
     "kmeans_embed", "label_prop_communities", "bpe_train",
-    "graph_components", "ann_pq_topk", "dedup_lsh_pairs", "pit_join",
+    "graph_components", "ann_pq_topk", "ann_pq_trained",
+    "dedup_lsh_pairs", "pit_join",
     "listagg_report", "histogram_quantile",
     # r8 banded two-level window rewrites (band prefix + broadcast-back)
     "pareto_frontier", "quality_calibration", "skew_report",

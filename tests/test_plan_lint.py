@@ -87,6 +87,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-count aggregate crossed onto the per-score table
     # (banded-rewrite r8; same 1-row-total shape)
     "quality_calibration",
+    # the recall harness embeds the exact brute-force side by design
+    # (query batch broadcast x corpus — the ann_recall_report shape)
+    "ann_pq_trained",
 }
 
 
