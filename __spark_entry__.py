@@ -91,7 +91,7 @@ _VERIFY_FIRST = (
     "mix_plan", "token_histogram", "quality_calibration", "scd2_history",
     "group_topk_ties",
     # --- new this round ---
-    "ann_pq_trained",
+    "ann_pq_trained", "crossref_enrich",
     # --- rewritten this round (banded two-level window; needs a fresh
     # official row on the new plan even though r6's row was green) ---
     "pareto_frontier",

@@ -1432,3 +1432,77 @@ FROM pq_top t LEFT JOIN exact_top e
 
 QUERIES_EXT8.update({"ann_pq_trained": q_ann_pq_trained})
 ORACLE_EXT8.update({"ann_pq_trained": _oracle_pq_trained()})
+
+
+# ---------------------------------------------------------------------------
+# crossref_enrich — the notebook's (title, license) enrichment join
+# ---------------------------------------------------------------------------
+
+
+def q_crossref_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossref-style enrichment (reference notebooks/crossref.ipynb
+    cell 6): every document gets a crossref work ENVELOPE (JSON body
+    with message.title[] and message.license[]), the (title, license)
+    expand runs through sources.crossref.titles_licenses — the exact
+    production extraction expressions (from_json + vor filter +
+    try_element_at) — and the result joins back onto the corpus for a
+    per-source enrichment report. The envelope here is built in-plan
+    from deterministic rules (title = first 4 tokens; doc_id%3==0 gets
+    a tdm+vor license pair, ==1 tdm-only, ==2 none) so the DuckDB twin
+    can replay it; in production the bodies come from the
+    fetch_crossref mapInPandas stage instead and the plan downstream
+    is IDENTICAL.
+
+    Scale shape: envelope construction, JSON parse, array filter and
+    the expand are all whole-stage-codegen column expressions — zero
+    Python, zero shuffle until the final per-source aggregate (map-side
+    combined). The enrichment "join" is 1:1 on doc_id and stays
+    colocated (extraction is a projection, not a shuffle join).
+    """
+    from ..sources.crossref import titles_licenses
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    title = F.concat_ws(" ", F.slice(toks, 1, 4))
+    did = F.col("doc_id").cast("string")
+    vor_s = F.struct(
+        F.concat(F.lit("https://vor.example/"), did).alias("URL"),
+        F.lit("vor").alias("content-version"))
+    tdm_s = F.struct(
+        F.concat(F.lit("https://tdm.example/"), did).alias("URL"),
+        F.lit("tdm").alias("content-version"))
+    lic = (F.when(F.col("doc_id") % 3 == 0, F.array(tdm_s, vor_s))
+           .when(F.col("doc_id") % 3 == 1, F.array(tdm_s)))
+    body = F.to_json(F.struct(
+        F.struct(F.array(title).alias("title"),
+                 lic.alias("license")).alias("message")))
+    landed = d.select(did.alias("query_doi"), body.alias("body"), "source")
+    ext = titles_licenses(landed.select("query_doi", "body"))
+    joined = landed.select("query_doi", "source").join(ext, "query_doi")
+    return (joined.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("license").alias("n_vor"),
+                 F.min("title").alias("first_title"),
+                 F.min("license").alias("first_vor")))
+
+
+ORACLE_CROSSREF = r"""
+WITH base AS (
+  SELECT source,
+         array_to_string(list_slice(
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> ''), 1, 4), ' ') AS title,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'https://vor.example/' || CAST(doc_id AS VARCHAR)
+              ELSE NULL END AS license
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       count(license) AS n_vor,
+       min(title) AS first_title,
+       min(license) AS first_vor
+FROM base GROUP BY 1
+"""
+
+
+QUERIES_EXT8.update({"crossref_enrich": q_crossref_enrich})
+ORACLE_EXT8.update({"crossref_enrich": ORACLE_CROSSREF})
