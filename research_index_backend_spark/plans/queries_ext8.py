@@ -1506,3 +1506,318 @@ FROM base GROUP BY 1
 
 QUERIES_EXT8.update({"crossref_enrich": q_crossref_enrich})
 ORACLE_EXT8.update({"crossref_enrich": ORACLE_CROSSREF})
+
+
+# ---------------------------------------------------------------------------
+# tpch_q7 / q10 / q13 / q18 — second TPC-H wave (adapted to this schema)
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+_Q10_DATE = "1996-01-01"          # quarter start (3-month window)
+_Q10_END = "1996-04-01"
+_Q13_EXCLUDED = "1-URGENT"        # o_comment NOT LIKE analog: this schema
+#                                   has no comments; urgent orders stand in
+_Q18_MIN_QTY_E2 = 300 * 100       # sum(l_quantity) > 300, cents-quantized
+
+
+def _rev_e4():
+    """TPC-H revenue sum term, exact integers: extendedprice cents x
+    (100 - discount%) — the catalog's revenue_e4 convention."""
+    return (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            .cast("decimal(38,0)")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100)
+               .cast("bigint")))
+
+
+_REV_E4_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
+               " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue flow between two nations by
+    ship year — lineitem joins supplier and (via orders) customer, the
+    nation pair condition keeps either direction, grouped by
+    (supp_nation, cust_nation, year).
+
+    Scale shape: both nation-filtered dim chains (supplier->nation,
+    customer->nation) collapse to small broadcast sides BEFORE touching
+    the facts — the nation filter prunes ~92% of suppliers/customers at
+    the dim, so the two fact joins (lineitem x supplier bcast,
+    orders x customer bcast) are map-side, and the only shuffle is
+    lineitem x orders on orderkey + the final 3-key rollup."""
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .filter(F.col("n_name").isin(_Q7_N1, _Q7_N2)))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(n1, F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(n1, F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = (_t(spark, sf_dir, "orders")
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", "cust_nation"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").between(1996, 1997))
+    pair = (((F.col("supp_nation") == _Q7_N1)
+             & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2)
+               & (F.col("cust_nation") == _Q7_N1)))
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.sum(_rev_e4()).cast("bigint").alias("revenue_e4")))
+
+
+ORACLE_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(vol) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         {_REV_E4_SQL} AS vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ((ns.n_name = '{_Q7_N1}' AND nc.n_name = '{_Q7_N2}')
+      OR (ns.n_name = '{_Q7_N2}' AND nc.n_name = '{_Q7_N1}'))
+    AND year(l_shipdate) BETWEEN 1996 AND 1997
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: customers ranked by revenue
+    lost to returns in one quarter — top 20. The order-date filter
+    prunes orders before the fact join; lineitem keeps only 'R' rows;
+    customer/nation broadcast onto the aggregated per-customer revenue
+    (agg FIRST, join dims after — the dim join sees 20 rows' worth of
+    groups, not raw lineitems)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_DATE).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy("o_custkey")
+           .agg(F.sum(_rev_e4()).cast("bigint").alias("revenue_e4")))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (rev.join(c, rev.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(F.col("c_custkey"), F.col("c_name"), "revenue_e4",
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                    .alias("c_acctbal_cents"), F.col("n_name"))
+            .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+            .limit(20))
+
+
+ORACLE_TPCH_Q10 = f"""
+SELECT c_custkey, c_name,
+       CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{_Q10_DATE} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{_Q10_END} 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal_cents, n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT join so
+    zero-order customers land in the c_count=0 bucket (the query's
+    whole point), then the distribution of customers per order count.
+    Adapted: the excluded-comment predicate becomes an order-priority
+    exclusion (schema has no comment column).
+
+    Scale shape: one outer hash join on custkey, then two map-side-
+    combinable counts — the second groupBy runs on |distinct counts|
+    rows. No window, no broadcast of the big side."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != _Q13_EXCLUDED)
+         .select("o_orderkey", "o_custkey"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+ORACLE_TPCH_Q13 = f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{_Q13_EXCLUDED}'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds 300, with customer detail, top 100 by (totalprice desc,
+    orderdate). Quantities are cents-quantized exact integers.
+
+    Scale shape: the HAVING aggregate runs FIRST on lineitem alone
+    (map-side combinable, shrinks to |qualifying orders| rows — a few
+    per 10k), and only those keys join orders/customer; the classic
+    trap of joining before filtering never materializes. Spark plans
+    the qualifying-keys side as the build side automatically at this
+    selectivity under AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                .alias("sum_qty_e2"))
+           .filter(F.col("sum_qty_e2") > _Q18_MIN_QTY_E2))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("o_totalprice_cents"),
+                    "sum_qty_e2")
+            .orderBy(F.col("o_totalprice_cents").desc(), "o_orderdate",
+                     "l_orderkey")
+            .limit(100))
+
+
+ORACLE_TPCH_Q18 = f"""
+SELECT c_custkey, c_name, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+       sum_qty_e2
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_e2
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty_e2 > {_Q18_MIN_QTY_E2}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_cents DESC, o_orderdate, l_orderkey LIMIT 100
+"""
+
+
+QUERIES_EXT8.update({
+    "tpch_q7": q_tpch_q7,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q18": q_tpch_q18,
+})
+
+ORACLE_EXT8.update({
+    "tpch_q7": ORACLE_TPCH_Q7,
+    "tpch_q10": ORACLE_TPCH_Q10,
+    "tpch_q13": ORACLE_TPCH_Q13,
+    "tpch_q18": ORACLE_TPCH_Q18,
+})
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode — apply the trained merges corpus-wide, report compression
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: replay the bpe_train
+    trajectory (4 rounds, same winners — the merge table is what a
+    trainer ships) and encode every document head with the learned
+    merges, reporting per-source compression — the sizing report run
+    before committing a tokenizer to a training corpus (tokens/doc
+    drives packing and cost).
+
+    Each merge application shrinks the head by exactly 1 char, so
+    merges_applied = chars_before - chars_after, an exact integer
+    audit of how often each corpus slice hits the learned pairs.
+
+    Scale shape (inherits bpe_train's): per round one combinable
+    |distinct pairs| count + a 1-row broadcast winner + a map-only
+    rewrite, corpus localCheckpointed between rounds; the application
+    pass adds ZERO shuffles beyond the final per-source rollup —
+    encoding is the same chained replace, map-side. Driver state is
+    the merge list only.
+    """
+    from .queries_ext7 import _BPE_HEAD
+    d = _t(spark, sf_dir, "documents")
+    cur = (d.filter(F.length("text") >= 2)
+           .select("source",
+                   F.lower(F.substring("text", 1, _BPE_HEAD))
+                   .alias("head"))
+           .withColumn("len0", F.length("head"))
+           .localCheckpoint())
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = cur.filter(F.length("head") >= 2).select(F.explode(F.expr(
+            "transform(sequence(1, length(head) - 1),"
+            " i -> substring(head, i, 2))")).alias("pair"))
+        top = (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.col("n").desc(), "pair").limit(1)
+               .select(F.col("pair").alias("mp"))
+               .localCheckpoint())
+        sym = _BPE_MERGE_SYMS[r - 1]
+        cur = (cur.crossJoin(F.broadcast(top))
+               .select("source", F.expr(f"replace(head, mp, '{sym}')")
+                       .alias("head"), "len0")
+               .localCheckpoint())
+    return (cur.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("len0").alias("chars_before"),
+                 F.sum(F.length("head")).alias("chars_after"),
+                 (F.sum("len0") - F.sum(F.length("head")))
+                 .alias("merges_applied"),
+                 F.expr("sum(length(head)) * 1000000 div sum(len0)")
+                 .alias("compression_e6")))
+
+
+def _oracle_bpe_encode() -> str:
+    from .queries_ext7 import _BPE_HEAD
+    ctes = [f"""d0 AS (
+  SELECT source, lower(substr(text, 1, {_BPE_HEAD})) AS head,
+         length(lower(substr(text, 1, {_BPE_HEAD}))) AS len0
+  FROM documents WHERE length(text) >= 2
+)"""]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        sym = _BPE_MERGE_SYMS[r - 1]
+        ctes.append(f"""c{r} AS (
+  SELECT pair, count(*) AS n FROM (
+    SELECT unnest(list_transform(generate_series(1, length(head) - 1),
+                                 i -> substr(head, i, 2))) AS pair
+    FROM d{r - 1} WHERE length(head) >= 2)
+  GROUP BY pair
+),
+t{r} AS (SELECT pair FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+d{r} AS (
+  SELECT source, replace(head, (SELECT pair FROM t{r}), '{sym}') AS head,
+         len0
+  FROM d{r - 1}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len0) AS BIGINT) AS chars_before,
+       CAST(sum(length(head)) AS BIGINT) AS chars_after,
+       CAST(sum(len0) - sum(length(head)) AS BIGINT) AS merges_applied,
+       CAST(sum(length(head)) * 1000000 // sum(len0) AS BIGINT)
+         AS compression_e6
+FROM d{_BPE_TRAIN_ROUNDS} GROUP BY source""")
+
+
+QUERIES_EXT8.update({"bpe_encode": q_bpe_encode})
+ORACLE_EXT8.update({"bpe_encode": _oracle_bpe_encode()})

@@ -122,3 +122,40 @@ class TestMarqueeShapes:
         p = plan_of(Q8.q_prf_expansion(spark, SF))
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
+
+
+class TestTpchWave2:
+    def test_q7_dims_broadcast_no_cartesian(self, spark):
+        """Nation-filtered supplier/customer chains must reach the
+        facts as broadcast sides; only orderkey + the rollup shuffle."""
+        p = plan_of(Q8.q_tpch_q7(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BroadcastHashJoin" in p
+
+    def test_q10_aggregates_before_dim_join(self, spark):
+        """Per-customer revenue aggregates on the fact join output
+        BEFORE customer/nation attach — the dim join must sit above
+        the HashAggregate in the plan tree."""
+        p = plan_of(Q8.q_tpch_q10(spark, SF), mode="simple")
+        c_join = p.index("c_custkey")
+        agg = p.index("HashAggregate")
+        assert agg > c_join  # plan prints top-down: agg deeper than join
+        assert "TakeOrdered" in p
+
+    def test_q13_left_join_keeps_zero_order_customers(self, spark):
+        rows = {r["c_count"]: r["custdist"]
+                for r in Q8.q_tpch_q13(spark, SF).collect()}
+        # zero-order customers are the query's point — the 0 bucket
+        # must exist at this SF (150 customers, 1500 orders, 1/5 of
+        # priorities excluded; some customers lose every order)
+        assert sum(rows.values()) == 150
+        assert all(v > 0 for v in rows.values())
+
+    def test_q18_having_runs_on_lineitem_alone(self, spark):
+        """The sum(qty) HAVING must aggregate lineitem BEFORE any join
+        — no customer/orders columns below the first HashAggregate."""
+        p = plan_of(Q8.q_tpch_q18(spark, SF))
+        assert "CartesianProduct" not in p
+        rows = Q8.q_tpch_q18(spark, SF).collect()
+        assert all(r["sum_qty_e2"] > Q8._Q18_MIN_QTY_E2 for r in rows)
