@@ -1821,3 +1821,85 @@ FROM d{_BPE_TRAIN_ROUNDS} GROUP BY source""")
 
 QUERIES_EXT8.update({"bpe_encode": q_bpe_encode})
 ORACLE_EXT8.update({"bpe_encode": _oracle_bpe_encode()})
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shard_plan — deterministic training-shard assignment + balance
+# ---------------------------------------------------------------------------
+
+_SH_N = 16   # training shards
+
+
+def q_shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data shard plan: every document lands in one of 16
+    shards by md5(doc_id) — the deterministic global shuffle a trainer
+    needs (readers consume shards independently; the hash IS the
+    permutation, so there is no coordination step and re-runs assign
+    identically) — with the per-shard balance audit read before
+    launch: doc/token counts, source diversity, and the dominant
+    source's share (a shard owned by one source breaks shuffled-order
+    assumptions downstream).
+
+    Scale shape: assignment is a pure column expression (md5 mod S, no
+    sort, no global window — contrast with ntile-style sharding, the
+    single-partition trap); the audit is two map-side-combinable
+    aggregates, the second over |shards x sources| rows. The md5
+    uniform convention matches weighted_sample/train_split_report, so
+    the whole sampling/sharding family shares one reproducibility
+    story.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                            lambda t: t != ""))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+               16, 10).cast("bigint"), F.lit(_SH_N))
+    per_src = (d.select(shard.alias("shard"), "source",
+                        n_tok.alias("n_toks"))
+               .groupBy("shard", "source")
+               .agg(F.count(F.lit(1)).alias("c"),
+                    F.sum("n_toks").alias("tk")))
+    # dominant source: min(struct(-c, source)) — largest count, ties to
+    # the lexicographically smallest source, engine-independent
+    top = F.min(F.struct((-F.col("c")).alias("nc"), F.col("source")))
+    return (per_src.groupBy("shard")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.sum("tk").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_sources"),
+                 top.alias("t"))
+            .select("shard", "n_docs", "n_tokens", "n_sources",
+                    F.col("t.source").alias("top_source"),
+                    F.expr("(-t.nc) * 1000000 div n_docs")
+                    .alias("top_share_e6")))
+
+
+ORACLE_SHUFFLE_SHARD = rf"""
+WITH base AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS UBIGINT) % {_SH_N} AS BIGINT) AS shard,
+         source,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '')) AS n_toks
+  FROM documents
+), per_src AS (
+  SELECT shard, source, count(*) AS c, sum(n_toks) AS tk
+  FROM base GROUP BY 1, 2
+), ranked AS (
+  SELECT shard, source AS top_source, c AS top_c,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY c DESC, source) AS rn
+  FROM per_src
+), tot AS (
+  SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(tk) AS BIGINT) AS n_tokens,
+         count(*) AS n_sources
+  FROM per_src GROUP BY 1
+)
+SELECT t.shard, t.n_docs, t.n_tokens, t.n_sources, r.top_source,
+       CAST(r.top_c * 1000000 // t.n_docs AS BIGINT) AS top_share_e6
+FROM tot t JOIN ranked r ON t.shard = r.shard AND r.rn = 1
+"""
+
+
+QUERIES_EXT8.update({"shuffle_shard_plan": q_shuffle_shard_plan})
+ORACLE_EXT8.update({"shuffle_shard_plan": ORACLE_SHUFFLE_SHARD})

@@ -58,6 +58,10 @@ SCALED = [
     "interval_overlap_join", "oov_rate",
     "incremental_dedup", "zorder_layout", "join_cardinality_est",
     "ann_pq_topk", "prf_expansion", "tpch_q1", "tpch_q3", "tpch_q5", "bitmap_index_join", "bpe_train", "watermark_audit",
+    # r8 wave (documents / lineitem / embeddings driven)
+    "ann_pq_trained", "crossref_enrich", "bpe_encode",
+    "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q18",
+    "pareto_frontier", "skew_report",
 ]
 
 
