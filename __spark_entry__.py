@@ -93,7 +93,7 @@ _VERIFY_FIRST = (
     # --- new this round ---
     "ann_pq_trained", "crossref_enrich",
     "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q18", "bpe_encode",
-    "shuffle_shard_plan",
+    "shuffle_shard_plan", "hard_negative_mining", "tpch_q14", "tpch_q4",
     # --- rewritten this round (banded two-level window; needs a fresh
     # official row on the new plan even though r6's row was green) ---
     "pareto_frontier",

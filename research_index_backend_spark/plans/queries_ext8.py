@@ -1903,3 +1903,169 @@ FROM tot t JOIN ranked r ON t.shard = r.shard AND r.rn = 1
 
 QUERIES_EXT8.update({"shuffle_shard_plan": q_shuffle_shard_plan})
 ORACLE_EXT8.update({"shuffle_shard_plan": ORACLE_SHUFFLE_SHARD})
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining + tpch_q14 + tpch_q4
+# ---------------------------------------------------------------------------
+
+_HN_NQ = 8    # anchor batch
+_HN_K = 3     # hard negatives per anchor
+_HN_BITS = 4
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor document,
+    the top-3 most-similar embeddings from a DIFFERENT source — near
+    the anchor in embedding space but known-non-duplicate by
+    provenance, the negatives that actually teach a bi-encoder.
+
+    Scale shape (the ann_lsh_topk path + a provenance guard): anchors
+    and corpus bucket by 4-bit sign LSH, candidates come from an
+    equi-join on bucket (|Q| x |C|/2^bits, never the cross product),
+    the cross-source constraint filters INSIDE the bucket join, exact
+    cosine ranks the survivors, and the salted two-stage top-k avoids
+    the |Q|-partition funnel. Source rides in from documents via the
+    1:1 vec_id=doc_id broadcast join.
+    """
+    from ..operators.ann import cosine_sim, sign_lsh_bucket
+    emb = _t(spark, sf_dir, "embeddings")
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source")
+    e = (emb.join(src, "vec_id")
+         .select("vec_id", "embedding", "source",
+                 sign_lsh_bucket(F.col("embedding"), _HN_BITS)
+                 .alias("bucket")))
+    q = (e.filter(F.col("vec_id") < _HN_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("source").alias("q_src"), "bucket"))
+    scored = (e.join(F.broadcast(q), "bucket")
+              .filter(F.col("source") != F.col("q_src"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cosine_sim(F.col("qv"), F.col("embedding"))
+                      .alias("sim")))
+    salt = F.pmod(F.hash("neighbor_id"), F.lit(32))
+    w1 = (Window.partitionBy("query_id", "__salt")
+          .orderBy(F.round("sim", 9).desc(), "neighbor_id"))
+    w2 = (Window.partitionBy("query_id")
+          .orderBy(F.round("sim", 9).desc(), "neighbor_id"))
+    return (scored.withColumn("__salt", salt)
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= _HN_K)
+            .withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= _HN_K)
+            .select("query_id", "neighbor_id",
+                    F.col("rnk").cast("bigint").alias("rnk")))
+
+
+def _oracle_hard_negative() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_HN_BITS))
+    return f"""
+WITH e AS (
+  SELECT em.vec_id, em.embedding, d.source, {bucket} AS bucket
+  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, source AS q_src, bucket
+  FROM e WHERE vec_id < {_HN_NQ}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE e.source <> q.q_src
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY round(sim, 9) DESC, neighbor_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= {_HN_K}
+"""
+
+
+_Q14_START, _Q14_END = "1996-01-01", "1996-02-01"
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: the revenue share of PROMO-type
+    parts in one month. Part is a broadcast dim onto the month-pruned
+    lineitem scan; the whole query is one map-side join + a 1-row
+    conditional aggregate — promo_share_e6 as an exact integer ratio
+    of the e4 revenue sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp")))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_e4()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.sum(promo).cast("bigint").alias("promo_rev_e4"),
+                 F.sum(rev).cast("bigint").alias("total_rev_e4"))
+            .select("promo_rev_e4", "total_rev_e4",
+                    F.expr("promo_rev_e4 * 1000000 div total_rev_e4")
+                    .alias("promo_share_e6")))
+
+
+ORACLE_TPCH_Q14 = f"""
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL}
+                ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL}
+                ELSE 0 END) * 1000000
+            // sum({_REV_E4_SQL}) AS BIGINT) AS promo_share_e6
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{_Q14_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{_Q14_END} 00:00:00'
+"""
+
+
+_Q4_START, _Q4_END = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: the commit/receipt
+    lateness predicate becomes l_shipdate > o_orderdate — this schema
+    carries no commit/receipt dates): orders in one quarter that have
+    at least one late-shipping lineitem, counted per priority.
+
+    Scale shape: EXISTS is a LEFT SEMI hash join on orderkey with the
+    range predicate as the join residual — each order emits at most
+    once regardless of its lineitem fan-out, and the quarter filter
+    prunes the probe side at the scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_TPCH_Q4 = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{_Q4_END} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES_EXT8.update({
+    "hard_negative_mining": q_hard_negative_mining,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q4": q_tpch_q4,
+})
+
+ORACLE_EXT8.update({
+    "hard_negative_mining": _oracle_hard_negative(),
+    "tpch_q14": ORACLE_TPCH_Q14,
+    "tpch_q4": ORACLE_TPCH_Q4,
+})
