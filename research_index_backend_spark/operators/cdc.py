@@ -116,3 +116,40 @@ def cdc_apply_parquet(spark, batch: DataFrame, path: str,
     new.rename(target)
     if old.exists():
         shutil.rmtree(old)
+
+
+def cdc_compact(spark, path: str, order_cols: list[str],
+                horizon: tuple, n_files: int | None = None) -> None:
+    """Tombstone GC + file compaction for a stored CDC table.
+
+    Drops tombstones whose version struct is strictly below `horizon`
+    (the oldest version the source can still replay — e.g. the
+    retention boundary of the upstream log): replays older than the
+    horizon can no longer arrive, so those markers no longer guard
+    anything. Live rows are NEVER dropped regardless of age. n_files
+    coalesces the rewrite (micro-batch appends fragment the target).
+    Same crash-safe swap protocol as apply.
+    """
+    import shutil
+
+    target = Path(path)
+    old = target.with_suffix(target.suffix + ".old")
+    new = target.with_suffix(target.suffix + ".new")
+    _recover(target, old, new)
+    for stale in (old, new):
+        if stale.exists():
+            shutil.rmtree(stale)
+    stored = spark.read.parquet(str(target))
+    ver = F.struct(*[F.col(c) for c in order_cols])
+    # struct comparison requires matching field names AND types — cast
+    # each horizon literal to its stored column's type
+    types = {f.name: f.dataType for f in stored.schema.fields}
+    hor = F.struct(*[F.lit(v).cast(types[c]).alias(c)
+                     for c, v in zip(order_cols, horizon)])
+    keep = stored.filter(~F.col(TOMBSTONE_COL) | (ver >= hor))
+    if n_files:
+        keep = keep.coalesce(n_files)
+    keep.write.mode("overwrite").parquet(str(new))
+    target.rename(old)
+    new.rename(target)
+    shutil.rmtree(old)

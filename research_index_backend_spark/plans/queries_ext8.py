@@ -2069,3 +2069,178 @@ ORACLE_EXT8.update({
     "tpch_q14": ORACLE_TPCH_Q14,
     "tpch_q4": ORACLE_TPCH_Q4,
 })
+
+
+# ---------------------------------------------------------------------------
+# tpch_q6 + tpch_q19 — predicate-pushdown marquee pair
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure filter + 1-row sum,
+    zero joins — the canonical pushdown showcase. All three predicates
+    (year, discount band, quantity cap) reach the parquet scan; revenue
+    = extendedprice x discount summed as exact e4 integers (cents x
+    discount-%). Discounts quantize to integer percent BEFORE the band
+    check so float repr never decides membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (li.filter((F.year("l_shipdate") == 1996)
+                      & (F.col("l_quantity") < 24))
+            .select((F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                     .cast("decimal(38,0)") * disc_pct).alias("v"),
+                    disc_pct.alias("dp"))
+            .filter(F.col("dp").between(5, 7))
+            .agg(F.sum("v").cast("bigint").alias("revenue_e4")))
+
+
+ORACLE_TPCH_Q6 = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+WHERE year(l_shipdate) = 1996
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (adapted: container/shipmode legs
+    become size bands — this schema carries brand+size): three OR'd
+    (brand, size-band, quantity-band) legs over the lineitem x part
+    join.
+
+    Scale shape: the join is a plain broadcast equi-join on partkey;
+    the OR'd legs stay a residual FILTER on the joined row (never a
+    join condition, which would force nested-loop); the
+    brand-OR-superset predicate prunes the part build side at its
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    q = F.col("l_quantity")
+    legs = (((F.col("p_brand") == "Brand#1")
+             & F.col("p_size").between(1, 10) & q.between(1, 11))
+            | ((F.col("p_brand") == "Brand#2")
+               & F.col("p_size").between(1, 20) & q.between(10, 20))
+            | ((F.col("p_brand") == "Brand#3")
+               & F.col("p_size").between(1, 30) & q.between(20, 30)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(legs)
+            .agg(F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+ORACLE_TPCH_Q19 = f"""
+SELECT CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+QUERIES_EXT8.update({"tpch_q6": q_tpch_q6, "tpch_q19": q_tpch_q19})
+ORACLE_EXT8.update({"tpch_q6": ORACLE_TPCH_Q6,
+                    "tpch_q19": ORACLE_TPCH_Q19})
+
+
+# ---------------------------------------------------------------------------
+# dedup_recall_report — LSH candidate quality vs exact ground truth
+# ---------------------------------------------------------------------------
+
+_DR_EVAL = 200     # labeled eval subset: doc_id < 200
+_DR_THR = 0.9      # ground-truth near-dup threshold (word Jaccard)
+
+
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline quality eval (the ann_recall_report analog for
+    the MinHash/LSH family): the PRODUCTION candidate generator
+    (dedup_lsh_pairs' exact path — k=4 MinHash, 2 bands, hot-bucket
+    cap) runs corpus-wide, its pairs restrict to a bounded labeled
+    subset, and precision/recall are measured against exact word-set
+    Jaccard >= 0.9 ground truth on that subset — the number that tells
+    you whether the banding config's candidate set is safe to feed the
+    verify join, BEFORE trusting it on the full corpus.
+
+    Scale shape: ground truth is quadratic ONLY on the fixed-size eval
+    subset (inverted-index join over 200 docs — the labeled set does
+    not grow with the corpus); the candidate side is the unmodified
+    production plan + a subset filter; the final report is three 1-row
+    count aggregates crossed (the cascade_delete_audit shape).
+    """
+    from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs
+    from .queries import LSH_BUCKET_CAP
+    d = _t(spark, sf_dir, "documents")
+    sub = d.filter(F.col("doc_id") < _DR_EVAL)
+    truth = (jaccard_pairs(sub, "text", "doc_id", threshold=_DR_THR)
+             .select("id_a", "id_b"))
+    cand = (minhash_lsh_pairs(d, "text", "doc_id", k=4, bands=2,
+                              max_bucket_size=LSH_BUCKET_CAP)
+            .filter((F.col("id_a") < _DR_EVAL)
+                    & (F.col("id_b") < _DR_EVAL)))
+    tp = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ntp = tp.agg(F.count(F.lit(1)).alias("n_tp"))
+    return (nt.crossJoin(nc).crossJoin(ntp).select(
+        "n_truth", "n_candidates", "n_tp",
+        F.expr("n_tp * 1000000 div greatest(n_candidates, 1)")
+        .alias("precision_e6"),
+        F.expr("n_tp * 1000000 div greatest(n_truth, 1)")
+        .alias("recall_e6")))
+
+
+def _oracle_dedup_recall() -> str:
+    return _oracle_minhash_cte(4) + rf"""
+, buckets AS (
+  SELECT id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sig
+),
+ok AS (
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+capped AS (SELECT b.* FROM buckets b JOIN ok USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE a.id < {_DR_EVAL} AND b.id < {_DR_EVAL}
+),
+stok AS (
+  SELECT DISTINCT doc_id AS id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+    FROM documents WHERE doc_id < {_DR_EVAL}) WHERE t <> ''
+),
+sizes AS (SELECT id, count(*) AS sz FROM stok GROUP BY id),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM stok a JOIN stok b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b FROM co
+  JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+  WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {_DR_THR}
+),
+nt AS (SELECT count(*) AS n_truth FROM truth),
+nc AS (SELECT count(*) AS n_candidates FROM cand),
+ntp AS (SELECT count(*) AS n_tp FROM cand JOIN truth USING (id_a, id_b))
+SELECT n_truth, n_candidates, n_tp,
+       CAST(n_tp * 1000000 // greatest(n_candidates, 1) AS BIGINT)
+         AS precision_e6,
+       CAST(n_tp * 1000000 // greatest(n_truth, 1) AS BIGINT)
+         AS recall_e6
+FROM nt CROSS JOIN nc CROSS JOIN ntp
+"""
+
+
+QUERIES_EXT8.update({"dedup_recall_report": q_dedup_recall_report})
+ORACLE_EXT8.update({"dedup_recall_report": _oracle_dedup_recall()})

@@ -137,3 +137,27 @@ class TestForeachBatchCdc:
                                str(tmp_path / "ck2"))
         q2.awaitTermination(120)
         assert _live(spark.read.parquet(target)) == {"a": 11, "c": 30}
+
+
+class TestCdcCompact:
+    def test_gc_drops_only_prehorizon_tombstones(self, spark, tmp_path):
+        from research_index_backend_spark.operators.cdc import (
+            cdc_apply_parquet,
+            cdc_compact,
+        )
+        target = str(tmp_path / "state")
+        cdc_apply_parquet(spark, _df(spark, [
+            ("a", "upsert", 1, 1, 10),      # old live row
+            ("b", "delete", 2, 1, 0),       # pre-horizon tombstone
+            ("c", "delete", 9, 1, 0),       # post-horizon tombstone
+            ("d", "upsert", 9, 1, 40)]),    # fresh live row
+            target, ["k"], ["ts", "seq"])
+        cdc_compact(spark, target, ["ts", "seq"], horizon=(5, 0),
+                    n_files=1)
+        stored = spark.read.parquet(target)
+        # b's marker is unreplayable history -> gone; c's still guards
+        assert {r["k"] for r in stored.collect()} == {"a", "c", "d"}
+        assert _live(stored) == {"a": 10, "d": 40}
+        # live rows survive regardless of age (a is older than horizon)
+        import glob
+        assert len(glob.glob(target + "/part-*")) == 1
