@@ -90,6 +90,9 @@ BNLJ_ALLOWED = {
     # the recall harness embeds the exact brute-force side by design
     # (query batch broadcast x corpus — the ann_recall_report shape)
     "ann_pq_trained",
+    # three 1-row count aggregates crossed into the final report row
+    # (the cascade_delete_audit shape)
+    "dedup_recall_report",
 }
 
 
