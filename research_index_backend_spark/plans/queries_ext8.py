@@ -2244,3 +2244,103 @@ FROM nt CROSS JOIN nc CROSS JOIN ntp
 
 QUERIES_EXT8.update({"dedup_recall_report": q_dedup_recall_report})
 ORACLE_EXT8.update({"dedup_recall_report": _oracle_dedup_recall()})
+
+
+# ---------------------------------------------------------------------------
+# tpch_q15 + tpch_q22 — argmax-over-aggregate and anti-join marquee pair
+# ---------------------------------------------------------------------------
+
+_Q15_START, _Q15_END = "1996-01-01", "1996-04-01"
+_Q22_SINCE = "2000-01-01"
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, then the
+    supplier(s) achieving the maximum — the argmax-over-aggregate
+    pattern. The max is a 1-row aggregate broadcast back onto the
+    per-supplier revenue table (never a global rank window); ties all
+    surface, ordered by suppkey."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_rev_e4()).cast("bigint").alias("total_rev_e4")))
+    mx = rev.agg(F.max("total_rev_e4").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.join(F.broadcast(mx), rev.total_rev_e4 == mx.mx)
+            .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+            .select(F.col("s_suppkey"), F.col("s_name"), "total_rev_e4")
+            .orderBy("s_suppkey"))
+
+
+ORACLE_TPCH_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_Q15_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: the phone-prefix
+    country code becomes c_nationkey % 5, and "no orders" becomes "no
+    orders since 2000" — this schema has no phone and its generator
+    gives every customer at least one order): DORMANT customers with
+    above-average positive balance, grouped by country band.
+
+    Scale shape: the average is a 1-row aggregate broadcast (the
+    scalar subquery), has-no-recent-orders is a LEFT ANTI hash join on
+    custkey against the date-pruned orders scan, and the rollup is
+    map-side combinable. Balances compare in exact cents."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("c_nationkey % 5").alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint")
+        .alias("bal_cents"))
+    avg_pos = (c.filter(F.col("bal_cents") > 0)
+               .agg(F.floor(F.avg("bal_cents")).cast("bigint")
+                    .alias("avg_cents")))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= F.lit(_Q22_SINCE)
+                 .cast("timestamp"))
+         .select("o_custkey"))
+    return (c.crossJoin(F.broadcast(avg_pos))
+            .filter(F.col("bal_cents") > F.col("avg_cents"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("cntrycode")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("bal_cents").alias("totacctbal_cents"))
+            .orderBy("cntrycode"))
+
+
+ORACLE_TPCH_Q22 = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+avg_pos AS (
+  SELECT CAST(floor(avg(bal_cents)) AS BIGINT) AS avg_cents
+  FROM c WHERE bal_cents > 0
+)
+SELECT cntrycode, count(*) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM c CROSS JOIN avg_pos
+WHERE bal_cents > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+QUERIES_EXT8.update({"tpch_q15": q_tpch_q15, "tpch_q22": q_tpch_q22})
+ORACLE_EXT8.update({"tpch_q15": ORACLE_TPCH_Q15,
+                    "tpch_q22": ORACLE_TPCH_Q22})

@@ -93,6 +93,11 @@ BNLJ_ALLOWED = {
     # three 1-row count aggregates crossed into the final report row
     # (the cascade_delete_audit shape)
     "dedup_recall_report",
+    # 1-row max-revenue aggregate broadcast back onto the per-supplier
+    # table (argmax-over-aggregate, the scalar-subquery shape)
+    "tpch_q15",
+    # 1-row average-balance aggregate broadcast (Q22's scalar subquery)
+    "tpch_q22",
 }
 
 
