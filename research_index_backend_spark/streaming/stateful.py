@@ -318,3 +318,97 @@ def transitions_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming space-saving heavy hitters — bounded-counter top-k
+# ---------------------------------------------------------------------------
+
+HH_CAPACITY = 8   # monitored counters per key (Metwally et al. capacity m)
+
+HH_OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("item", LongType()),
+    StructField("est_count", LongType()),
+    StructField("max_err", LongType()),
+    # per-key emission sequence: consumers of an append-style sink keep
+    # only each key's max-seq rows (earlier emissions may contain items
+    # since evicted)
+    StructField("seq", LongType()),
+])
+
+# state = emission counter + packed "item:count:err" triples
+# (Arrow-stable packing, same discipline as the KMV min-set)
+HH_STATE_SCHEMA = StructType([
+    StructField("seq", LongType()),
+    StructField("counters", StringType()),
+])
+
+
+def _hh_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+    counters: dict[int, list[int]] = {}
+    seq = 0
+    if state.exists:
+        (seq, packed) = state.get
+        if packed:
+            for part in packed.split(","):
+                i, c, e = part.split(":")
+                counters[int(i)] = [int(c), int(e)]
+    for pdf in pdfs:
+        # deterministic arrival order within the batch: the stream's
+        # event-time total order, so batch splits don't change results
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for item in pdf["user_id"].astype(int):
+            if item in counters:
+                counters[item][0] += 1
+            elif len(counters) < HH_CAPACITY:
+                counters[item] = [1, 0]
+            else:
+                # evict the minimum counter; ties break on LARGEST item
+                # id so the rule is total and engine-independent
+                victim = min(counters, key=lambda i: (counters[i][0], -i))
+                c = counters.pop(victim)[0]
+                counters[item] = [c + 1, c]
+    packed = ",".join(f"{i}:{c}:{e}"
+                      for i, (c, e) in sorted(counters.items()))
+    seq += 1
+    state.update((seq, packed))
+    items = sorted(counters.items(),
+                   key=lambda kv: (-kv[1][0], kv[0]))
+    yield pd.DataFrame({
+        "event_type": [key[0]] * len(items),
+        "item": [i for i, _ in items],
+        "est_count": [c for _, (c, _) in items],
+        "max_err": [e for _, (_, e) in items],
+        "seq": [seq] * len(items)})
+
+
+def heavy_hitters_stream(events: DataFrame) -> DataFrame:
+    """Streaming space-saving top-k (Metwally et al.): per event_type,
+    the HH_CAPACITY most frequent user_ids with overestimate bounds —
+    bounded state per key (m counters) no matter how many distinct
+    users flow past, which is the whole point: exact per-item counts
+    grow state with cardinality, space-saving caps it and reports
+    est_count with max_err such that true_count is in
+    [est_count - max_err, est_count].
+
+    Sequential-by-construction: counters update in the stream's
+    (ts, event_id) total order inside each micro-batch, and the
+    counter table carries across batches in the state store — so ANY
+    partition of the stream into micro-batches yields the identical
+    final counter table (the batch-parity test pins this). Emits the
+    current table per key each micro-batch (update mode).
+
+    Expects columns event_type, user_id, ts, event_id.
+    """
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            _hh_fn,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

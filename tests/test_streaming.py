@@ -559,3 +559,64 @@ class TestIndexProbeStream:
         got = {(r["doc_id"], r["index_id"], r["band"], r["est_e6"])
                for r in spark.sql("SELECT * FROM probe_out").collect()}
         assert got == batch
+
+
+class TestHeavyHittersStream:
+    def _run(self, spark, src, name):
+        from research_index_backend_spark.streaming.stateful import (
+            heavy_hitters_stream,
+        )
+        from research_index_backend_spark.streaming.windows import (
+            read_events_stream,
+        )
+        q = (heavy_hitters_stream(read_events_stream(spark, src))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+        # the update-mode memory sink appends every emission; the final
+        # counter table per key is its max-seq emission (earlier ones
+        # may contain items since evicted)
+        last_seq = pdf.groupby("event_type")["seq"].max()
+        final = {}
+        for _, r in pdf.iterrows():
+            if r["seq"] == last_seq[r["event_type"]]:
+                final[(r["event_type"], int(r["item"]))] = (
+                    int(r["est_count"]), int(r["max_err"]))
+        return final
+
+    def test_batch_split_invariance_and_bounds(self, spark, tmp_path):
+        """Space-saving is sequential: any micro-batch partition of the
+        same event-time-ordered stream must land the identical final
+        counter table, and every estimate must bound its true count
+        (true in [est - err, est])."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # skewed stream: user (i % 60)**2 % 97 gives a few heavy users
+        rows = [(i, ((i % 60) ** 2) % 97 % 12,
+                 "click" if i % 2 == 0 else "view",
+                 base + dt.timedelta(seconds=i), "{}")
+                for i in range(800)]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "props"])
+
+        src1 = str(tmp_path / "hh-one")
+        df.coalesce(1).write.parquet(src1)
+        src3 = str(tmp_path / "hh-three")
+        for lo, hi in ((0, 250), (250, 600), (600, 800)):
+            df.filter(f"event_id >= {lo} AND event_id < {hi}") \
+                .coalesce(1).write.parquet(src3, mode="append")
+
+        one = self._run(spark, src1, "hh_one")
+        three = self._run(spark, src3, "hh_three")
+        assert one == three  # batch-split invariance
+
+        # error bounds vs true counts
+        true = {(r["event_type"], int(r["user_id"])): r["n"]
+                for r in spark.read.parquet(src1)
+                .groupBy("event_type", "user_id").count()
+                .withColumnRenamed("count", "n").collect()}
+        for k, (est, err) in one.items():
+            t = true.get(k, 0)
+            assert est - err <= t <= est, (k, est, err, t)
