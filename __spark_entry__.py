@@ -95,6 +95,7 @@ _VERIFY_FIRST = (
     "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q18", "bpe_encode",
     "shuffle_shard_plan", "hard_negative_mining", "tpch_q14", "tpch_q4",
     "tpch_q6", "tpch_q19", "dedup_recall_report", "tpch_q15", "tpch_q22",
+    "tpch_q8", "tpch_q17",
     # --- rewritten this round (banded two-level window; needs a fresh
     # official row on the new plan even though r6's row was green) ---
     "pareto_frontier",

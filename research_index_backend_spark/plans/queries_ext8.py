@@ -2344,3 +2344,145 @@ ORDER BY cntrycode
 QUERIES_EXT8.update({"tpch_q15": q_tpch_q15, "tpch_q22": q_tpch_q22})
 ORACLE_EXT8.update({"tpch_q15": ORACLE_TPCH_Q15,
                     "tpch_q22": ORACLE_TPCH_Q22})
+
+
+# ---------------------------------------------------------------------------
+# tpch_q8 + tpch_q17 — market share and small-quantity revenue loss
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "PROMO"
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: of all PROMO-part revenue sold
+    to customers in one region across 1996-1997, the share supplied by
+    one nation, per year — share as an exact integer e6 ratio of e4
+    revenue sums.
+
+    Scale shape: every dim chain collapses before the facts — part
+    (type-filtered) broadcasts onto lineitem, the region-filtered
+    customer->nation chain broadcasts onto orders, supplier->nation
+    broadcasts for the numerator flag; the only big shuffle is
+    lineitem x orders on orderkey, then a 1-row-per-year conditional
+    rollup."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    n = _t(spark, sf_dir, "nation")
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n.join(F.broadcast(r),
+                                  n.n_regionkey == r.r_regionkey)),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.year("o_orderdate").between(1996, 1997))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", F.year("o_orderdate").cast("bigint")
+                 .alias("o_year")))
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+         .select("p_partkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.filter(F.col("n_name") == _Q8_NATION)),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    nat = F.when(F.col("s_suppkey").isNotNull(), _rev_e4()) \
+        .otherwise(F.lit(0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+            .groupBy("o_year")
+            .agg(F.sum(nat).cast("bigint").alias("nation_rev_e4"),
+                 F.sum(_rev_e4()).cast("bigint").alias("total_rev_e4"))
+            .select("o_year", "nation_rev_e4", "total_rev_e4",
+                    F.expr("nation_rev_e4 * 1000000"
+                           " div greatest(total_rev_e4, 1)")
+                    .alias("mkt_share_e6"))
+            .orderBy("o_year"))
+
+
+ORACLE_TPCH_Q8 = f"""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {_REV_E4_SQL} AS vol,
+         CASE WHEN ns.n_name = '{_Q8_NATION}'
+              THEN {_REV_E4_SQL} ELSE 0 END AS nat_vol
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+    AND year(o_orderdate) BETWEEN 1996 AND 1997
+)
+SELECT o_year,
+       CAST(sum(nat_vol) AS BIGINT) AS nation_rev_e4,
+       CAST(sum(vol) AS BIGINT) AS total_rev_e4,
+       CAST(sum(nat_vol) * 1000000 // greatest(sum(vol), 1) AS BIGINT)
+         AS mkt_share_e6
+FROM base GROUP BY o_year ORDER BY o_year
+"""
+
+
+_Q17_BRAND = "Brand#5"
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (adapted: the container
+    predicate becomes a brand filter — no p_container here): for one
+    brand's parts, the revenue of lineitems whose quantity is below
+    20% of that part's average quantity — the per-group correlated
+    scalar subquery.
+
+    Scale shape: the per-part average is a grouped aggregate over the
+    SAME brand-pruned lineitem slice, joined back by partkey (a
+    self-correlated agg-then-join, never a per-row subquery); the
+    brand filter broadcasts into both reads so the big scan is pruned
+    twice. Quantities compare on the exact e2 lattice: qty_e2 * 5 <
+    avg-sum * 100 / cnt cross-multiplied to integers."""
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == _Q17_BRAND).select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey",
+                  F.round(F.col("l_quantity") * 100).cast("bigint")
+                  .alias("qty_e2"),
+                  F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                  .alias("price_cents")))
+    avg_q = (li.groupBy("l_partkey")
+             .agg(F.sum("qty_e2").alias("sq"),
+                  F.count(F.lit(1)).alias("cq")))
+    # qty < 0.2 * avg  <=>  qty_e2 * 5 * cq < sq   (exact integers)
+    return (li.join(F.broadcast(avg_q), "l_partkey")
+            .filter(F.col("qty_e2") * 5 * F.col("cq") < F.col("sq"))
+            .agg(F.count(F.lit(1)).alias("n_small"),
+                 F.coalesce(F.sum("price_cents"), F.lit(0))
+                 .alias("small_rev_cents")))
+
+
+ORACLE_TPCH_Q17 = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q17_BRAND}'
+),
+avg_q AS (
+  SELECT l_partkey, sum(qty_e2) AS sq, count(*) AS cq
+  FROM li GROUP BY 1
+)
+SELECT count(*) AS n_small,
+       CAST(coalesce(sum(price_cents), 0) AS BIGINT)
+         AS small_rev_cents
+FROM li JOIN avg_q USING (l_partkey)
+WHERE qty_e2 * 5 * cq < sq
+"""
+
+
+QUERIES_EXT8.update({"tpch_q8": q_tpch_q8, "tpch_q17": q_tpch_q17})
+ORACLE_EXT8.update({"tpch_q8": ORACLE_TPCH_Q8,
+                    "tpch_q17": ORACLE_TPCH_Q17})
