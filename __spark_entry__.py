@@ -71,13 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json). Rotation policy (round-7 ADVICE item 1):
 # (1) the 30 queries that have never had an official row — computed
 # from the union of CORRECTNESS_r01..r07 against the catalog — go
-# first, so after this round every one of the 174 queries has had an
-# official green row at least once; (2) the remaining ~20 slots are
-# the STALEST officially-checked queries (last official row = r5, the
-# original r04-window set); (3) the rest of the r5 set follows in case
-# the window widens, then dict order (r6/r7-checked queries, freshest,
-# go last). Queries outside the window stay covered by tools/check.py
-# (174/174 green locally at round-7 close).
+# first, so after this round every query that existed at r7 close has
+# had an official green row at least once; (2) the 18 queries NEW this
+# round (each green under tools/check.py locally) + the rewritten
+# pareto_frontier fill the window to 49; (3) only ~1 slot remains for
+# the stalest (r5) officially-checked set — the r5 refresh therefore
+# continues next round, from anti_semi_split onward in the order
+# below. Queries outside the window stay covered by tools/check.py
+# (192/192 green locally at round-8 close).
 _VERIFY_FIRST = (
     # --- never officially checked (30; ext4-8 tail of the r7 window) ---
     "ewma_report", "cascade_delete_audit", "table_profile",

@@ -29,12 +29,10 @@ swap write inherits upsert_parquet's crash-safe rename protocol.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .upsert import _recover
+from .upsert import swap_write
 
 DELETE_OP = "delete"
 TOMBSTONE_COL = "__cdc_deleted"
@@ -69,10 +67,14 @@ def cdc_merge(existing: DataFrame | None, batch: DataFrame,
     last = cdc_reduce(batch, keys, order_cols)
     ver = F.struct(*[F.col(c) for c in order_cols])
     data_cols = [c for c in last.columns if c not in (*keys, op_col)]
+    # coalesce: a NULL op (malformed upstream record) must read as
+    # upsert, never as a NULL flag — a NULL __cdc_deleted would make the
+    # row invisible to cdc_state AND silently GC-able by cdc_compact
+    is_delete = F.coalesce(F.col(op_col) == DELETE_OP, F.lit(False))
     inc = last.select(
         *keys, ver.alias("__v_in"),
         F.struct(*data_cols,
-                 (F.col(op_col) == DELETE_OP).alias(TOMBSTONE_COL))
+                 is_delete.alias(TOMBSTONE_COL))
         .alias("__row_in"))
     if existing is None:
         return inc.select(*keys, "__row_in.*")
@@ -96,26 +98,11 @@ def cdc_state(stored: DataFrame) -> DataFrame:
 def cdc_apply_parquet(spark, batch: DataFrame, path: str,
                       keys: list[str], order_cols: list[str],
                       op_col: str = "op") -> None:
-    """Apply one changelog slice to a Parquet target with the
-    write-adjacent-then-swap protocol (upsert_parquet's crash-safety
-    ordering: recover, clean stale, write .new, rename)."""
-    import shutil
-
-    target = Path(path)
-    old = target.with_suffix(target.suffix + ".old")
-    new = target.with_suffix(target.suffix + ".new")
-    _recover(target, old, new)
-    for stale in (old, new):
-        if stale.exists():
-            shutil.rmtree(stale)
-    existing = spark.read.parquet(str(target)) if target.exists() else None
-    merged = cdc_merge(existing, batch, keys, order_cols, op_col)
-    merged.write.mode("overwrite").parquet(str(new))
-    if target.exists():
-        target.rename(old)
-    new.rename(target)
-    if old.exists():
-        shutil.rmtree(old)
+    """Apply one changelog slice to a Parquet target via the shared
+    crash-safe swap protocol (operators.upsert.swap_write)."""
+    swap_write(spark, path,
+               lambda existing: cdc_merge(existing, batch, keys,
+                                          order_cols, op_col))
 
 
 def cdc_compact(spark, path: str, order_cols: list[str],
@@ -128,28 +115,19 @@ def cdc_compact(spark, path: str, order_cols: list[str],
     horizon can no longer arrive, so those markers no longer guard
     anything. Live rows are NEVER dropped regardless of age. n_files
     coalesces the rewrite (micro-batch appends fragment the target).
-    Same crash-safe swap protocol as apply.
+    Same crash-safe swap protocol as apply (swap_write).
     """
-    import shutil
 
-    target = Path(path)
-    old = target.with_suffix(target.suffix + ".old")
-    new = target.with_suffix(target.suffix + ".new")
-    _recover(target, old, new)
-    for stale in (old, new):
-        if stale.exists():
-            shutil.rmtree(stale)
-    stored = spark.read.parquet(str(target))
-    ver = F.struct(*[F.col(c) for c in order_cols])
-    # struct comparison requires matching field names AND types — cast
-    # each horizon literal to its stored column's type
-    types = {f.name: f.dataType for f in stored.schema.fields}
-    hor = F.struct(*[F.lit(v).cast(types[c]).alias(c)
-                     for c, v in zip(order_cols, horizon)])
-    keep = stored.filter(~F.col(TOMBSTONE_COL) | (ver >= hor))
-    if n_files:
-        keep = keep.coalesce(n_files)
-    keep.write.mode("overwrite").parquet(str(new))
-    target.rename(old)
-    new.rename(target)
-    shutil.rmtree(old)
+    def build(stored: DataFrame | None) -> DataFrame:
+        if stored is None:
+            raise ValueError(f"cdc_compact: no CDC table at {path}")
+        ver = F.struct(*[F.col(c) for c in order_cols])
+        # struct comparison requires matching field names AND types —
+        # cast each horizon literal to its stored column's type
+        types = {f.name: f.dataType for f in stored.schema.fields}
+        hor = F.struct(*[F.lit(v).cast(types[c]).alias(c)
+                         for c, v in zip(order_cols, horizon)])
+        keep = stored.filter(~F.col(TOMBSTONE_COL) | (ver >= hor))
+        return keep.coalesce(n_files) if n_files else keep
+
+    swap_write(spark, path, build)

@@ -106,22 +106,23 @@ def _recover(target: Path, old: Path, new: Path) -> None:
         old.rename(target)
 
 
-def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str],
-                   mode: str = "insert") -> None:
-    """Upsert into a Parquet directory with write-adjacent-then-swap.
+def swap_write(spark, path: str, build) -> None:
+    """Crash-safe replace of a Parquet directory — THE swap protocol,
+    shared by every sink that rewrites a whole target (keyed upsert,
+    CDC apply, CDC compaction).
 
-    Crash-safety ordering: (0) recover from a crashed prior run (promote a
-    complete .new, else restore .old — see _recover), (1) clean any
-    remaining stale .old/.new, (2) write the merged data to a .new dir
-    ADJACENT to the target (same filesystem, so the final moves are
-    renames, not copies), (3) move target -> .old, (4) move .new -> target,
-    (5) drop .old. A crash between (3) and (4) leaves both .old and the
-    complete .new for step (0) to recover; a crash anywhere earlier leaves
-    the target untouched.
+    Ordering: (0) recover from a crashed prior run (promote a complete
+    .new, else restore .old — see _recover), (1) clean any remaining
+    stale .old/.new, (2) write `build(existing_df_or_None)` to a .new
+    dir ADJACENT to the target (same filesystem, so the final moves are
+    renames, not copies), (3) move target -> .old, (4) move .new ->
+    target, (5) drop .old. A crash between (3) and (4) leaves both
+    .old and the complete .new for step (0) to recover; a crash
+    anywhere earlier leaves the target untouched.
 
-    Single-writer assumption: concurrent upserts to the same path race on
-    the rename; a production lake would use a transactional table format,
-    this keeps the engine dependency-free.
+    Single-writer assumption: concurrent writers to the same path race
+    on the rename; a production lake would use a transactional table
+    format, this keeps the engine dependency-free.
     """
     target = Path(path)
     old = target.with_suffix(target.suffix + ".old")
@@ -130,17 +131,23 @@ def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str],
     for stale in (old, new):
         if stale.exists():
             shutil.rmtree(stale)
-    if target.exists():
-        existing = spark.read.parquet(str(target))
-        merged = upsert(existing, incoming, keys, mode=mode)
-    else:
-        merged = incoming.dropDuplicates(keys)
-    merged.write.mode("overwrite").parquet(str(new))
+    existing = spark.read.parquet(str(target)) if target.exists() else None
+    build(existing).write.mode("overwrite").parquet(str(new))
     if target.exists():
         target.rename(old)
     new.rename(target)
     if old.exists():
         shutil.rmtree(old)
+
+
+def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str],
+                   mode: str = "insert") -> None:
+    """Upsert into a Parquet directory via the shared swap protocol
+    (swap_write holds the crash-safety ordering)."""
+    swap_write(spark, path,
+               lambda existing: incoming.dropDuplicates(keys)
+               if existing is None
+               else upsert(existing, incoming, keys, mode=mode))
 
 
 BUCKET_COL = "__kb"

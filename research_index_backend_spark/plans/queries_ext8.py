@@ -1294,12 +1294,11 @@ def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (pts.filter(F.col("vec_id") < _PQT_NQ)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv")))
-    qsub = q.select("query_id", F.explode(F.array(*[
-        F.struct(F.lit(s).alias("s"),
-                 F.slice("qv", s * _PQT_SUBDIM + 1, _PQT_SUBDIM)
-                 .alias("sv"))
-        for s in range(_PQT_SUBS)])).alias("x")) \
-        .select("query_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    # reuse _pqt_sub for the query side too — ONE subspace layout
+    # definition, so corpus and query encodings can never desynchronize
+    qsub = (_pqt_sub(q.select(F.col("query_id").alias("vec_id"),
+                              F.col("qv").alias("v")))
+            .withColumnRenamed("vec_id", "query_id"))
     table = (qsub.join(F.broadcast(cb), "s")
              .select("query_id", "s", F.col("cid").alias("code"),
                      _pqt_d2().alias("d")))

@@ -62,17 +62,23 @@ WORK_MESSAGE_SCHEMA = StructType([
 
 
 def agency_url(doi: str) -> str:
-    """crossref.ipynb cell 5: the registration-agency probe."""
-    return f"{CROSSREF_API}/works/{doi}/agency"
+    """crossref.ipynb cell 5's registration-agency probe. The DOI is
+    percent-encoded (the notebook interpolates raw, but DOIs may carry
+    '#'/'?'/spaces — raw interpolation would silently query a different
+    resource and land a wrong-but-200 body)."""
+    from urllib.parse import quote
+    return f"{CROSSREF_API}/works/{quote(doi, safe='')}/agency"
 
 
 def work_url(doi: str) -> str:
-    return f"{CROSSREF_API}/works/{doi}"
+    from urllib.parse import quote
+    return f"{CROSSREF_API}/works/{quote(doi, safe='')}"
 
 
 def orcid_works_url(orcid: str) -> str:
     """crossref.ipynb cell 2: works listed by author ORCID."""
-    return (f"{CROSSREF_API}/works?filter=orcid:{orcid}"
+    from urllib.parse import quote
+    return (f"{CROSSREF_API}/works?filter=orcid:{quote(orcid, safe='')}"
             "&select=DOI,title,prefix,published")
 
 

@@ -277,9 +277,14 @@ def _transitions_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
     if state.exists:
         (last,) = state.get
     counts: dict[tuple[str, str], int] = {}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for t in pdf["event_type"]:
+    # concat-then-sort: multi-chunk groups must process in ONE event-time
+    # order (same fix as the heavy-hitters op)
+    chunks = list(pdfs)
+    allpdf = (pd.concat(chunks, ignore_index=True) if chunks
+              else pd.DataFrame())
+    if len(allpdf):
+        allpdf = allpdf.sort_values(["ts", "event_id"])
+        for t in allpdf["event_type"]:
             if last is not None:
                 k = (last, t)
                 counts[k] = counts.get(k, 0) + 1
@@ -355,11 +360,16 @@ def _hh_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
             for part in packed.split(","):
                 i, c, e = part.split(":")
                 counters[int(i)] = [int(c), int(e)]
-    for pdf in pdfs:
-        # deterministic arrival order within the batch: the stream's
-        # event-time total order, so batch splits don't change results
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for item in pdf["user_id"].astype(int):
+    # a group's micro-batch rows may arrive as MULTIPLE Arrow chunks in
+    # shuffle order — sorting per chunk would interleave out of event-time
+    # order and break the batch-split determinism invariant; concat the
+    # whole group's batch, sort ONCE
+    chunks = list(pdfs)
+    allpdf = (pd.concat(chunks, ignore_index=True) if chunks
+              else pd.DataFrame())
+    if len(allpdf):
+        allpdf = allpdf.sort_values(["ts", "event_id"])
+        for item in allpdf["user_id"].astype(int):
             if item in counters:
                 counters[item][0] += 1
             elif len(counters) < HH_CAPACITY:

@@ -110,8 +110,11 @@ def test_titles_licenses_plan_is_python_free(landed):
 
 
 def test_url_builders():
+    # DOIs percent-encode (slash included): a '#' in a raw DOI would
+    # become a fragment and silently query the wrong resource
     assert agency_url("10.1/x") == \
-        "https://api.crossref.org/works/10.1/x/agency"
-    assert work_url("10.1/x") == "https://api.crossref.org/works/10.1/x"
+        "https://api.crossref.org/works/10.1%2Fx/agency"
+    assert work_url("10.1/a#b") == \
+        "https://api.crossref.org/works/10.1%2Fa%23b"
     assert orcid_works_url("0000-0002-3363-8620").startswith(
         "https://api.crossref.org/works?filter=orcid:0000-0002-3363-8620")
