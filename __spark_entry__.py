@@ -72,13 +72,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (1) the 30 queries that have never had an official row — computed
 # from the union of CORRECTNESS_r01..r07 against the catalog — go
 # first, so after this round every query that existed at r7 close has
-# had an official green row at least once; (2) the 18 queries NEW this
-# round (each green under tools/check.py locally) + the rewritten
-# pareto_frontier fill the window to 49; (3) only ~1 slot remains for
-# the stalest (r5) officially-checked set — the r5 refresh therefore
-# continues next round, from anti_semi_split onward in the order
-# below. Queries outside the window stay covered by tools/check.py
-# (192/192 green locally at round-8 close).
+# had an official green row at least once; (2) the rewritten
+# pareto_frontier + the 20 queries NEW this round (each green under
+# tools/check.py locally) fill the window to 51 — the LAST new entry
+# overflows and rotates in next round; (3) the stalest (r5)
+# officially-checked set therefore refreshes starting next round, from
+# anti_semi_split onward in the order below. Queries outside the
+# window stay covered by tools/check.py (194/194 green locally at
+# round-8 close).
 _VERIFY_FIRST = (
     # --- never officially checked (30; ext4-8 tail of the r7 window) ---
     "ewma_report", "cascade_delete_audit", "table_profile",
@@ -91,15 +92,16 @@ _VERIFY_FIRST = (
     "asof_tolerance", "pii_scrub", "vocab_drift", "grouping_sets_report",
     "mix_plan", "token_histogram", "quality_calibration", "scd2_history",
     "group_topk_ties",
-    # --- new this round ---
+    # --- rewritten this round (banded two-level window; needs a fresh
+    # official row on the new plan even though r6's row was green) ---
+    "pareto_frontier",
+    # --- new this round (the last ~1 overflows the 50-slot window and
+    # rotates in next round; locally green under tools/check.py) ---
     "ann_pq_trained", "crossref_enrich",
     "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q18", "bpe_encode",
     "shuffle_shard_plan", "hard_negative_mining", "tpch_q14", "tpch_q4",
     "tpch_q6", "tpch_q19", "dedup_recall_report", "tpch_q15", "tpch_q22",
-    "tpch_q8", "tpch_q17",
-    # --- rewritten this round (banded two-level window; needs a fresh
-    # official row on the new plan even though r6's row was green) ---
-    "pareto_frontier",
+    "tpch_q8", "tpch_q17", "l_diversity", "graph_assortativity",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

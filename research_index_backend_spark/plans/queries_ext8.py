@@ -2485,3 +2485,135 @@ WHERE qty_e2 * 5 * cq < sq
 QUERIES_EXT8.update({"tpch_q8": q_tpch_q8, "tpch_q17": q_tpch_q17})
 ORACLE_EXT8.update({"tpch_q8": ORACLE_TPCH_Q8,
                     "tpch_q17": ORACLE_TPCH_Q17})
+
+
+# ---------------------------------------------------------------------------
+# l_diversity + graph_assortativity
+# ---------------------------------------------------------------------------
+
+_LD_THRESHOLDS = (2, 3, 5)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (the k_anonymity companion): a quasi-identifier
+    class can be k-anonymous yet still leak — if every member shares
+    one sensitive value, the attacker learns it without identifying the
+    row. Per QI class (mktsegment, coarse region) count DISTINCT
+    sensitive values (account-balance band); for each governance l,
+    report classes/rows below it.
+
+    Plan: one two-level aggregate — (QI, sensitive) distinct count
+    collapses to per-class l (shuffles carry |classes x bands| then
+    |classes| rows, never corpus rows), then the tiny class table
+    explodes over the 3 thresholds, exactly the k_anonymity shape.
+    """
+    c = _t(spark, sf_dir, "customer")
+    per_sv = (c.select(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 10).alias("region_ish"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("sv"))
+        .groupBy("c_mktsegment", "region_ish", "sv")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    classes = (per_sv.groupBy("c_mktsegment", "region_ish")
+               .agg(F.count(F.lit(1)).alias("l"),
+                    F.sum("cnt").alias("rows")))
+    ls = F.explode(F.array(*[F.lit(k) for k in _LD_THRESHOLDS])).alias("lt")
+    return (classes.select("l", "rows", ls)
+            .groupBy("lt")
+            .agg(F.count(F.lit(1)).alias("n_classes"),
+                 F.sum((F.col("l") < F.col("lt")).cast("bigint"))
+                 .alias("n_classes_below"),
+                 F.sum(F.when(F.col("l") < F.col("lt"), F.col("rows"))
+                       .otherwise(F.lit(0))).alias("n_rows_below"),
+                 F.sum("rows").alias("n_rows"))
+            .select(F.col("lt").alias("l_threshold"), "n_classes",
+                    "n_classes_below", "n_rows_below",
+                    F.expr("n_rows_below * 1000000 div n_rows")
+                    .alias("risk_frac_e6")))
+
+
+ORACLE_L_DIVERSITY = f"""
+WITH per_sv AS (
+  SELECT c_mktsegment, c_nationkey % 10 AS region_ish,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv,
+         count(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_mktsegment, region_ish, count(*) AS l, sum(cnt) AS rows_
+  FROM per_sv GROUP BY 1, 2
+),
+ls AS (SELECT unnest({list(_LD_THRESHOLDS)}) AS lt)
+SELECT lt AS l_threshold, count(*) AS n_classes,
+       CAST(sum(CAST(l < lt AS BIGINT)) AS BIGINT) AS n_classes_below,
+       CAST(sum(CASE WHEN l < lt THEN rows_ ELSE 0 END) AS BIGINT)
+         AS n_rows_below,
+       CAST(sum(CASE WHEN l < lt THEN rows_ ELSE 0 END) * 1000000
+            // sum(rows_) AS BIGINT) AS risk_frac_e6
+FROM classes CROSS JOIN ls GROUP BY lt
+"""
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier-part bipartite graph: the
+    Pearson correlation between deg(supplier) and deg(part) across
+    edges — do high-degree suppliers supply high-degree parts? The
+    one-number mixing diagnostic read before trusting degree-based
+    sampling or hub caps (TWO_HOP_DEGREE_CAP's sizing).
+
+    corr_report's determinism contract: raw moments accumulate in
+    exact DECIMAL (partial-agg order cannot wobble them), the closed
+    form is ONE double expression floor-quantized to e6. Degrees join
+    back to edges by their own keys — two hash shuffles co-partitioned
+    on the join key, no window, no broadcast of corpus-scale sides.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select("l_suppkey", "l_partkey").distinct()
+    sdeg = edges.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("x"))
+    pdeg = edges.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("y"))
+    j = edges.join(sdeg, "l_suppkey").join(pdeg, "l_partkey")
+    m = j.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.floor(cov / F.sqrt(vx * vy) * 1e6).cast("bigint")
+        .alias("assortativity_e6"))
+
+
+ORACLE_ASSORTATIVITY = """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+),
+sdeg AS (SELECT l_suppkey, count(*) AS x FROM edges GROUP BY 1),
+pdeg AS (SELECT l_partkey, count(*) AS y FROM edges GROUP BY 1),
+m AS (
+  SELECT count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM edges JOIN sdeg USING (l_suppkey) JOIN pdeg USING (l_partkey)
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            * 1e6) AS BIGINT) AS assortativity_e6
+FROM m
+"""
+
+
+QUERIES_EXT8.update({"l_diversity": q_l_diversity,
+                     "graph_assortativity": q_graph_assortativity})
+ORACLE_EXT8.update({"l_diversity": ORACLE_L_DIVERSITY,
+                    "graph_assortativity": ORACLE_ASSORTATIVITY})
