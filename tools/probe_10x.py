@@ -62,6 +62,11 @@ SCALED = [
     "ann_pq_trained", "crossref_enrich", "bpe_encode",
     "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q18",
     "pareto_frontier", "skew_report",
+    # r8 second wave
+    "hard_negative_mining", "dedup_recall_report", "shuffle_shard_plan",
+    "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q19", "tpch_q22",
+    "l_diversity", "graph_assortativity",
 ]
 
 
