@@ -102,6 +102,7 @@ _VERIFY_FIRST = (
     "shuffle_shard_plan", "hard_negative_mining", "tpch_q14", "tpch_q4",
     "tpch_q6", "tpch_q19", "dedup_recall_report", "tpch_q15", "tpch_q22",
     "tpch_q8", "tpch_q17", "l_diversity", "graph_assortativity",
+    "graph_sssp", "jaccard_prefix_join",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

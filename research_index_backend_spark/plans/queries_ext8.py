@@ -2617,3 +2617,182 @@ QUERIES_EXT8.update({"l_diversity": q_l_diversity,
                      "graph_assortativity": q_graph_assortativity})
 ORACLE_EXT8.update({"l_diversity": ORACLE_L_DIVERSITY,
                     "graph_assortativity": ORACLE_ASSORTATIVITY})
+
+
+# ---------------------------------------------------------------------------
+# graph_sssp — weighted shortest paths, fixed Bellman-Ford rounds
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+_SSSP_SRC = 1          # source supplier key
+_SSSP_PART_NS = 1_000_000   # part node ids live at partkey + 1e6
+_SSSP_TOPK = 20
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the supplier-part
+    bipartite graph (edge weight = the cheapest lineitem price
+    connecting the pair, exact cents), 4 Bellman-Ford rounds from one
+    supplier — the min-plus-semiring iteration every distributed SSSP
+    (Pregel, GraphX, GraphFrames) runs, expressed as pure DataFrame
+    relaxations. Completes the iterative-graph family (components,
+    pagerank, BFS depth, k-core, label prop) with the WEIGHTED case.
+    Output: the 20 nearest nodes by (distance, node id).
+
+    Scale shape: each round is ONE hash join (frontier x edges on the
+    source endpoint) + a map-side-combinable min — the frontier table
+    holds only reached nodes, never |V| rows; localCheckpoint per
+    round keeps round r from replaying rounds 1..r-1 (the kmeans/BPE
+    discipline). Fixed round count bounds the lineage; at 100 TB the
+    same loop runs until a convergence check (count of improved rows
+    == 0, one extra action per round).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    w = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    pairs = (li.groupBy("l_suppkey", "l_partkey")
+             .agg(F.min(w).alias("w")))
+    s_node = F.col("l_suppkey")
+    p_node = F.col("l_partkey") + F.lit(_SSSP_PART_NS)
+    edges = (pairs.select(s_node.alias("src"), p_node.alias("dst"), "w")
+             .unionByName(
+                 pairs.select(p_node.alias("src"), s_node.alias("dst"),
+                              "w"))
+             .localCheckpoint())
+    dist = spark.createDataFrame(
+        [(int(_SSSP_SRC), 0)], "node bigint, d bigint")
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (dist.join(edges, dist.node == edges.src)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("d") + F.col("w")).alias("d")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("d").alias("d"))
+                .localCheckpoint())
+    return (dist.orderBy("d", "node").limit(_SSSP_TOPK)
+            .select("node", F.col("d").alias("dist_cents")))
+
+
+def _oracle_sssp() -> str:
+    parts = [f"""
+WITH pairs AS (
+  SELECT l_suppkey, l_partkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), edges AS (
+  SELECT l_suppkey AS src, l_partkey + {_SSSP_PART_NS} AS dst, w
+  FROM pairs
+  UNION ALL
+  SELECT l_partkey + {_SSSP_PART_NS} AS src, l_suppkey AS dst, w
+  FROM pairs
+), d0 AS (SELECT CAST({_SSSP_SRC} AS BIGINT) AS node,
+                 CAST(0 AS BIGINT) AS d)"""]
+    for r in range(1, _SSSP_ROUNDS + 1):
+        parts.append(f""", d{r} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + e.w AS d
+    FROM d{r - 1} p JOIN edges e ON p.node = e.src
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, d AS dist_cents FROM d{_SSSP_ROUNDS}
+ORDER BY d, node LIMIT {_SSSP_TOPK}""")
+    return "".join(parts)
+
+
+QUERIES_EXT8.update({"graph_sssp": q_graph_sssp})
+ORACLE_EXT8.update({"graph_sssp": _oracle_sssp()})
+
+
+# ---------------------------------------------------------------------------
+# jaccard_prefix_join — AllPairs prefix filtering, exact-result candidates
+# ---------------------------------------------------------------------------
+
+_PF_T_NUM, _PF_T_DEN = 4, 5    # threshold t = 0.8 as an exact rational
+
+
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (Bayardo et al.
+    AllPairs): tokens order globally by (df asc, token) — rarest
+    first — and each document indexes only its first
+    |s| - ceil(t*|s|) + 1 tokens; any pair with Jaccard >= t provably
+    shares a prefix token, so the candidate join runs on the RARE end
+    of the vocabulary (tiny postings) instead of the full inverted
+    index. Candidates then verify exactly on full sets.
+
+    The ORACLE is the naive exact threshold join — the hash match IS
+    the proof that prefix filtering loses no qualifying pair, the
+    lossless counterpart to dedup_recall_report's lossy-LSH
+    measurement. Threshold compares as exact integers
+    (5*inter >= 4*union), output quantized e6.
+
+    Scale shape: the df rank is one count + a broadcast-joined order;
+    the candidate self-join's postings are prefix-pruned (df-ordered,
+    so the hot tokens never enter the index); verification joins the
+    per-doc token arrays only for candidate pairs. At 100 TB this is
+    the standard exact set-join plan; the LSH family covers the
+    approximate regime.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"),
+                 lambda t: t != ""))).alias("tok")))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (toks.join(dfreq, "tok")
+               .groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("df", "tok"))).alias("ord"))
+               .select("doc_id",
+                       F.transform("ord", lambda s: s["tok"])
+                       .alias("toks"),
+                       F.size("ord").alias("sz")))
+    plen = (F.col("sz")
+            - F.expr(f"(sz * {_PF_T_NUM} + {_PF_T_NUM}) div {_PF_T_DEN}")
+            + F.lit(1))
+    prefix = (ordered.select("doc_id",
+                             F.explode(F.slice("toks", 1, plen))
+                             .alias("tok")))
+    cand = (prefix.alias("a").join(prefix.alias("b"), "tok")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    av = ordered.select(F.col("doc_id").alias("id_a"),
+                        F.col("toks").alias("ta"), F.col("sz").alias("sa"))
+    bv = ordered.select(F.col("doc_id").alias("id_b"),
+                        F.col("toks").alias("tb"), F.col("sz").alias("sb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (cand.join(av, "id_a").join(bv, "id_b")
+            .select("id_a", "id_b", inter.alias("inter"), "sa", "sb")
+            .filter(F.col("inter") * _PF_T_DEN
+                    >= F.lit(_PF_T_NUM) * (F.col("sa") + F.col("sb")
+                                           - F.col("inter")))
+            .select("id_a", "id_b",
+                    F.expr("inter * 1000000 div (sa + sb - inter)")
+                    .alias("jaccard_e6")))
+
+
+ORACLE_JACCARD_PREFIX = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter * 1000000 // (sa.sz + sb.sz - inter) AS BIGINT)
+         AS jaccard_e6
+FROM co JOIN sizes sa ON co.id_a = sa.id
+        JOIN sizes sb ON co.id_b = sb.id
+WHERE inter * {_PF_T_DEN} >= {_PF_T_NUM} * (sa.sz + sb.sz - inter)
+"""
+
+
+QUERIES_EXT8.update({"jaccard_prefix_join": q_jaccard_prefix_join})
+ORACLE_EXT8.update({"jaccard_prefix_join": ORACLE_JACCARD_PREFIX})

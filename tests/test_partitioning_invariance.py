@@ -34,6 +34,8 @@ SENSITIVE = [
     "listagg_report", "histogram_quantile",
     # r8 banded two-level window rewrites (band prefix + broadcast-back)
     "pareto_frontier", "quality_calibration", "skew_report",
+    # r8 iterative SSSP rounds + df-ordered prefix filtering
+    "graph_sssp", "jaccard_prefix_join",
 ]
 
 
