@@ -57,6 +57,10 @@ from research_index_backend_spark.plans.queries_ext8 import (  # noqa: E402
     ORACLE_EXT8,
     QUERIES_EXT8,
 )
+from research_index_backend_spark.plans.queries_ext9 import (  # noqa: E402
+    ORACLE_EXT9,
+    QUERIES_EXT9,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -103,6 +107,8 @@ _VERIFY_FIRST = (
     "tpch_q6", "tpch_q19", "dedup_recall_report", "tpch_q15", "tpch_q22",
     "tpch_q8", "tpch_q17", "l_diversity", "graph_assortativity",
     "graph_sssp", "jaccard_prefix_join",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
+    "tpch_q20", "tpch_q21",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -132,10 +138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
                      **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
-                     **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8})
+                     **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8,
+                     **QUERIES_EXT9})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
-                     **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6, **ORACLE_EXT7, **ORACLE_EXT8})
+                     **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6,
+                     **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9})

@@ -78,6 +78,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-stats (N, avgdl) cross join in BOTH BM25 rounds — the
     # same shape as bm25_topk above
     "prf_expansion",
+    # 1-row (total revenue, part count) aggregate cross-joined as the
+    # scalar-subquery HAVING threshold (Q11's textbook shape)
+    "tpch_q11",
     # per-round 1-row winning-merge broadcast rewrites (bpe_pair_stats
     # shape, iterated)
     "bpe_train",
