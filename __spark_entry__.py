@@ -61,6 +61,10 @@ from research_index_backend_spark.plans.queries_ext9 import (  # noqa: E402
     ORACLE_EXT9,
     QUERIES_EXT9,
 )
+from research_index_backend_spark.plans.queries_ext10 import (  # noqa: E402
+    ORACLE_EXT10,
+    QUERIES_EXT10,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -109,6 +113,8 @@ _VERIFY_FIRST = (
     "graph_sssp", "jaccard_prefix_join",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
     "tpch_q20", "tpch_q21",
+    "ab_test_welch", "chi_square_report", "gini_coefficient",
+    "cusum_changepoint",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -139,11 +145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
                      **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
                      **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8,
-                     **QUERIES_EXT9})
+                     **QUERIES_EXT9, **QUERIES_EXT10})
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every SQL-expressible query."""
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
                      **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6,
-                     **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9})
+                     **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9,
+                     **ORACLE_EXT10})

@@ -101,6 +101,9 @@ BNLJ_ALLOWED = {
     "tpch_q15",
     # 1-row average-balance aggregate broadcast (Q22's scalar subquery)
     "tpch_q22",
+    # 1-row grand-total aggregate crossed onto the 25-row contingency
+    # grid (expected-count denominator; cascade_delete_audit shape)
+    "chi_square_report",
 }
 
 
@@ -117,6 +120,10 @@ GLOBAL_WINDOW_ALLOWED = {
     "skew_report",
     # prefix-sum over the fixed histogram-bin table (256 bins)
     "histogram_quantile",
+    # exclusive band-count prefix over the balance-domain band table
+    # (~123 rows = domain/8192, corpus-independent; the two-level
+    # banded global-rank decomposition)
+    "gini_coefficient",
     # share normalization over the SOURCE dim (tens of rows; docstring
     # documents the bound) — sum() over () on the per-source aggregate
     "mix_plan",
