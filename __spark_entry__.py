@@ -114,7 +114,8 @@ _VERIFY_FIRST = (
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
     "tpch_q20", "tpch_q21",
     "ab_test_welch", "chi_square_report", "gini_coefficient",
-    "cusum_changepoint",
+    "cusum_changepoint", "acf_report", "grid_dbscan_core",
+    "benford_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

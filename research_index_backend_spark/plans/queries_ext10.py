@@ -365,14 +365,274 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# acf_report — per-series autocorrelation at small lags
+# ---------------------------------------------------------------------------
+
+_ACF_DAY_NS = 86_400 * 1_000_000_000
+_ACF_LAGS = (1, 2, 3)
+
+
+def q_acf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation at lags 1-3 over the
+    (ts, event_id)-ordered value series:
+      acf_k = sum(dev_i * dev_{i+k}) / sum(dev_i^2),  dev = v - mean.
+    The mean is the FLOORED lattice mean (sum div n) so deviations are
+    exact integers both engines share; products stay bounded by the
+    value domain (dev^2 <= ~2.4e13 on the e4 lattice), with
+    decimal(38,0) accumulators for the corpus-scale sums.
+
+    Global sequence numbers never come from one window: events band by
+    day, rank locally within (type, day) in parallel, and the tiny
+    per-type day-count exclusive prefix broadcasts back (the
+    gini/watermark banded-rank decomposition). Lag pairing is then an
+    EQUI-join on (type, seq + k) = (type, seq) — hash-partitioned,
+    no range or theta join.
+
+    Scale shape: one shuffle to (type, day) for local ranks, a
+    day-table rollup, one hash join on (type, seq) fanned 3x by the
+    lag dim, and a (type, lag) rollup. ~5 types x 3 lags output."""
+    e = (_t(spark, sf_dir, "events")
+         .select("event_type", "ts_ns", "event_id",
+                 F.round(F.col("value") * 10000).cast("bigint")
+                 .alias("v_e4"))
+         .withColumn("day", F.expr(f"ts_ns div {_ACF_DAY_NS}")))
+    t = (e.groupBy(F.col("event_type").alias("t_type"))
+         .agg(F.expr("sum(v_e4) div count(1)").alias("m_e4")))
+    w_local = Window.partitionBy("event_type", "day").orderBy(
+        "ts_ns", "event_id")
+    daily = (e.groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("dc")))
+    w_day = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    dprefix = daily.select(
+        "event_type", "day",
+        F.coalesce(F.sum("dc").over(w_day), F.lit(0)).alias("before"))
+    s = (e.withColumn("rn", F.row_number().over(w_local))
+         .join(F.broadcast(dprefix), ["event_type", "day"])
+         .join(F.broadcast(t), F.col("event_type") == F.col("t_type"))
+         .select("event_type",
+                 (F.col("before") + F.col("rn")).alias("seq"),
+                 (F.col("v_e4") - F.col("m_e4")).alias("dev")))
+    den = (s.groupBy(F.col("event_type").alias("d_type"))
+           .agg(F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev"))
+                .alias("den")))
+    a = (s.select(F.col("event_type").alias("a_type"),
+                  F.col("seq").alias("a_seq"), F.col("dev").alias("a_dev"))
+         .withColumn("lag", F.explode(F.array(
+             *[F.lit(k) for k in _ACF_LAGS]))))
+    b = s.select(F.col("event_type").alias("b_type"),
+                 F.col("seq").alias("b_seq"), F.col("dev").alias("b_dev"))
+    return (a.join(b, (F.col("a_type") == F.col("b_type"))
+                   & (F.col("a_seq") + F.col("lag") == F.col("b_seq")))
+            .groupBy(F.col("a_type").alias("event_type"), "lag")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.col("a_dev").cast("decimal(38,0)")
+                       * F.col("b_dev")).alias("num"))
+            .join(F.broadcast(den),
+                  F.col("event_type") == F.col("d_type"))
+            .select("event_type", "lag", "n_pairs",
+                    F.expr("num * 1000000 div den").cast("bigint")
+                    .alias("acf_e6"))
+            .orderBy("event_type", "lag"))
+
+
+ORACLE_ACF = f"""
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
+         CAST(round(value * 10000) AS BIGINT) AS v
+  FROM events
+),
+t AS (SELECT event_type, sum(v) // count(*) AS m FROM e GROUP BY 1),
+s AS (SELECT e.event_type, v - m AS dev,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY ts_ns, event_id) AS seq
+      FROM e JOIN t USING (event_type)),
+l AS (SELECT lag FROM (VALUES {", ".join(f"({k})" for k in _ACF_LAGS)})
+      AS lv(lag)),
+den AS (SELECT event_type, sum(dev * dev) AS den FROM s GROUP BY 1)
+SELECT a.event_type, lag, count(*) AS n_pairs,
+       CAST(sum(a.dev * b.dev) * 1000000 // max(den) AS BIGINT)
+         AS acf_e6
+FROM s a CROSS JOIN l
+JOIN s b ON b.event_type = a.event_type AND b.seq = a.seq + lag
+JOIN den ON den.event_type = a.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# grid_dbscan_core — grid-bucketed density core points (never all-pairs)
+# ---------------------------------------------------------------------------
+
+_DB_EPS_E6 = 20_000   # eps = 0.02 in embedding units, e6 lattice
+_DB_MINPTS = 4        # neighbors within eps (self included) to be core
+
+
+def q_grid_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point census over the first two embedding
+    dimensions: a point is CORE if >= minPts points (itself included)
+    lie within eps. Reported per label: point count and core count.
+
+    The eps-neighborhood search is a GRID-BUCKETED equi-join, the
+    scale-safe alternative to the quadratic distance self-join: cells
+    of side eps index every point; each probe point fans out to its
+    3x3 neighbor cells (a 9-row explode, constant), the join is a
+    plain hash join on the cell key, and the exact squared-distance
+    predicate filters after the match. Cost is sum over cells of
+    9 * |cell|^2 — bounded by local density, never |corpus|^2.
+
+    Determinism: coordinates quantize to the e6 integer lattice before
+    any comparison (float32 -> double widening is exact and identical
+    in both engines), distances compare as exact integers, and the
+    truncating `div` grid (cell 0 spans (-eps, eps) — twice as wide,
+    consistently in both engines) only AFFECTS candidate generation,
+    never the exact distance test."""
+    p = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id", "label",
+                 F.round(F.element_at("embedding", 1).cast("double")
+                         * 1000000).cast("bigint").alias("x"),
+                 F.round(F.element_at("embedding", 2).cast("double")
+                         * 1000000).cast("bigint").alias("y")))
+    g = (p.withColumn("cx", F.expr(f"x div {_DB_EPS_E6}"))
+         .withColumn("cy", F.expr(f"y div {_DB_EPS_E6}")))
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    a = (g.select(F.col("vec_id").alias("a_id"),
+                  F.col("label").alias("a_label"),
+                  F.col("x").alias("ax"), F.col("y").alias("ay"),
+                  "cx", "cy")
+         .withColumn("dx", F.explode(off))
+         .withColumn("dy", F.explode(off))
+         .select("a_id", "a_label", "ax", "ay",
+                 (F.col("cx") + F.col("dx")).alias("ncx"),
+                 (F.col("cy") + F.col("dy")).alias("ncy")))
+    b = g.select(F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+                 F.col("x").alias("bx"), F.col("y").alias("by"))
+    dist2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+             + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    nb = (a.join(b, (F.col("ncx") == F.col("bcx"))
+                 & (F.col("ncy") == F.col("bcy"))
+                 & (dist2 <= F.lit(_DB_EPS_E6).cast("bigint")
+                    * _DB_EPS_E6))
+          .groupBy("a_id", "a_label")
+          .agg(F.count(F.lit(1)).alias("n_nb")))
+    return (nb.groupBy(F.col("a_label").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(F.when(F.col("n_nb") >= _DB_MINPTS, 1)
+                       .otherwise(0)).alias("n_core"))
+            .orderBy("label"))
+
+
+ORACLE_DBSCAN = f"""
+WITH p AS (
+  SELECT vec_id, label,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS x,
+         CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+           AS y
+  FROM embeddings
+),
+g AS (SELECT *, x // {_DB_EPS_E6} AS cx, y // {_DB_EPS_E6} AS cy FROM p),
+nb AS (
+  SELECT a.vec_id, a.label, count(*) AS n_nb
+  FROM g a JOIN g b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= CAST({_DB_EPS_E6} AS BIGINT) * {_DB_EPS_E6}
+  GROUP BY 1, 2
+)
+SELECT label, count(*) AS n_points,
+       CAST(sum(CASE WHEN n_nb >= {_DB_MINPTS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_core
+FROM nb GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# benford_report — first-significant-digit data-quality audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) on the e6 lattice — fixed constants, no runtime libm
+_BENFORD_E6 = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q_benford_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/data-quality screen: observed share of each leading digit vs
+    the Benford expectation, with the signed deviation. (Uniformly
+    generated synthetic prices do NOT follow Benford — the audit's
+    point is to QUANTIFY that mismatch deterministically.)
+
+    The leading digit comes from the cents integer's decimal string
+    (no log10 at runtime — the Benford expectations are baked e6
+    constants), shares are integer div on the e6 lattice.
+
+    Scale shape: one map-side-combinable groupBy on the 9-value digit
+    key, a 1-row total broadcast back, and a 9-row constant dim join —
+    the corpus is read once."""
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+         .filter(F.col("cents") > 0))
+    d = (o.select(F.substring(F.col("cents").cast("string"), 1, 1)
+                  .cast("bigint").alias("digit"))
+         .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    tot = d.agg(F.sum("n_obs").alias("n_total"))
+    exp = spark.range(1).selectExpr(
+        "stack(9, " + ", ".join(
+            f"CAST({k} AS BIGINT), CAST({v} AS BIGINT)"
+            for k, v in _BENFORD_E6.items())
+        + ") AS (e_digit, benford_e6)")
+    return (d.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(exp), F.col("digit") == F.col("e_digit"))
+            .select("digit", "n_obs",
+                    F.expr("n_obs * 1000000 div n_total")
+                    .alias("share_e6"), "benford_e6",
+                    F.expr("n_obs * 1000000 div n_total - benford_e6")
+                    .alias("dev_e6"))
+            .orderBy("digit"))
+
+
+ORACLE_BENFORD = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE round(o_totalprice * 100) > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n_obs
+  FROM o GROUP BY 1
+),
+tot AS (SELECT sum(n_obs) AS n_total FROM d),
+exp AS (SELECT * FROM (VALUES {", ".join(f"({k}, {v})"
+                               for k, v in _BENFORD_E6.items())})
+        AS t(e_digit, benford_e6))
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_obs * 1000000 // n_total AS BIGINT) AS share_e6,
+       CAST(benford_e6 AS BIGINT) AS benford_e6,
+       CAST(n_obs * 1000000 // n_total - benford_e6 AS BIGINT)
+         AS dev_e6
+FROM d CROSS JOIN tot JOIN exp ON digit = e_digit
+ORDER BY digit
+"""
+
+
 QUERIES_EXT10.update({
     "ab_test_welch": q_ab_test_welch,
+    "acf_report": q_acf_report,
+    "grid_dbscan_core": q_grid_dbscan_core,
+    "benford_report": q_benford_report,
     "chi_square_report": q_chi_square_report,
     "gini_coefficient": q_gini_coefficient,
     "cusum_changepoint": q_cusum_changepoint,
 })
 ORACLE_EXT10.update({
     "ab_test_welch": ORACLE_AB_WELCH,
+    "acf_report": ORACLE_ACF,
+    "grid_dbscan_core": ORACLE_DBSCAN,
+    "benford_report": ORACLE_BENFORD,
     "chi_square_report": ORACLE_CHI_SQUARE,
     "gini_coefficient": ORACLE_GINI,
     "cusum_changepoint": ORACLE_CUSUM,

@@ -104,6 +104,9 @@ BNLJ_ALLOWED = {
     # 1-row grand-total aggregate crossed onto the 25-row contingency
     # grid (expected-count denominator; cascade_delete_audit shape)
     "chi_square_report",
+    # 1-row total crossed onto the 9-row digit table (share
+    # denominator; cascade_delete_audit shape)
+    "benford_report",
 }
 
 
