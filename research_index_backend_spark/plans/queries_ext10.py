@@ -619,9 +619,156 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# ohlc_bars — time-bucket downsampling with first/last semantics
+# ---------------------------------------------------------------------------
+
+_OHLC_HOUR_NS = 3_600 * 1_000_000_000
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event type, hour) OHLC downsampling bars — the time-series
+    resample every metrics store runs: open = first value, close =
+    last value in (ts, event_id) arrival order, high/low = extremes,
+    n = volume. First/last are deterministic MIN/MAX-OF-STRUCT picks
+    on the unique (ts_ns, event_id) order — never a nondeterministic
+    first()/last() aggregate, which under parallel partial aggregation
+    returns whichever partition merges first.
+
+    Scale shape: one map-side-combinable groupBy on the (type, hour)
+    key — struct min/max combine associatively, so the corpus is read
+    once and only |types x hours| rows shuffle."""
+    e = (_t(spark, sf_dir, "events")
+         .select("event_type", "ts_ns", "event_id",
+                 F.round(F.col("value") * 10000).cast("bigint")
+                 .alias("v_e4"))
+         .withColumn("hour", F.expr(f"ts_ns div {_OHLC_HOUR_NS}")))
+    return (e.groupBy("event_type", "hour")
+            .agg(F.min(F.struct("ts_ns", "event_id", "v_e4")).alias("o"),
+                 F.max(F.struct("ts_ns", "event_id", "v_e4")).alias("c"),
+                 F.max("v_e4").alias("high_e4"),
+                 F.min("v_e4").alias("low_e4"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("event_type", "hour",
+                    F.col("o.v_e4").alias("open_e4"),
+                    "high_e4", "low_e4",
+                    F.col("c.v_e4").alias("close_e4"), "n")
+            .orderBy("event_type", "hour"))
+
+
+ORACLE_OHLC = f"""
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT event_type, ts_ns // {_OHLC_HOUR_NS} AS hour,
+       first(v_e4 ORDER BY ts_ns, event_id) AS open_e4,
+       max(v_e4) AS high_e4, min(v_e4) AS low_e4,
+       last(v_e4 ORDER BY ts_ns, event_id) AS close_e4,
+       count(*) AS n
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# t_closeness — EMD of per-class vs global sensitive distribution
+# ---------------------------------------------------------------------------
+
+_TC_BAND_DIV = 2000  # same sensitive banding as l_diversity (ext8)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy lens after k_anonymity
+    and l_diversity: a class can be k-anonymous AND l-diverse yet
+    still leak if its sensitive-value DISTRIBUTION differs sharply
+    from the global one. Per QI class (mktsegment, coarse region —
+    the l_diversity classes), the 1-D Earth Mover's Distance between
+    the class's and the global account-balance-band distribution:
+    EMD = sum_b |cum_class_share - cum_global_share| / (B - 1) on the
+    e6 lattice.
+
+    The cumulative walk runs on a DENSE class x band grid (classes
+    cross-joined with the tiny ~6-row global band dim, zero-filled) so
+    bands a class lacks still advance the global cumulative; the
+    prefix windows partition by class over <=B rows each.
+
+    Scale shape: corpus collapses to |classes x bands| in ONE
+    map-side-combinable aggregate; everything after runs on that tiny
+    grid (broadcast joins, per-class windows)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 10).alias("region_ish"),
+        F.floor(F.col("c_acctbal") / _TC_BAND_DIV).cast("bigint")
+        .alias("sv"))
+    cell = (c.groupBy("c_mktsegment", "region_ish", "sv")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    gband = (cell.groupBy("sv").agg(F.sum("cnt").alias("gcnt")))
+    gtot = gband.agg(F.sum("gcnt").alias("gn"))
+    cls = (cell.groupBy("c_mktsegment", "region_ish")
+           .agg(F.sum("cnt").alias("cn")))
+    dense = (cls.crossJoin(F.broadcast(gband))
+             .join(cell, ["c_mktsegment", "region_ish", "sv"], "left")
+             .crossJoin(F.broadcast(gtot))
+             .select("c_mktsegment", "region_ish", "sv", "cn",
+                     F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                     "gcnt", "gn"))
+    w = (Window.partitionBy("c_mktsegment", "region_ish").orderBy("sv")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = dense.select(
+        "c_mktsegment", "region_ish", "cn",
+        (F.sum(F.expr("cnt * 1000000 div cn")).over(w)
+         - F.sum(F.expr("gcnt * 1000000 div gn")).over(w)).alias("d"))
+    return (cum.groupBy("c_mktsegment", "region_ish")
+            .agg(F.max("cn").alias("n_rows"),
+                 F.count(F.lit(1)).alias("n_bands"),
+                 F.sum(F.abs(F.col("d"))).alias("sum_abs"))
+            .select("c_mktsegment", "region_ish", "n_rows",
+                    F.expr("sum_abs div (n_bands - 1)").cast("bigint")
+                    .alias("t_e6"))
+            .orderBy("c_mktsegment", "region_ish"))
+
+
+ORACLE_T_CLOSENESS = f"""
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey % 10 AS region_ish,
+         CAST(floor(c_acctbal / {_TC_BAND_DIV}) AS BIGINT) AS sv
+  FROM customer
+),
+cell AS (SELECT c_mktsegment, region_ish, sv, count(*) AS cnt
+         FROM c GROUP BY 1, 2, 3),
+gband AS (SELECT sv, sum(cnt) AS gcnt FROM cell GROUP BY 1),
+gtot AS (SELECT sum(gcnt) AS gn FROM gband),
+cls AS (SELECT c_mktsegment, region_ish, sum(cnt) AS cn
+        FROM cell GROUP BY 1, 2),
+dense AS (
+  SELECT cls.c_mktsegment, cls.region_ish, gband.sv, cn,
+         coalesce(cnt, 0) AS cnt, gcnt, gn
+  FROM cls CROSS JOIN gband
+  LEFT JOIN cell ON cell.c_mktsegment = cls.c_mktsegment
+                AND cell.region_ish = cls.region_ish
+                AND cell.sv = gband.sv
+  CROSS JOIN gtot
+),
+cum AS (
+  SELECT c_mktsegment, region_ish, cn,
+         sum(cnt * 1000000 // cn) OVER w
+           - sum(gcnt * 1000000 // gn) OVER w AS d
+  FROM dense
+  WINDOW w AS (PARTITION BY c_mktsegment, region_ish ORDER BY sv
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT c_mktsegment, region_ish, CAST(max(cn) AS BIGINT) AS n_rows,
+       CAST(sum(abs(d)) // (count(*) - 1) AS BIGINT) AS t_e6
+FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES_EXT10.update({
     "ab_test_welch": q_ab_test_welch,
     "acf_report": q_acf_report,
+    "ohlc_bars": q_ohlc_bars,
+    "t_closeness": q_t_closeness,
     "grid_dbscan_core": q_grid_dbscan_core,
     "benford_report": q_benford_report,
     "chi_square_report": q_chi_square_report,
@@ -631,6 +778,8 @@ QUERIES_EXT10.update({
 ORACLE_EXT10.update({
     "ab_test_welch": ORACLE_AB_WELCH,
     "acf_report": ORACLE_ACF,
+    "ohlc_bars": ORACLE_OHLC,
+    "t_closeness": ORACLE_T_CLOSENESS,
     "grid_dbscan_core": ORACLE_DBSCAN,
     "benford_report": ORACLE_BENFORD,
     "chi_square_report": ORACLE_CHI_SQUARE,

@@ -107,6 +107,9 @@ BNLJ_ALLOWED = {
     # 1-row total crossed onto the 9-row digit table (share
     # denominator; cascade_delete_audit shape)
     "benford_report",
+    # the ~50-row class dim crossed with the ~6-row band dim (the
+    # dense EMD grid) plus a 1-row global total — all post-aggregate
+    "t_closeness",
 }
 
 
