@@ -36,6 +36,11 @@ SENSITIVE = [
     "pareto_frontier", "quality_calibration", "skew_report",
     # r8 iterative SSSP rounds + df-ordered prefix filtering
     "graph_sssp", "jaccard_prefix_join",
+    # r8 stats wave: banded global ranks / prefix sums (gini, cusum,
+    # acf), struct-argmax first/last (ohlc), per-class EMD prefix
+    # walks over the dense grid (t_closeness)
+    "gini_coefficient", "cusum_changepoint", "acf_report",
+    "ohlc_bars", "t_closeness",
 ]
 
 

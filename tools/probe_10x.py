@@ -67,6 +67,12 @@ SCALED = [
     "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22",
     "l_diversity", "graph_assortativity",
+    # r8 third/fourth waves (lineitem/orders/customer/events driven)
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
+    "tpch_q20", "tpch_q21",
+    "ab_test_welch", "chi_square_report", "gini_coefficient",
+    "cusum_changepoint", "acf_report", "benford_report",
+    "ohlc_bars", "t_closeness", "grid_dbscan_core",
 ]
 
 
