@@ -764,7 +764,84 @@ FROM cum GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# association_rules — market-basket support / confidence / lift
+# ---------------------------------------------------------------------------
+
+_AR_MIN_CNT = 2
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for part
+    pairs co-occurring in >= 2 orders, support, confidence(a->b) and
+    lift on the e6 integer lattice — the FP-growth-lite first pass
+    every recommender ETL starts with.
+
+    Pair generation is the PER-BASKET self-join, NOT an all-pairs
+    product: baskets join on orderkey (one shuffle), and the
+    a.part < b.part orientation halves the in-basket product. With
+    basket sizes bounded (TPC-H ~7 lines), pair volume is
+    O(baskets * size^2) — linear in the corpus. Item counts join back
+    by partkey as hash joins; the 1-row basket total broadcasts.
+
+    Determinism: counts are exact; support_e6 = cnt * 1e6 div n,
+    confidence_e6 = cnt * 1e6 div cnt_a, lift_e6 = cnt * n * 1e6 div
+    (cnt_a * cnt_b), all truncating div both engines share."""
+    b = (_t(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct())
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = (b.groupBy(F.col("l_partkey").alias("ipart"))
+            .agg(F.count(F.lit(1)).alias("icnt")))
+    a_side = b.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("pa"))
+    c_side = b.select(F.col("l_orderkey").alias("ok2"),
+                      F.col("l_partkey").alias("pb"))
+    pair = (a_side.join(c_side, (F.col("ok") == F.col("ok2"))
+                        & (F.col("pa") < F.col("pb")))
+            .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= _AR_MIN_CNT))
+    return (pair.join(item.withColumnRenamed("ipart", "pa")
+                      .withColumnRenamed("icnt", "cnt_a"), "pa")
+            .join(item.withColumnRenamed("ipart", "pb")
+                  .withColumnRenamed("icnt", "cnt_b"), "pb")
+            .crossJoin(F.broadcast(n))
+            .select("pa", "pb", "cnt", "cnt_a", "cnt_b",
+                    F.expr("cnt * 1000000 div n_orders")
+                    .alias("support_e6"),
+                    F.expr("cnt * 1000000 div cnt_a")
+                    .alias("confidence_e6"),
+                    F.expr("CAST(cnt AS DECIMAL(38,0)) * n_orders"
+                           " * 1000000 div (CAST(cnt_a AS DECIMAL(38,0))"
+                           " * cnt_b)").cast("bigint").alias("lift_e6"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb"))
+
+
+ORACLE_ASSOC_RULES = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+item AS (SELECT l_partkey, count(*) AS icnt FROM b GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS cnt
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                   AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_AR_MIN_CNT}
+)
+SELECT pa, pb, cnt,
+       ia.icnt AS cnt_a, ib.icnt AS cnt_b,
+       CAST(cnt * 1000000 // n_orders AS BIGINT) AS support_e6,
+       CAST(cnt * 1000000 // ia.icnt AS BIGINT) AS confidence_e6,
+       CAST(cnt * n_orders * 1000000 // (ia.icnt * ib.icnt) AS BIGINT)
+         AS lift_e6
+FROM pair
+JOIN item ia ON ia.l_partkey = pa
+JOIN item ib ON ib.l_partkey = pb
+CROSS JOIN n
+ORDER BY cnt DESC, pa, pb
+"""
+
+
 QUERIES_EXT10.update({
+    "association_rules": q_association_rules,
     "ab_test_welch": q_ab_test_welch,
     "acf_report": q_acf_report,
     "ohlc_bars": q_ohlc_bars,
@@ -776,6 +853,7 @@ QUERIES_EXT10.update({
     "cusum_changepoint": q_cusum_changepoint,
 })
 ORACLE_EXT10.update({
+    "association_rules": ORACLE_ASSOC_RULES,
     "ab_test_welch": ORACLE_AB_WELCH,
     "acf_report": ORACLE_ACF,
     "ohlc_bars": ORACLE_OHLC,

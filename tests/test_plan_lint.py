@@ -110,6 +110,9 @@ BNLJ_ALLOWED = {
     # the ~50-row class dim crossed with the ~6-row band dim (the
     # dense EMD grid) plus a 1-row global total — all post-aggregate
     "t_closeness",
+    # 1-row basket-count aggregate crossed onto the support table
+    # (the support/lift denominator; cascade_delete_audit shape)
+    "association_rules",
 }
 
 
