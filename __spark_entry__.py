@@ -116,7 +116,7 @@ _VERIFY_FIRST = (
     "ab_test_welch", "chi_square_report", "gini_coefficient",
     "cusum_changepoint", "acf_report", "grid_dbscan_core",
     "benford_report", "ohlc_bars", "t_closeness",
-    "association_rules",
+    "association_rules", "hierarchy_rollup", "decayed_popularity",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

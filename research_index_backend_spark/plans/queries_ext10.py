@@ -840,8 +840,123 @@ ORDER BY cnt DESC, pa, pb
 """
 
 
+# ---------------------------------------------------------------------------
+# hierarchy_rollup — recursive-closure subtree aggregation, closed form
+# ---------------------------------------------------------------------------
+
+_HR_MAX_DEPTH = 19  # bigint keys have <= 19 decimal digits -> chain <= 19
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup — the WITH RECURSIVE workload class
+    (org charts, category trees, bill-of-materials) on the synthetic
+    decimal tree parent(k) = k div 10 rooted at 0: per node, the
+    subtree size and subtree balance (descendants including self).
+
+    Spark has no recursive CTE; the scale answer is the CLOSED-FORM
+    ancestor closure: a bigint key has <= 19 decimal digits, so its
+    ancestor chain is the fixed 19-term div-10 power sequence — a
+    constant-width array_distinct + explode (fan-out <= 19, zero
+    iterations, zero self-joins), then one groupBy on the ancestor.
+    The DuckDB oracle runs the textbook WITH RECURSIVE closure, so the
+    hash match PROVES the closed form equals the recursive semantics.
+
+    Scale shape: map-side explode (bounded x19), one combinable
+    aggregate — no iteration state, no driver loop; contrast with
+    graph_bfs_depth, which handles ARBITRARY graphs and pays rounds."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint")
+        .alias("bal_cents"))
+    chain = F.array_distinct(F.array(
+        *[F.expr(f"c_custkey div {10 ** i}")
+          for i in range(_HR_MAX_DEPTH)]))
+    return (c.select("bal_cents", F.explode(chain).alias("anc"))
+            .groupBy(F.col("anc").alias("node"))
+            .agg(F.count(F.lit(1)).alias("subtree_n"),
+                 F.sum("bal_cents").alias("subtree_bal_cents"))
+            .orderBy("node"))
+
+
+ORACLE_HIERARCHY = """
+WITH RECURSIVE closure(node, anc) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION ALL
+  SELECT node, anc // 10 FROM closure WHERE anc > 0
+)
+SELECT anc AS node, count(*) AS subtree_n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS subtree_bal_cents
+FROM closure JOIN customer ON node = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# decayed_popularity — integer half-life decay top-k
+# ---------------------------------------------------------------------------
+
+_DP_REF_DATE = "2002-01-01"   # just past the generator's max orderdate
+_DP_HALFLIFE_DAYS = 30
+_DP_TOPK = 20
+
+
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed part popularity — the trending-items ranking: each
+    order line contributes weight 2^(-age/halflife), halving every 30
+    days, and the top 20 parts by decayed score win.
+
+    No float exp/pow: the half-life decay is an INTEGER RIGHT SHIFT on
+    the e6 lattice — w_e6 = 1e6 div (1 << min(age div 30, 30)) — which
+    both engines compute bit-identically; periods beyond ~20 underflow
+    to 0 exactly (a >600-day-old order contributes nothing, by
+    design). The shift clamp at 30 prevents 1<<p overflow while
+    changing nothing (weight already 0).
+
+    Scale shape: orders x lineitem is the one big orderkey shuffle
+    (both fact-sized — no broadcast pretense); the per-part rollup is
+    map-side combinable; the final top-k is TakeOrderedAndProject
+    (per-partition heap + K-row driver merge, never a global sort)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(f"least(datediff('{_DP_REF_DATE}', o_orderdate)"
+               f" div {_DP_HALFLIFE_DAYS}, 30)").alias("periods"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("l_partkey",
+                    F.expr("1000000 div shiftleft(1L, CAST(periods"
+                           " AS INT))").alias("w_e6"))
+            .groupBy("l_partkey")
+            .agg(F.sum("w_e6").alias("pop_e6"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .filter(F.col("pop_e6") > 0)
+            .orderBy(F.col("pop_e6").desc(), "l_partkey")
+            .limit(_DP_TOPK))
+
+
+ORACLE_DECAYED_POP = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         least(date_diff('day', o_orderdate,
+                         TIMESTAMP '{_DP_REF_DATE} 00:00:00')
+               // {_DP_HALFLIFE_DAYS}, 30) AS periods
+  FROM orders
+),
+w AS (
+  SELECT l_partkey, 1000000 // (1 << periods) AS w_e6
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+)
+SELECT l_partkey, CAST(sum(w_e6) AS BIGINT) AS pop_e6,
+       count(*) AS n_lines
+FROM w GROUP BY 1 HAVING sum(w_e6) > 0
+ORDER BY pop_e6 DESC, l_partkey LIMIT {_DP_TOPK}
+"""
+
+
 QUERIES_EXT10.update({
     "association_rules": q_association_rules,
+    "hierarchy_rollup": q_hierarchy_rollup,
+    "decayed_popularity": q_decayed_popularity,
     "ab_test_welch": q_ab_test_welch,
     "acf_report": q_acf_report,
     "ohlc_bars": q_ohlc_bars,
@@ -854,6 +969,8 @@ QUERIES_EXT10.update({
 })
 ORACLE_EXT10.update({
     "association_rules": ORACLE_ASSOC_RULES,
+    "hierarchy_rollup": ORACLE_HIERARCHY,
+    "decayed_popularity": ORACLE_DECAYED_POP,
     "ab_test_welch": ORACLE_AB_WELCH,
     "acf_report": ORACLE_ACF,
     "ohlc_bars": ORACLE_OHLC,

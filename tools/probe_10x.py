@@ -73,7 +73,7 @@ SCALED = [
     "ab_test_welch", "chi_square_report", "gini_coefficient",
     "cusum_changepoint", "acf_report", "benford_report",
     "ohlc_bars", "t_closeness", "grid_dbscan_core",
-    "association_rules",
+    "association_rules", "hierarchy_rollup", "decayed_popularity",
 ]
 
 
