@@ -117,6 +117,7 @@ _VERIFY_FIRST = (
     "cusum_changepoint", "acf_report", "grid_dbscan_core",
     "benford_report", "ohlc_bars", "t_closeness",
     "association_rules", "hierarchy_rollup", "decayed_popularity",
+    "attribution_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

@@ -953,10 +953,87 @@ ORDER BY pop_e6 DESC, l_partkey LIMIT {_DP_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# attribution_report — last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_NS = 7 * 86_400 * 1_000_000_000  # 7-day lookback
+
+
+def q_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — the marketing-analytics
+    join: each purchase credits the LAST non-purchase touch by the
+    same user within a 7-day lookback; purchases with no qualifying
+    touch land in the 'none' bucket. Per channel: conversions and
+    attributed value.
+
+    This is the union-and-carry as-of shape (operators/asof.py,
+    pit_join), not a range self-join: touches and purchases interleave
+    in ONE per-user ordered pass, carrying the last touch forward with
+    last_value(... IGNORE NULLS) over the deterministic total order
+    (ts_ns, kind, event_id) — kind orders a same-instant touch BEFORE
+    the purchase it should credit, and ties never depend on partition
+    layout. The 7-day age test happens at the purchase row.
+
+    Scale shape: one shuffle to user partitions (users scale out, no
+    global window), then a map-side-combinable channel rollup."""
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "ts_ns", "event_id", "event_type",
+                 F.round(F.col("value") * 10000).cast("bigint")
+                 .alias("v_e4"),
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("kind")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_ns", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    m = (e.withColumn(
+            "t_ts", F.last(F.when(F.col("kind") == 0, F.col("ts_ns")),
+                           ignorenulls=True).over(w))
+         .withColumn(
+            "t_type", F.last(F.when(F.col("kind") == 0,
+                                    F.col("event_type")),
+                             ignorenulls=True).over(w)))
+    channel = F.when(
+        F.col("t_ts").isNull()
+        | (F.col("ts_ns") - F.col("t_ts") > _ATTR_WINDOW_NS),
+        F.lit("none")).otherwise(F.col("t_type"))
+    return (m.filter(F.col("kind") == 1)
+            .groupBy(channel.alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("v_e4").alias("value_e4"))
+            .orderBy("channel"))
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+         CAST(round(value * 10000) AS BIGINT) AS v_e4,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+),
+m AS (
+  SELECT user_id, ts_ns, event_id, event_type, v_e4, kind,
+         last_value(CASE WHEN kind = 0 THEN ts_ns END IGNORE NULLS)
+           OVER w AS t_ts,
+         last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+           OVER w AS t_type
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, kind, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT CASE WHEN t_ts IS NULL OR ts_ns - t_ts > {_ATTR_WINDOW_NS}
+            THEN 'none' ELSE t_type END AS channel,
+       count(*) AS n_purchases, CAST(sum(v_e4) AS BIGINT) AS value_e4
+FROM m WHERE kind = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES_EXT10.update({
     "association_rules": q_association_rules,
     "hierarchy_rollup": q_hierarchy_rollup,
     "decayed_popularity": q_decayed_popularity,
+    "attribution_report": q_attribution_report,
     "ab_test_welch": q_ab_test_welch,
     "acf_report": q_acf_report,
     "ohlc_bars": q_ohlc_bars,
@@ -971,6 +1048,7 @@ ORACLE_EXT10.update({
     "association_rules": ORACLE_ASSOC_RULES,
     "hierarchy_rollup": ORACLE_HIERARCHY,
     "decayed_popularity": ORACLE_DECAYED_POP,
+    "attribution_report": ORACLE_ATTRIBUTION,
     "ab_test_welch": ORACLE_AB_WELCH,
     "acf_report": ORACLE_ACF,
     "ohlc_bars": ORACLE_OHLC,

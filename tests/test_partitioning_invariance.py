@@ -41,6 +41,8 @@ SENSITIVE = [
     # walks over the dense grid (t_closeness)
     "gini_coefficient", "cusum_changepoint", "acf_report",
     "ohlc_bars", "t_closeness",
+    # per-user IGNORE-NULLS carry with explicit (ts, kind, id) order
+    "attribution_report",
 ]
 
 

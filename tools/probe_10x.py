@@ -74,6 +74,7 @@ SCALED = [
     "cusum_changepoint", "acf_report", "benford_report",
     "ohlc_bars", "t_closeness", "grid_dbscan_core",
     "association_rules", "hierarchy_rollup", "decayed_popularity",
+    "attribution_report",
 ]
 
 
