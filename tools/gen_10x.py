@@ -1,4 +1,4 @@
-"""Synthesize a 10x corpus from sf0.1 for scaling probes (BENCH_HISTORY
+"""Synthesize a Kx corpus from sf0.1 (default 10x) for scaling probes (BENCH_HISTORY
 "r7 scaling probe"). Writes to /tmp/sf1 (never under /root/testdata).
 
 Shard k remaps identities so cross-shard rows never collide:
@@ -41,7 +41,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from research_index_backend_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1"
+# DST overridable for larger probes: K=100 -> RIB_GEN_DST=/tmp/sf10
+# gives the 100x corpus (same shard remapping, shard ids 0..99).
+DST = os.environ.get("RIB_GEN_DST", "/tmp/sf1")
 OFF = 10 ** 7
 
 

@@ -20,6 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("RIB_TEST_SPLIT_MB", "16")
 
+# Probe corpus overridable: RIB_PROBE_DIR=/tmp/sf10 probes the 100x
+# corpus from `RIB_GEN_DST=/tmp/sf10 python tools/gen_10x.py 100`.
+PROBE_DIR = os.environ.get("RIB_PROBE_DIR", "/tmp/sf1")
+
 SCALED = [
     # documents-driven
     "flagship_contains_tag", "string_clean", "dedup_exact",
@@ -99,7 +103,7 @@ def main(names: list[str]) -> None:
         try:
             for _ in range(2):
                 t0 = time.perf_counter()
-                run(name, "/tmp/sf1")
+                run(name, PROBE_DIR)
                 t = round(time.perf_counter() - t0, 2)
                 best = t if best is None else min(best, t)
         except Exception as exc:  # noqa: BLE001 — report and continue
@@ -108,7 +112,8 @@ def main(names: list[str]) -> None:
         p = prior.get(name)
         ratio = round(best / p, 1) if p else None
         print(f"{name:28s} sf0.1={p} sf1={best} ratio={ratio}", flush=True)
-        if ratio and ratio > 10:
+        flag = 10 if PROBE_DIR.endswith("sf1") else 100
+        if ratio and ratio > flag:
             suspects[name] = ratio
     print("SUSPECTS", json.dumps(suspects))
 
