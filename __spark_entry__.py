@@ -81,13 +81,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # from the union of CORRECTNESS_r01..r07 against the catalog — go
 # first, so after this round every query that existed at r7 close has
 # had an official green row at least once; (2) the rewritten
-# pareto_frontier + the 20 queries NEW this round (each green under
-# tools/check.py locally) fill the window to 51 — the LAST new entry
-# overflows and rotates in next round; (3) the stalest (r5)
-# officially-checked set therefore refreshes starting next round, from
+# pareto_frontier + the queries NEW this round follow in landing
+# order — more than fit the 50-slot window, so the overflow (later r8
+# waves onward) rotates in across subsequent rounds; (3) the stalest
+# (r5) officially-checked set refreshes after that, from
 # anti_semi_split onward in the order below. Queries outside the
-# window stay covered by tools/check.py (194/194 green locally at
-# round-8 close).
+# window stay covered by tools/check.py (full-catalog sweep green at
+# sf0.01 this round — see BENCH_HISTORY.md round-close records — plus
+# sf0.001 spot sweeps on every new query).
 _VERIFY_FIRST = (
     # --- never officially checked (30; ext4-8 tail of the r7 window) ---
     "ewma_report", "cascade_delete_audit", "table_profile",
