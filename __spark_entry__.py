@@ -65,6 +65,10 @@ from research_index_backend_spark.plans.queries_ext10 import (  # noqa: E402
     ORACLE_EXT10,
     QUERIES_EXT10,
 )
+from research_index_backend_spark.plans.queries_ext11 import (  # noqa: E402
+    ORACLE_EXT11,
+    QUERIES_EXT11,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -149,7 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
                      **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
                      **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8,
-                     **QUERIES_EXT9, **QUERIES_EXT10})
+                     **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -157,4 +161,4 @@ def oracle_sql() -> dict[str, str]:
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
                      **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6,
                      **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9,
-                     **ORACLE_EXT10})
+                     **ORACLE_EXT10, **ORACLE_EXT11})

@@ -1,0 +1,312 @@
+"""Catalog extension 11 (round 8, sixth wave). Data-contract and
+corpus-composition audits — the checks a production pipeline runs
+before it trusts a new drop of data:
+
+  referential_integrity  Deequ-style FK audit over the whole star
+                         schema: orphan keys, null FKs, and parent
+                         coverage for every declared edge, one row per
+                         foreign key
+  readability_report     per-language Flesch-style readability on an
+                         exact integer lattice (words / vowel-group
+                         "syllables" / sentence terminators)
+  source_overlap         per-source-pair shingle containment — which
+                         crawl sources duplicate each other's content
+                         (the corpus-mix cousin of dedup: cross-SOURCE
+                         overlap, not cross-document)
+
+Reference parity: the reference validates ingest row-by-row in pandas
+(`create_graph.py` drops unmatched authors silently; no FK audit
+surface exists) — these make the same trust checks declarative and
+distributed, per SURVEY §2 A3/A4's scorecard family and the build
+brief's training-pipeline mandate (source mix + contamination).
+
+Cross-engine determinism (SURVEY 4.4): counts are exact integers;
+every ratio is an integer `div` on an e3 lattice both engines floor
+identically; regex classes are engine-portable literals ([a-z]+,
+[aeiou]+, [.!?]+ — no \\w / \\b whose unicode semantics differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t
+
+QUERIES_EXT11: dict = {}
+ORACLE_EXT11: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# referential_integrity — star-schema FK audit
+# ---------------------------------------------------------------------------
+
+# (child table, fk column, parent table, pk column) — the schema's FK
+# edges (partsupp-less TPC-H + the analytics tables' star).
+_FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style referential-integrity audit: one row per FK edge with
+    child row / null-FK / distinct-FK / orphan-key counts plus parent
+    cardinality and how many parents are actually referenced (the
+    inverse direction — unreferenced parents are the "customers with no
+    orders" class the reference's silent row-drops hide; reference
+    create_graph.py merges authors m:1 and discards misses without a
+    count).
+
+    Scale shape, per edge: the child scan reads ONLY the fk column
+    (parquet column pruning), immediately aggregates (row/null counts
+    map-side) and DISTINCTs (shuffle shrinks to NDV(fk), never the
+    child row count); the parent scan reads only the pk. Orphans and
+    referenced-parent counts come from one left join between the two
+    key sets — at 100 TB the heaviest edge shuffles |distinct keys|,
+    not |rows|. The seven 1-row edge reports and the per-edge
+    counts/coverage sides combine via crossJoin(broadcast(1-row)) (the
+    cascade_delete_audit shape, BNLJ-allowlisted) and a 7-row union.
+    """
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        counts = c.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("fk").isNull().cast("bigint")).alias("n_fk_nulls"))
+        keys = c.filter(F.col("fk").isNotNull()).distinct()
+        cov = (keys.join(p, keys.fk == p.pk, "left")
+               .agg(F.count(F.lit(1)).alias("n_fk_distinct"),
+                    F.sum(F.col("pk").isNull().cast("bigint"))
+                    .alias("n_orphan_keys")))
+        par = p.agg(F.count(F.lit(1)).alias("n_parents"))
+        rows.append(
+            counts.crossJoin(F.broadcast(cov)).crossJoin(F.broadcast(par))
+            .select(F.lit(child).alias("child_table"),
+                    F.lit(fk).alias("fk_col"),
+                    "n_rows", "n_fk_nulls", "n_fk_distinct", "n_orphan_keys",
+                    "n_parents",
+                    (F.col("n_fk_distinct") - F.col("n_orphan_keys"))
+                    .alias("n_parents_referenced")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("child_table", "fk_col")
+
+
+def _ri_edge_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{child}' AS child_table, '{fk}' AS fk_col,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_rows,
+       (SELECT CAST(count(*) FILTER (WHERE {fk} IS NULL) AS BIGINT)
+          FROM {child}) AS n_fk_nulls,
+       (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {child})
+         AS n_fk_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT {fk} AS k FROM {child} WHERE {fk} IS NOT NULL) d
+          WHERE NOT EXISTS (SELECT 1 FROM {parent} WHERE {pk} = d.k))
+         AS n_orphan_keys,
+       (SELECT CAST(count(DISTINCT {pk}) AS BIGINT) FROM {parent})
+         AS n_parents,
+       (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {child}
+          WHERE EXISTS (SELECT 1 FROM {parent} WHERE {pk} = {child}.{fk}))
+         AS n_parents_referenced"""
+
+
+ORACLE_REF_INTEGRITY = "\nUNION ALL\n".join(
+    _ri_edge_sql(*e) for e in _FK_EDGES) + "\nORDER BY child_table, fk_col"
+
+
+# ---------------------------------------------------------------------------
+# readability_report — per-language Flesch-style score on a lattice
+# ---------------------------------------------------------------------------
+
+
+def q_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability aggregates over the document corpus:
+    word / vowel-group ("syllable" proxy) / sentence-terminator totals
+    and a Flesch-style reading-ease score on an e3 integer lattice —
+    the text-quality signal a pretraining mix uses next to
+    `text_quality`'s length/stopword ratios (which this complements:
+    sentence STRUCTURE, not token composition).
+
+    Exact cross-engine arithmetic: counts come from
+    regexp_extract_all over portable ASCII classes; the score is
+      wps_e3    = 1000*words  div sentences      (words/sentence)
+      spw_e3    = 1000*vowelg div words          (syllables/word)
+      flesch_e3 = 206835 - 1015*wps_e3 div 1000 - 846*spw_e3 div 10
+    every step an integer `div` both engines floor identically (the
+    queries_ext10 lattice discipline). Docs with no terminator count
+    one sentence (greatest-1 guard per doc, BEFORE summing).
+
+    Scale shape: pure column expressions + one map-side-combinable
+    groupBy on the tiny lang key — the corpus is scanned once
+    (text+lang columns only) and never shuffled; the exchange carries
+    |languages| partial rows. WholeStageCodegen end-to-end, no UDFs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    vowel_groups = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")))
+    per_doc = d.select(
+        F.col("lang"),
+        words.cast("bigint").alias("w"),
+        vowel_groups.cast("bigint").alias("v"),
+        sentences.cast("bigint").alias("s"))
+    agg = (per_doc.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("w").alias("total_words"),
+                F.sum("v").alias("total_vowel_groups"),
+                F.sum("s").alias("total_sentences")))
+    return (agg.select(
+        "lang", "n_docs", "total_words", "total_vowel_groups",
+        "total_sentences",
+        F.expr("1000 * total_words div greatest(total_sentences, 1)")
+        .alias("wps_e3"),
+        F.expr("1000 * total_vowel_groups div greatest(total_words, 1)")
+        .alias("spw_e3"))
+        .withColumn(
+            "flesch_e3",
+            F.expr("206835 - 1015 * wps_e3 div 1000 - 846 * spw_e3 div 10"))
+        .orderBy("lang"))
+
+
+ORACLE_READABILITY = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+           AS v,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS s
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS total_words,
+         CAST(sum(v) AS BIGINT) AS total_vowel_groups,
+         CAST(sum(s) AS BIGINT) AS total_sentences
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, total_words, total_vowel_groups, total_sentences,
+       1000 * total_words // greatest(total_sentences, 1) AS wps_e3,
+       1000 * total_vowel_groups // greatest(total_words, 1) AS spw_e3,
+       206835 - 1015 * (1000 * total_words // greatest(total_sentences, 1))
+                // 1000
+              - 846 * (1000 * total_vowel_groups
+                       // greatest(total_words, 1)) // 10 AS flesch_e3
+FROM agg ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_overlap — per-source-pair shingle containment
+# ---------------------------------------------------------------------------
+
+_SO_N = 3        # shingle width (words)
+_SO_TOPK = 25    # pairs reported
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawl sources duplicate each other's content: for every
+    source pair, the number of distinct word {n}-gram shingles both
+    emit, plus a containment score 1000*|shared| div min(|A|,|B|) —
+    the corpus-MIX view of duplication (decontaminate_overlap is
+    corpus-vs-eval; dedup_* are doc-vs-doc; this is source-vs-source,
+    the signal that tells a mix planner two crawls are the same feed).
+
+    Scale shape: docs shingle and DISTINCT to (shingle, source) —
+    the only corpus-sized shuffle, keyed on shingle hashes (uniform by
+    construction). Each shingle then folds to its ≤|sources| member
+    set via collect_set (bounded by the source dim, NOT the corpus),
+    pairs explode combinatorially only within that bounded set
+    (≤ C(|sources|,2) per shingle), and per-source totals join back as
+    a broadcast |sources|-row dim. Top-K pairs via orderBy+limit
+    (TakeOrdered, no global window). The DuckDB twin states the same
+    semantics as a naive shingle self-join — fine at oracle SF,
+    exactly what the bounded-set plan avoids at 100 TB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (_SO_N - 1)),
+        lambda i: F.md5(F.array_join(F.slice("toks", i, _SO_N), " ")))
+    ds = (d.select("source", toks.alias("toks"))
+          .filter(F.size("toks") >= _SO_N)
+          .select("source", F.explode(grams).alias("g"))
+          .distinct())
+    members = (ds.groupBy("g")
+               .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+               .filter(F.size("ss") >= 2))
+    pairs = (members.select(F.explode(F.expr(
+        "flatten(transform(ss, (a, i) -> transform("
+        "  slice(ss, i + 2, size(ss) - i - 1),"
+        "  b -> struct(a AS src_a, b AS src_b))))")).alias("pr"))
+        .select("pr.src_a", "pr.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared")))
+    totals = ds.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    ta = totals.select(F.col("source").alias("src_a"),
+                       F.col("n_shingles").alias("na"))
+    tb = totals.select(F.col("source").alias("src_b"),
+                       F.col("n_shingles").alias("nb"))
+    return (pairs.join(F.broadcast(ta), "src_a")
+            .join(F.broadcast(tb), "src_b")
+            .select("src_a", "src_b", "n_shared", "na", "nb",
+                    F.expr("1000 * n_shared div least(na, nb)")
+                    .alias("containment_e3"))
+            .orderBy(F.desc("n_shared"), "src_a", "src_b")
+            .limit(_SO_TOPK))
+
+
+ORACLE_SOURCE_OVERLAP = rf"""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source,
+           unnest(list_transform(
+               generate_series(1, len(toks) - {_SO_N - 1}),
+               i -> md5(array_to_string(toks[i:i+{_SO_N - 1}], ' ')))) AS g
+    FROM tok WHERE len(toks) >= {_SO_N})
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY source
+)
+SELECT src_a, src_b, n_shared, ta.n_shingles AS na, tb.n_shingles AS nb,
+       1000 * n_shared // least(ta.n_shingles, tb.n_shingles)
+         AS containment_e3
+FROM pairs
+JOIN tot ta ON ta.source = src_a
+JOIN tot tb ON tb.source = src_b
+ORDER BY n_shared DESC, src_a, src_b
+LIMIT {_SO_TOPK}
+"""
+
+
+QUERIES_EXT11.update({
+    "referential_integrity": q_referential_integrity,
+    "readability_report": q_readability_report,
+    "source_overlap": q_source_overlap,
+})
+ORACLE_EXT11.update({
+    "referential_integrity": ORACLE_REF_INTEGRITY,
+    "readability_report": ORACLE_READABILITY,
+    "source_overlap": ORACLE_SOURCE_OVERLAP,
+})

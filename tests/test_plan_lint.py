@@ -113,6 +113,9 @@ BNLJ_ALLOWED = {
     # 1-row basket-count aggregate crossed onto the support table
     # (the support/lift denominator; cascade_delete_audit shape)
     "association_rules",
+    # per-FK-edge 1-row coverage/parent-count aggregates crossed into
+    # the 7-row audit report (the cascade_delete_audit shape, x7)
+    "referential_integrity",
 }
 
 

@@ -79,6 +79,8 @@ SCALED = [
     "ohlc_bars", "t_closeness", "grid_dbscan_core",
     "association_rules", "hierarchy_rollup", "decayed_popularity",
     "attribution_report",
+    # r8 sixth wave (documents / lineitem driven)
+    "referential_integrity", "readability_report", "source_overlap",
 ]
 
 
