@@ -123,6 +123,7 @@ _VERIFY_FIRST = (
     "benford_report", "ohlc_bars", "t_closeness",
     "association_rules", "hierarchy_rollup", "decayed_popularity",
     "attribution_report",
+    "referential_integrity", "readability_report", "source_overlap",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

@@ -300,13 +300,197 @@ LIMIT {_SO_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# fd_discovery — functional-dependency audit over candidate column pairs
+# ---------------------------------------------------------------------------
+
+# (table, determinant column, dependent column) — candidate FDs mixing
+# known-true (keys determine attributes) and known-false (segment does
+# not determine nation) so violation counts are informative both ways.
+_FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("supplier", "s_suppkey", "s_nationkey"),
+)
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate A -> B, NDV(A)
+    vs NDV(A,B); the FD holds iff they agree, and the gap counts the
+    violating determinant-value groups — the column-level data
+    contract next to referential_integrity's row-level one (profilers
+    like Deequ/Metanome run exactly this check; the reference trusts
+    its CSV column semantics blindly, SURVEY §2 A3).
+
+    Scale shape, per candidate: ONE aggregate computes both distinct
+    counts over a two-column pruned scan (Catalyst plans the
+    multi-distinct via a single Expand — one pass, partial aggs
+    map-side); no joins anywhere, the report is a union of 1-row
+    aggregates. The shuffle carries distinct (A,B) pairs, never rows.
+    """
+    rows = []
+    for table, det, dep in _FD_CANDIDATES:
+        t = _t(spark, sf_dir, table)
+        rows.append(t.agg(
+            F.count_distinct(F.col(det)).alias("ndv_det"),
+            F.count_distinct(F.col(det), F.col(dep)).alias("ndv_pair"))
+            .select(F.lit(table).alias("table_name"),
+                    F.lit(det).alias("det_col"),
+                    F.lit(dep).alias("dep_col"),
+                    "ndv_det", "ndv_pair",
+                    (F.col("ndv_pair") - F.col("ndv_det"))
+                    .alias("n_violating_groups"),
+                    (F.col("ndv_pair") == F.col("ndv_det"))
+                    .cast("int").alias("fd_holds")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name", "det_col", "dep_col")
+
+
+def _fd_sql(table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{table}' AS table_name, '{det}' AS det_col, '{dep}' AS dep_col,
+       (SELECT CAST(count(DISTINCT {det}) AS BIGINT) FROM {table})
+         AS ndv_det,
+       (SELECT CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT {det}, {dep} FROM {table})) AS ndv_pair,
+       (SELECT CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT {det}, {dep} FROM {table}))
+       - (SELECT CAST(count(DISTINCT {det}) AS BIGINT) FROM {table})
+         AS n_violating_groups,
+       CAST((SELECT count(*)
+               FROM (SELECT DISTINCT {det}, {dep} FROM {table}))
+            = (SELECT count(DISTINCT {det}) FROM {table}) AS INT)
+         AS fd_holds"""
+
+
+ORACLE_FD_DISCOVERY = "\nUNION ALL\n".join(
+    _fd_sql(*c) for c in _FD_CANDIDATES
+) + "\nORDER BY table_name, det_col, dep_col"
+
+
+# ---------------------------------------------------------------------------
+# distribution_drift — temporal value-distribution drift per event type
+# ---------------------------------------------------------------------------
+
+_DD_BINS = 20       # value histogram bins
+_DD_STEP_E2 = 500   # cents per bin (bin = value_cents div 500, clamped)
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution drift between the first and second
+    half of the event stream (split at the midpoint of the observed
+    time range): value histograms on a fixed integer binning, compared
+    with a chi-square-style statistic on an exact e6 lattice — the
+    drift monitor a feature pipeline runs to catch upstream breakage
+    (chi_square_report is categorical independence at one point in
+    time; THIS is the same machinery pointed at temporal drift).
+
+    Exact arithmetic (the ab_test_welch normalize-before-squaring
+    discipline — a cross-multiplied chi-square numerator is n^4 and
+    outgrows any fixed width): each half's bin share normalizes FIRST,
+      p_e6      = 1e6 * n div greatest(T, 1)        (bounded by 1e6)
+    then the drift is the L2^2 distance between the two share vectors
+      drift_e12 = sum_bins (p1_e6 - p2_e6)^2        (bounded 2e13)
+    — every intermediate bounded by the BIN COUNT, not the corpus; the
+    1e6*n product rides decimal(38,0) so it stays exact past 1e13-row
+    halves (the oracle's BIGINT version is identical at checked SFs).
+
+    Scale shape: a 1-row (min, max) bounds aggregate broadcasts onto
+    the scan (histogram_quantile's allowlisted shape); counts group by
+    (type, half, bin) — map-side combinable, the shuffle carries at
+    most |types| * 2 * {_DD_BINS} rows; per-type totals join back as a
+    broadcast few-row dim. The corpus is scanned twice (bounds + bins)
+    and shuffled never.
+    """
+    e = (_t(spark, sf_dir, "events")
+         .select("event_type",
+                 F.col("ts").cast("bigint").alias("ts_ns"),
+                 F.expr("CAST(round(value * 100) AS BIGINT)")
+                 .alias("v_e2")))
+    bounds = e.agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+    binned = (e.crossJoin(F.broadcast(bounds))
+              .select("event_type",
+                      F.expr("CAST(ts_ns >= lo + (hi - lo) div 2 AS INT)")
+                      .alias("half"),
+                      F.expr(f"least({_DD_BINS - 1}, greatest(0, "
+                             f"v_e2 div {_DD_STEP_E2}))").alias("bin")))
+    cells = (binned.groupBy("event_type", "bin")
+             .agg(F.sum(F.expr("1 - half")).cast("decimal(38,0)")
+                  .alias("n1"),
+                  F.sum("half").cast("decimal(38,0)").alias("n2")))
+    totals = (binned.groupBy("event_type")
+              .agg(F.sum(F.expr("1 - half")).cast("decimal(38,0)")
+                   .alias("t1"),
+                   F.sum("half").cast("decimal(38,0)").alias("t2")))
+    return (cells.join(F.broadcast(totals), "event_type")
+            .withColumn("p1_e6", F.expr(
+                "CAST(1000000 * n1 div greatest(t1, 1) AS BIGINT)"))
+            .withColumn("p2_e6", F.expr(
+                "CAST(1000000 * n2 div greatest(t2, 1) AS BIGINT)"))
+            .groupBy("event_type")
+            .agg(F.max(F.col("t1").cast("bigint")).alias("n_first_half"),
+                 F.max(F.col("t2").cast("bigint")).alias("n_second_half"),
+                 F.count(F.lit(1)).alias("n_bins"),
+                 F.sum(F.expr("(p1_e6 - p2_e6) * (p1_e6 - p2_e6)"))
+                 .cast("bigint").alias("drift_e12"))
+            .orderBy("event_type"))
+
+
+ORACLE_DIST_DRIFT = f"""
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) AS ts_ns,
+         CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events
+), bounds AS (
+  SELECT min(ts_ns) AS lo, max(ts_ns) AS hi FROM e
+), binned AS (
+  SELECT event_type,
+         CAST(ts_ns >= lo + (hi - lo) // 2 AS INT) AS half,
+         least({_DD_BINS - 1}, greatest(0, v_e2 // {_DD_STEP_E2})) AS bin
+  FROM e, bounds
+), cells AS (
+  SELECT event_type, bin,
+         CAST(sum(1 - half) AS BIGINT) AS n1,
+         CAST(sum(half) AS BIGINT) AS n2
+  FROM binned GROUP BY 1, 2
+), totals AS (
+  SELECT event_type,
+         CAST(sum(1 - half) AS BIGINT) AS t1,
+         CAST(sum(half) AS BIGINT) AS t2
+  FROM binned GROUP BY 1
+)
+SELECT event_type,
+       CAST(max(t1) AS BIGINT) AS n_first_half,
+       CAST(max(t2) AS BIGINT) AS n_second_half,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum((1000000 * n1 // greatest(t1, 1)
+                 - 1000000 * n2 // greatest(t2, 1))
+                * (1000000 * n1 // greatest(t1, 1)
+                   - 1000000 * n2 // greatest(t2, 1))) AS BIGINT)
+         AS drift_e12
+FROM cells JOIN totals USING (event_type)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES_EXT11.update({
     "referential_integrity": q_referential_integrity,
     "readability_report": q_readability_report,
     "source_overlap": q_source_overlap,
+    "fd_discovery": q_fd_discovery,
+    "distribution_drift": q_distribution_drift,
 })
 ORACLE_EXT11.update({
     "referential_integrity": ORACLE_REF_INTEGRITY,
     "readability_report": ORACLE_READABILITY,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
+    "fd_discovery": ORACLE_FD_DISCOVERY,
+    "distribution_drift": ORACLE_DIST_DRIFT,
 })

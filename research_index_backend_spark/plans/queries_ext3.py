@@ -499,8 +499,16 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one pass explodes (prev, cur) char bigrams, immediately
     reduced to integer counts per (doc, prev, cur) — the only data that
     leaves the map side. The probability table P(cur|prev) =
-    c(prev,cur)/c(prev,*) is a grouped count — small (alphabet²) and
-    BROADCAST into the scoring join. The per-doc mean folds
+    c(prev,cur)/c(prev,*) aggregates the SAME exploded lineage straight
+    to (prev, cur) — partial aggs collapse each task to ≤ alphabet²
+    rows, so its shuffle is constant-size regardless of corpus — and is
+    BROADCAST into the scoring join. The map-only scan+explode subtree
+    is deliberately computed twice rather than materialized: r8's 100x
+    probe measured the former localCheckpoint of the per-doc bigram
+    frame (docs × ≤alphabet² rows, MEMORY_AND_DISK in the block
+    manager) at ratio 127x for 100x data — pure GC pressure; recompute
+    is linear and spill-free (329s → re-measured after the fix in
+    BENCH_HISTORY's 100x table). The per-doc mean folds
     n(p,c)·logp(p,c) over DISTINCT bigram types in (prev, cur) order
     (sorted fold: a hash-agg double sum is order-nondeterministic across
     engines; folding weighted type contributions also shrinks the fold
@@ -509,21 +517,20 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     t = F.lower("text")
-    big = (d.select("doc_id", t.alias("t"))
-           .filter(F.length("t") >= 2)
-           .select("doc_id",
-                   F.explode(F.sequence(
-                       F.lit(1), F.length("t") - 1)).alias("pos"),
-                   F.col("t"))
-           .select("doc_id",
-                   F.col("t").substr(F.col("pos"), F.lit(1)).alias("prev"),
-                   F.col("t").substr(F.col("pos") + 1, F.lit(1))
-                   .alias("cur"))
-           .groupBy("doc_id", "prev", "cur")
-           .agg(F.count(F.lit(1)).alias("n_pc"))
-           .localCheckpoint())  # feeds the prob table AND the scoring join
-    probs = (big.groupBy("prev", "cur")
-             .agg(F.sum("n_pc").alias("c_pc")))
+    pairs = (d.select("doc_id", t.alias("t"))
+             .filter(F.length("t") >= 2)
+             .select("doc_id",
+                     F.explode(F.sequence(
+                         F.lit(1), F.length("t") - 1)).alias("pos"),
+                     F.col("t"))
+             .select("doc_id",
+                     F.col("t").substr(F.col("pos"), F.lit(1)).alias("prev"),
+                     F.col("t").substr(F.col("pos") + 1, F.lit(1))
+                     .alias("cur")))
+    big = (pairs.groupBy("doc_id", "prev", "cur")
+           .agg(F.count(F.lit(1)).alias("n_pc")))
+    probs = (pairs.groupBy("prev", "cur")
+             .agg(F.count(F.lit(1)).alias("c_pc")))
     prev_tot = probs.groupBy("prev").agg(F.sum("c_pc").alias("c_p"))
     ptable = (probs.join(F.broadcast(prev_tot), "prev")
               .select("prev", "cur",

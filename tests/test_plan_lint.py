@@ -116,6 +116,9 @@ BNLJ_ALLOWED = {
     # per-FK-edge 1-row coverage/parent-count aggregates crossed into
     # the 7-row audit report (the cascade_delete_audit shape, x7)
     "referential_integrity",
+    # 1-row (min, max) time-bounds aggregate broadcast onto the binning
+    # scan (the histogram_quantile shape)
+    "distribution_drift",
 }
 
 

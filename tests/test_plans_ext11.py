@@ -55,6 +55,20 @@ class TestPlanShapes:
         assert "TakeOrderedAndProject" in p
 
 
+    def test_fd_discovery_no_joins_anywhere(self, spark):
+        """Eight 1-row multi-distinct aggregates unioned — any Join
+        node means the report stopped being a pure aggregate."""
+        p = plan_of(Q11.q_fd_discovery(spark, SF))
+        assert "Join" not in p
+
+    def test_distribution_drift_bounded_shuffle(self, spark):
+        """Only the 1-row bounds aggregate may nested-loop; the cells
+        frame groups map-side and the totals dim joins broadcast."""
+        p = plan_of(Q11.q_distribution_drift(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+
+
 class TestSemantics:
     def test_referential_integrity_edge_count_and_bounds(self, spark):
         rows = {(r["child_table"], r["fk_col"]): r
@@ -78,6 +92,29 @@ class TestSemantics:
             # syllables-per-word in [1, 4] for any natural-ish text
             assert 1000 <= r["spw_e3"] <= 4000
             assert r["flesch_e3"] < 206835
+
+    def test_fd_discovery_keys_hold_segments_fail(self, spark):
+        rows = {(r["table_name"], r["det_col"]): r
+                for r in Q11.q_fd_discovery(spark, SF).collect()}
+        assert len(rows) == len(Q11._FD_CANDIDATES)
+        # primary keys determine every attribute
+        assert rows[("nation", "n_nationkey")]["fd_holds"] == 1
+        assert rows[("customer", "c_custkey")]["fd_holds"] == 1
+        assert rows[("orders", "o_orderkey")]["fd_holds"] == 1
+        # a 5-value segment cannot determine 25 nations
+        seg = rows[("customer", "c_mktsegment")]
+        assert seg["fd_holds"] == 0 and seg["n_violating_groups"] > 0
+        for r in rows.values():
+            assert r["ndv_pair"] >= r["ndv_det"]
+
+    def test_distribution_drift_bounds(self, spark):
+        rows = Q11.q_distribution_drift(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["n_bins"] <= Q11._DD_BINS
+            # L2^2 of two unit share vectors is at most 2 (e12: 2e12)
+            assert 0 <= r["drift_e12"] <= 2_000_000_000_000
+            assert r["n_first_half"] + r["n_second_half"] > 0
 
     def test_source_overlap_symmetric_bounds(self, spark):
         rows = Q11.q_source_overlap(spark, SF).collect()

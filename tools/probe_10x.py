@@ -79,8 +79,9 @@ SCALED = [
     "ohlc_bars", "t_closeness", "grid_dbscan_core",
     "association_rules", "hierarchy_rollup", "decayed_popularity",
     "attribution_report",
-    # r8 sixth wave (documents / lineitem driven)
+    # r8 sixth wave (documents / lineitem / events driven)
     "referential_integrity", "readability_report", "source_overlap",
+    "fd_discovery", "distribution_drift",
 ]
 
 
