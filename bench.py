@@ -124,11 +124,17 @@ def main() -> int:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = _sf_from_dir(SF_DIR)
 
-    # Full per-query detail, for humans and BENCH_HISTORY.md.
+    # Full per-query detail, for humans and BENCH_HISTORY.md. The bare
+    # BENCH_FULL.json name is the sf0.1 RECORD (probe_10x and the
+    # noise-suspect pass read it as the steady-state prior); a bench at
+    # any other SF writes a suffixed file so a quick sf0.001 smoke run
+    # can't clobber the record.
     full = {"metric": "total_query_sec", "value": total, "unit": "sec",
             "queries": timings, "sf": sf}
+    full_name = ("BENCH_FULL.json" if sf == 0.1
+                 else f"BENCH_FULL_sf{sf}.json")
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+                             full_name)
     try:
         with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
