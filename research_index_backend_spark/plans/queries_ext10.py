@@ -588,9 +588,11 @@ def q_benford_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.crossJoin(F.broadcast(tot))
             .join(F.broadcast(exp), F.col("digit") == F.col("e_digit"))
             .select("digit", "n_obs",
-                    F.expr("n_obs * 1000000 div n_total")
+                    F.expr("CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000"
+                           " div n_total AS BIGINT)")
                     .alias("share_e6"), "benford_e6",
-                    F.expr("n_obs * 1000000 div n_total - benford_e6")
+                    F.expr("CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000"
+                           " div n_total AS BIGINT) - benford_e6")
                     .alias("dev_e6"))
             .orderBy("digit"))
 
@@ -717,8 +719,10 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = dense.select(
         "c_mktsegment", "region_ish", "cn",
-        (F.sum(F.expr("cnt * 1000000 div cn")).over(w)
-         - F.sum(F.expr("gcnt * 1000000 div gn")).over(w)).alias("d"))
+        (F.sum(F.expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000"
+                      " div cn AS BIGINT)")).over(w)
+         - F.sum(F.expr("CAST(CAST(gcnt AS DECIMAL(38,0)) * 1000000"
+                        " div gn AS BIGINT)")).over(w)).alias("d"))
     return (cum.groupBy("c_mktsegment", "region_ish")
             .agg(F.max("cn").alias("n_rows"),
                  F.count(F.lit(1)).alias("n_bands"),
@@ -806,9 +810,11 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .withColumnRenamed("icnt", "cnt_b"), "pb")
             .crossJoin(F.broadcast(n))
             .select("pa", "pb", "cnt", "cnt_a", "cnt_b",
-                    F.expr("cnt * 1000000 div n_orders")
+                    F.expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000"
+                           " div n_orders AS BIGINT)")
                     .alias("support_e6"),
-                    F.expr("cnt * 1000000 div cnt_a")
+                    F.expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000"
+                           " div cnt_a AS BIGINT)")
                     .alias("confidence_e6"),
                     F.expr("CAST(cnt AS DECIMAL(38,0)) * n_orders"
                            " * 1000000 div (CAST(cnt_a AS DECIMAL(38,0))"

@@ -497,7 +497,8 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
                  .alias("n_dup_spans"))
             .select("source", "n_docs", "n_spans", "n_dup_spans",
-                    F.expr("n_dup_spans * 1000000 div n_spans")
+                    F.expr("CAST(CAST(n_dup_spans AS DECIMAL(38,0))"
+                           " * 1000000 div n_spans AS BIGINT)")
                     .alias("dup_frac_e6")))
 
 

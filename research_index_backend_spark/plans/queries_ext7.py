@@ -343,7 +343,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(F.lit(0))).alias("n_rows_at_risk"),
                  F.sum("cnt").alias("n_rows"))
             .select("k", "n_classes", "n_classes_at_risk", "n_rows_at_risk",
-                    F.expr("n_rows_at_risk * 1000000 div n_rows")
+                    F.expr("CAST(CAST(n_rows_at_risk AS DECIMAL(38,0))"
+                           " * 1000000 div n_rows AS BIGINT)")
                     .alias("risk_frac_e6")))
 
 
@@ -762,7 +763,8 @@ def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cnt").alias("n_rows"))
             .select("layout", "thr", "n_files", "n_pruned", "rows_scanned",
                     "rows_matched",
-                    F.expr("rows_scanned * 1000000 div n_rows")
+                    F.expr("CAST(CAST(rows_scanned AS DECIMAL(38,0))"
+                           " * 1000000 div n_rows AS BIGINT)")
                     .alias("scan_frac_e6")))
 
 
@@ -1222,7 +1224,8 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"lo + bin * (hi - lo + 1) div {_HQ_BINS}").alias("est_c"),
         F.expr(f"(hi - lo + 1) div {_HQ_BINS} + 1").alias("bin_width_c"),
         "n_bin",
-        F.expr("cum * 1000000 div n").alias("cum_frac_e6"))
+        F.expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000"
+               " div n AS BIGINT)").alias("cum_frac_e6"))
 
 
 ORACLE_HISTOGRAM_QUANTILE = f"""
@@ -1554,7 +1557,8 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("in_vocab").isNull().cast("bigint"))
                  .alias("n_oov"))
             .select("source", "n_tokens", "n_oov",
-                    F.expr("n_oov * 1000000 div n_tokens")
+                    F.expr("CAST(CAST(n_oov AS DECIMAL(38,0)) * 1000000"
+                           " div n_tokens AS BIGINT)")
                     .alias("oov_rate_e6")))
 
 

@@ -108,7 +108,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.coalesce(F.col("best_e6"), F.lit(0))
                         >= _INC_DUP_E6).cast("bigint")).alias("n_dup"))
             .select("source", "n_batch", "n_with_candidate", "n_dup",
-                    F.expr("(n_batch - n_dup) * 1000000 div n_batch")
+                    F.expr("CAST(CAST(n_batch - n_dup AS DECIMAL(38,0))"
+                           " * 1000000 div n_batch AS BIGINT)")
                     .alias("novel_rate_e6")))
 
 
@@ -252,7 +253,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cnt").alias("n_rows"))
             .select("layout", "pid", "n_files", "n_pruned", "rows_scanned",
                     "rows_matched",
-                    F.expr("rows_scanned * 1000000 div n_rows")
+                    F.expr("CAST(CAST(rows_scanned AS DECIMAL(38,0))"
+                           " * 1000000 div n_rows AS BIGINT)")
                     .alias("scan_frac_e6")))
 
 
@@ -389,7 +391,8 @@ def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(fk))
     return out.select(
         "join_case", "actual", "est",
-        F.expr("(est - actual) * 1000000 div actual").alias("rel_err_e6"))
+        F.expr("CAST(CAST(est - actual AS DECIMAL(38,0)) * 1000000"
+               " div actual AS BIGINT)").alias("rel_err_e6"))
 
 
 ORACLE_JOIN_CARD = f"""
@@ -1160,7 +1163,8 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("bigint")).alias("n_late"),
                  F.max("late_us").alias("max_lateness_us"))
             .select("watermark_us", "n_events", "n_late",
-                    F.expr("n_late * 1000000 div n_events")
+                    F.expr("CAST(CAST(n_late AS DECIMAL(38,0)) * 1000000"
+                           " div n_events AS BIGINT)")
                     .alias("drop_frac_e6"), "max_lateness_us"))
 
 
@@ -1782,7 +1786,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("head")).alias("chars_after"),
                  (F.sum("len0") - F.sum(F.length("head")))
                  .alias("merges_applied"),
-                 F.expr("sum(length(head)) * 1000000 div sum(len0)")
+                 F.expr("CAST(CAST(sum(length(head)) AS DECIMAL(38,0))"
+                        " * 1000000 div sum(len0) AS BIGINT)")
                  .alias("compression_e6")))
 
 
@@ -1868,7 +1873,8 @@ def q_shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  top.alias("t"))
             .select("shard", "n_docs", "n_tokens", "n_sources",
                     F.col("t.source").alias("top_source"),
-                    F.expr("(-t.nc) * 1000000 div n_docs")
+                    F.expr("CAST(CAST(-t.nc AS DECIMAL(38,0)) * 1000000"
+                           " div n_docs AS BIGINT)")
                     .alias("top_share_e6")))
 
 
@@ -2000,11 +2006,16 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _rev_e4()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    # The share multiply rides decimal(38,0): a BIGINT promo_rev_e4 *
+    # 1e6 overflows once the month's e4 revenue sum passes ~9.2e12
+    # (measured: ARITHMETIC_OVERFLOW at the 100x probe). DuckDB's
+    # integer sum() is already HUGEINT, so the twin agrees unchanged.
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .agg(F.sum(promo).cast("bigint").alias("promo_rev_e4"),
                  F.sum(rev).cast("bigint").alias("total_rev_e4"))
             .select("promo_rev_e4", "total_rev_e4",
-                    F.expr("promo_rev_e4 * 1000000 div total_rev_e4")
+                    F.expr("CAST(CAST(promo_rev_e4 AS DECIMAL(38,0))"
+                           " * 1000000 div total_rev_e4 AS BIGINT)")
                     .alias("promo_share_e6")))
 
 
@@ -2189,9 +2200,11 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntp = tp.agg(F.count(F.lit(1)).alias("n_tp"))
     return (nt.crossJoin(nc).crossJoin(ntp).select(
         "n_truth", "n_candidates", "n_tp",
-        F.expr("n_tp * 1000000 div greatest(n_candidates, 1)")
+        F.expr("CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+               " div greatest(n_candidates, 1) AS BIGINT)")
         .alias("precision_e6"),
-        F.expr("n_tp * 1000000 div greatest(n_truth, 1)")
+        F.expr("CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+               " div greatest(n_truth, 1) AS BIGINT)")
         .alias("recall_e6")))
 
 
@@ -2528,7 +2541,8 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("rows").alias("n_rows"))
             .select(F.col("lt").alias("l_threshold"), "n_classes",
                     "n_classes_below", "n_rows_below",
-                    F.expr("n_rows_below * 1000000 div n_rows")
+                    F.expr("CAST(CAST(n_rows_below AS DECIMAL(38,0))"
+                           " * 1000000 div n_rows AS BIGINT)")
                     .alias("risk_frac_e6")))
 
 
