@@ -124,6 +124,8 @@ _VERIFY_FIRST = (
     "association_rules", "hierarchy_rollup", "decayed_popularity",
     "attribution_report",
     "referential_integrity", "readability_report", "source_overlap",
+    "fd_discovery", "distribution_drift", "metadata_consistency",
+    "embedding_integrity",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

@@ -480,12 +480,131 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# metadata_consistency — manifest-vs-payload audit on documents
+# ---------------------------------------------------------------------------
+
+
+def q_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-vs-payload consistency audit: the documents table
+    carries a declared `n_chars` next to the payload `text` — the
+    shape every crawl manifest has — and drift between the two is how
+    a pipeline discovers truncated payloads, re-encodings, or a stale
+    manifest. Per source: row/char totals, mismatch count, and the
+    worst absolute drift.
+
+    Scale shape: one scan (text + metadata columns), pure column
+    expressions, map-side-combinable groupBy on the source key; the
+    exchange carries |sources| partial rows. A clean corpus reports
+    zero mismatches — the audit proving a zero is the point, exactly
+    like referential_integrity's orphan counts.
+    """
+    d = _t(spark, sf_dir, "documents")
+    actual = F.length("text")
+    diff = F.col("n_chars") - actual
+    return (d.select("source", F.col("n_chars").alias("declared"),
+                     actual.alias("actual"), diff.alias("diff"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("declared").alias("declared_chars"),
+                 F.sum("actual").alias("actual_chars"),
+                 F.sum((F.col("diff") != 0).cast("bigint"))
+                 .alias("n_mismatch"),
+                 F.max(F.abs("diff")).alias("max_abs_drift"))
+            .orderBy("source"))
+
+
+ORACLE_METADATA_CONSISTENCY = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS declared_chars,
+       CAST(sum(length(text)) AS BIGINT) AS actual_chars,
+       CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+       CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_abs_drift
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_integrity — vector-corruption audit on embeddings
+# ---------------------------------------------------------------------------
+
+_EI_DIM = 64  # expected embedding dimensionality
+
+
+def q_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corruption audit per label: wrong-dimension vectors,
+    NaN components, zero-norm vectors, and an exact quantized-norm
+    total — the check an ANN pipeline runs before indexing (a single
+    NaN poisons every distance it touches; zero-norm vectors break
+    cosine).
+
+    Exact arithmetic: the per-vector norm proxy sums round(x_i*1e3)^2
+    — each element quantizes INDEPENDENTLY (the embed_quantize_report
+    idiom: round(CAST(x AS DOUBLE) * scale)), so the sum is an integer
+    fold that is order-independent and engine-exact, unlike a float
+    list_sum whose association order differs between engines.
+    zero-norm means every component rounds to 0 at e3.
+
+    Scale shape: one scan, per-row array folds inside codegen, one
+    combinable groupBy on the tiny label key — no shuffle of vectors.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    norm_q = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+        "      * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v)")
+    n_nan = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(isnan(x) AS BIGINT)), CAST(0 AS BIGINT),"
+        " (a, v) -> a + v)")
+    return (e.select("label",
+                     F.size("embedding").alias("dim"),
+                     norm_q.alias("norm_q"), n_nan.alias("n_nan"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum((F.col("dim") != _EI_DIM).cast("bigint"))
+                 .alias("n_wrong_dim"),
+                 F.sum((F.col("n_nan") > 0).cast("bigint"))
+                 .alias("n_with_nan"),
+                 F.sum((F.col("norm_q") == 0).cast("bigint"))
+                 .alias("n_zero_norm"),
+                 F.sum("norm_q").alias("total_norm_q"))
+            .orderBy("label"))
+
+
+ORACLE_EMBEDDING_INTEGRITY = f"""
+WITH v AS (
+  SELECT label, len(embedding) AS dim,
+         list_sum(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                  * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+           AS norm_q,
+         list_sum(list_transform(embedding,
+             x -> CAST(isnan(x) AS BIGINT))) AS n_nan
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN dim <> {_EI_DIM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wrong_dim,
+       CAST(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_nan,
+       CAST(sum(CASE WHEN norm_q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(sum(norm_q) AS BIGINT) AS total_norm_q
+FROM v GROUP BY label ORDER BY label
+"""
+
+
 QUERIES_EXT11.update({
     "referential_integrity": q_referential_integrity,
     "readability_report": q_readability_report,
     "source_overlap": q_source_overlap,
     "fd_discovery": q_fd_discovery,
     "distribution_drift": q_distribution_drift,
+    "metadata_consistency": q_metadata_consistency,
+    "embedding_integrity": q_embedding_integrity,
 })
 ORACLE_EXT11.update({
     "referential_integrity": ORACLE_REF_INTEGRITY,
@@ -493,4 +612,6 @@ ORACLE_EXT11.update({
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "fd_discovery": ORACLE_FD_DISCOVERY,
     "distribution_drift": ORACLE_DIST_DRIFT,
+    "metadata_consistency": ORACLE_METADATA_CONSISTENCY,
+    "embedding_integrity": ORACLE_EMBEDDING_INTEGRITY,
 })

@@ -69,6 +69,20 @@ class TestPlanShapes:
         assert "SortMergeJoin" not in p
 
 
+    def test_metadata_consistency_single_scan(self, spark):
+        p = plan_of(Q11.q_metadata_consistency(spark, SF))
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+        assert "Join" not in p and "Window" not in p
+
+    def test_embedding_integrity_single_scan_no_python(self, spark):
+        """Array folds stay inside codegen — no Python evaluation of
+        the vector column, no join, one scan."""
+        p = plan_of(Q11.q_embedding_integrity(spark, SF))
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+        for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in p
+
+
 class TestSemantics:
     def test_referential_integrity_edge_count_and_bounds(self, spark):
         rows = {(r["child_table"], r["fk_col"]): r
@@ -115,6 +129,23 @@ class TestSemantics:
             # L2^2 of two unit share vectors is at most 2 (e12: 2e12)
             assert 0 <= r["drift_e12"] <= 2_000_000_000_000
             assert r["n_first_half"] + r["n_second_half"] > 0
+
+    def test_metadata_consistency_clean_corpus(self, spark):
+        rows = Q11.q_metadata_consistency(spark, SF).collect()
+        assert rows
+        for r in rows:
+            # the synthetic manifest is consistent — the audit must
+            # prove the zero, and totals must reconcile exactly
+            assert r["n_mismatch"] == 0 and r["max_abs_drift"] == 0
+            assert r["declared_chars"] == r["actual_chars"] > 0
+
+    def test_embedding_integrity_clean_corpus(self, spark):
+        rows = Q11.q_embedding_integrity(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["n_wrong_dim"] == 0 and r["n_with_nan"] == 0
+            assert r["n_zero_norm"] == 0
+            assert r["total_norm_q"] > 0 and r["n_vecs"] > 0
 
     def test_source_overlap_symmetric_bounds(self, spark):
         rows = Q11.q_source_overlap(spark, SF).collect()

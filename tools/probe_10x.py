@@ -82,6 +82,7 @@ SCALED = [
     # r8 sixth wave (documents / lineitem / events driven)
     "referential_integrity", "readability_report", "source_overlap",
     "fd_discovery", "distribution_drift",
+    "metadata_consistency", "embedding_integrity",
 ]
 
 
