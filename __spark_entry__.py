@@ -69,6 +69,14 @@ from research_index_backend_spark.plans.queries_ext11 import (  # noqa: E402
     ORACLE_EXT11,
     QUERIES_EXT11,
 )
+from research_index_backend_spark.plans.queries_ext12 import (  # noqa: E402
+    ORACLE_EXT12,
+    QUERIES_EXT12,
+)
+from research_index_backend_spark.plans.queries_ext13 import (  # noqa: E402
+    ORACLE_EXT13,
+    QUERIES_EXT13,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -126,6 +134,13 @@ _VERIFY_FIRST = (
     "referential_integrity", "readability_report", "source_overlap",
     "fd_discovery", "distribution_drift", "metadata_consistency",
     "embedding_integrity",
+    # --- late r8 waves (ext12/ext13; overflow the 50-slot window and
+    # rotate into official rows next round; locally green at sf0.01 +
+    # sf0.001 under tools/check.py, dtype audit clean) ---
+    "golden_record", "snapshot_asof", "boolean_retrieval",
+    "phrase_search", "frequent_triples", "group_kfold",
+    "winsorize_report", "theil_sen_trend", "bootstrap_ci",
+    "length_bucket_batching", "compaction_plan", "domain_affinity_score",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -156,7 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered({**QUERIES, **QUERIES_EXT, **QUERIES_EXT2,
                      **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
                      **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8,
-                     **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11})
+                     **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11,
+                     **QUERIES_EXT12, **QUERIES_EXT13})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -164,4 +180,5 @@ def oracle_sql() -> dict[str, str]:
     return _ordered({**ORACLE, **ORACLE_EXT, **ORACLE_EXT2, **ORACLE_EXT3,
                      **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6,
                      **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9,
-                     **ORACLE_EXT10, **ORACLE_EXT11})
+                     **ORACLE_EXT10, **ORACLE_EXT11, **ORACLE_EXT12,
+                     **ORACLE_EXT13})

@@ -43,6 +43,14 @@ SENSITIVE = [
     "ohlc_bars", "t_closeness",
     # per-user IGNORE-NULLS carry with explicit (ts, kind, id) order
     "attribution_report",
+    # r8 late wave: min_by modal tie-break (golden_record), struct-
+    # argmax latest row (snapshot_asof), cumulative-count order
+    # statistics (winsorize), pair-median windows (theil_sen), hash-
+    # derived Poisson weights (bootstrap), hash folds (group_kfold),
+    # signed share subtraction over a broadcast totals row (affinity)
+    "golden_record", "snapshot_asof", "winsorize_report",
+    "theil_sen_trend", "bootstrap_ci", "group_kfold",
+    "domain_affinity_score",
 ]
 
 

@@ -68,6 +68,12 @@ BNLJ_ALLOWED = {
     "bpe_pair_stats",
     # 1-row (min, max) bounds aggregate broadcast onto the binning scan
     "histogram_quantile",
+    # 1-row time-range bounds aggregate broadcast onto the as-of filter
+    # scan (the histogram_quantile shape)
+    "snapshot_asof",
+    # 1-row corpus-totals aggregate crossed onto the |vocab| weight
+    # table (the bm25 stats shape)
+    "domain_affinity_score",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report
@@ -142,6 +148,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # share normalization over the SOURCE dim (tens of rows; docstring
     # documents the bound) — sum() over () on the per-source aggregate
     "mix_plan",
+    # share normalization over the K-row fold aggregate (K = 5 by
+    # construction) — the mix_plan shape
+    "group_kfold",
 }
 
 

@@ -83,6 +83,12 @@ SCALED = [
     "referential_integrity", "readability_report", "source_overlap",
     "fd_discovery", "distribution_drift",
     "metadata_consistency", "embedding_integrity",
+    # r8 late waves (ext12/ext13: documents / events / lineitem /
+    # orders driven)
+    "golden_record", "snapshot_asof", "boolean_retrieval",
+    "phrase_search", "frequent_triples", "group_kfold",
+    "winsorize_report", "theil_sen_trend", "bootstrap_ci",
+    "length_bucket_batching", "compaction_plan", "domain_affinity_score",
 ]
 
 
