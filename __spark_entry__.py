@@ -77,6 +77,14 @@ from research_index_backend_spark.plans.queries_ext13 import (  # noqa: E402
     ORACLE_EXT13,
     QUERIES_EXT13,
 )
+from research_index_backend_spark.plans.queries_ext14 import (  # noqa: E402
+    ORACLE_EXT14,
+    QUERIES_EXT14,
+)
+from research_index_backend_spark.plans.queries_ext15 import (  # noqa: E402
+    ORACLE_EXT15,
+    QUERIES_EXT15,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -141,6 +149,10 @@ _VERIFY_FIRST = (
     "phrase_search", "frequent_triples", "group_kfold",
     "winsorize_report", "theil_sen_trend", "bootstrap_ci",
     "length_bucket_batching", "compaction_plan", "domain_affinity_score",
+    "rolling_median_7d", "unigram_surprisal", "feature_hashing_report",
+    "sax_symbolic",
+    "tokenizer_fertility", "postings_compression_report",
+    "graph_random_walk",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -172,7 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT3, **QUERIES_EXT4, **QUERIES_EXT5,
                      **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8,
                      **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11,
-                     **QUERIES_EXT12, **QUERIES_EXT13})
+                     **QUERIES_EXT12, **QUERIES_EXT13, **QUERIES_EXT14,
+                     **QUERIES_EXT15})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -181,4 +194,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6,
                      **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9,
                      **ORACLE_EXT10, **ORACLE_EXT11, **ORACLE_EXT12,
-                     **ORACLE_EXT13})
+                     **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15})

@@ -51,6 +51,11 @@ SENSITIVE = [
     "golden_record", "snapshot_asof", "winsorize_report",
     "theil_sen_trend", "bootstrap_ci", "group_kfold",
     "domain_affinity_score",
+    # ext14: bounded rank-median windows, rarity-ladder joins,
+    # order-explicit sorted-fold SAX strings
+    "rolling_median_7d", "unigram_surprisal", "sax_symbolic",
+    # ext15: per-term lag windows, hash-driven deterministic walks
+    "postings_compression_report", "graph_random_walk",
 ]
 
 

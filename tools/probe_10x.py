@@ -89,6 +89,9 @@ SCALED = [
     "phrase_search", "frequent_triples", "group_kfold",
     "winsorize_report", "theil_sen_trend", "bootstrap_ci",
     "length_bucket_batching", "compaction_plan", "domain_affinity_score",
+    "rolling_median_7d", "unigram_surprisal", "feature_hashing_report",
+    "sax_symbolic", "tokenizer_fertility", "postings_compression_report",
+    "graph_random_walk",
 ]
 
 
