@@ -85,6 +85,14 @@ from research_index_backend_spark.plans.queries_ext15 import (  # noqa: E402
     ORACLE_EXT15,
     QUERIES_EXT15,
 )
+from research_index_backend_spark.plans.queries_ext16 import (  # noqa: E402
+    ORACLE_EXT16,
+    QUERIES_EXT16,
+)
+from research_index_backend_spark.plans.queries_ext17 import (  # noqa: E402
+    ORACLE_EXT17,
+    QUERIES_EXT17,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -153,6 +161,10 @@ _VERIFY_FIRST = (
     "sax_symbolic",
     "tokenizer_fertility", "postings_compression_report",
     "graph_random_walk",
+    "bigram_lm_score", "embedding_outliers", "latency_slo_report",
+    "topk_churn_report",
+    "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
+    "dedup_threshold_sweep",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -185,7 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8,
                      **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11,
                      **QUERIES_EXT12, **QUERIES_EXT13, **QUERIES_EXT14,
-                     **QUERIES_EXT15})
+                     **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -194,4 +206,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT4, **ORACLE_EXT5, **ORACLE_EXT6,
                      **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9,
                      **ORACLE_EXT10, **ORACLE_EXT11, **ORACLE_EXT12,
-                     **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15})
+                     **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15,
+                     **ORACLE_EXT16, **ORACLE_EXT17})

@@ -56,6 +56,12 @@ SENSITIVE = [
     "rolling_median_7d", "unigram_surprisal", "sax_symbolic",
     # ext15: per-term lag windows, hash-driven deterministic walks
     "postings_compression_report", "graph_random_walk",
+    # ext16: MLE bigram probabilities, centroid folds, cumulative-count
+    # percentiles, tie-broken top-k sets
+    "bigram_lm_score", "embedding_outliers", "latency_slo_report",
+    "topk_churn_report",
+    # ext17: strata-rank apportionment, capped-index threshold sweep
+    "quota_allocation", "dedup_threshold_sweep",
 ]
 
 

@@ -151,6 +151,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # share normalization over the K-row fold aggregate (K = 5 by
     # construction) — the mix_plan shape
     "group_kfold",
+    # total/remainder-rank/leftover windows over the (lang, source)
+    # strata dim (bounded vocabularies, ~tens of rows) — the mix_plan
+    # shape with a rank
+    "quota_allocation",
 }
 
 

@@ -92,6 +92,10 @@ SCALED = [
     "rolling_median_7d", "unigram_surprisal", "feature_hashing_report",
     "sax_symbolic", "tokenizer_fertility", "postings_compression_report",
     "graph_random_walk",
+    "bigram_lm_score", "embedding_outliers", "latency_slo_report",
+    "topk_churn_report",
+    "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
+    "dedup_threshold_sweep",
 ]
 
 
