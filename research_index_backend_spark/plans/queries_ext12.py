@@ -96,8 +96,12 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("n_members") >= 2))
     lm = (base.groupBy("k", "lang").agg(F.count(F.lit(1)).alias("c"))
           .select("k", "lang",
-                  F.expr("lpad(CAST(1000000 - c AS STRING), 7, '0')"
-                         " || '|' || lang").alias("ord")))
+                  # 1e15 headroom: the padded (count desc, lang asc)
+                  # sort key stays a total order for any cluster size a
+                  # real corpus can produce (1e6 would flip sign at
+                  # million-member boilerplate clusters)
+                  F.expr("lpad(CAST(1000000000000000 - c AS STRING),"
+                         " 16, '0') || '|' || lang").alias("ord")))
     mode = lm.groupBy("k").agg(F.expr("min_by(lang, ord)")
                                .alias("lang_modal"))
     return (cl.join(mode, "k")
@@ -127,8 +131,8 @@ WITH tok AS (
 ), lm AS (
   SELECT k, lang, count(*) AS c FROM base GROUP BY 1, 2
 ), md AS (
-  SELECT k, arg_min(lang, lpad(CAST(1000000 - c AS VARCHAR), 7, '0')
-                          || '|' || lang) AS lang_modal
+  SELECT k, arg_min(lang, lpad(CAST(1000000000000000 - c AS VARCHAR),
+                               16, '0') || '|' || lang) AS lang_modal
   FROM lm GROUP BY k
 )
 SELECT cl.k AS cluster_key, canonical_id, n_members, n_sources,
@@ -414,7 +418,9 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     return (agg.withColumn("total_events", F.sum("n_events").over(w))
             .withColumn("event_share_e6",
-                        F.expr("1000000 * n_events div total_events"))
+                        F.expr("CAST(1000000 * CAST(n_events AS"
+                               " DECIMAL(38,0)) div total_events"
+                               " AS BIGINT)"))
             .drop("total_events")
             .orderBy("fold"))
 

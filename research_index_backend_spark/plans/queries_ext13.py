@@ -98,9 +98,11 @@ def q_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.max("lo_e2").alias("lo_e2"),
                  F.max("hi_e2").alias("hi_e2"),
-                 F.expr("(10000 * sum(v_e2)) div count(*)")
+                 F.expr("CAST(10000 * CAST(sum(v_e2) AS DECIMAL(38,0))"
+                        " div count(*) AS BIGINT)")
                  .alias("raw_mean_e6"),
-                 F.expr("(10000 * sum(w_e2)) div count(*)")
+                 F.expr("CAST(10000 * CAST(sum(w_e2) AS DECIMAL(38,0))"
+                        " div count(*) AS BIGINT)")
                  .alias("winsor_mean_e6"))
             .orderBy("event_type"))
 
@@ -169,7 +171,8 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(round(value * 100) AS BIGINT)")
                  .alias("v_e2")))
     daily = (e.groupBy("event_type", "day")
-             .agg(F.expr("(100 * sum(v_e2)) div count(*)").alias("m_e4")))
+             .agg(F.expr("CAST(100 * CAST(sum(v_e2) AS DECIMAL(38,0))"
+                         " div count(*) AS BIGINT)").alias("m_e4")))
     d1 = daily.select("event_type", F.col("day").alias("da"),
                       F.col("m_e4").alias("ma"))
     d2 = daily.select(F.col("event_type").alias("et2"),
@@ -264,7 +267,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("event_type", "b", w.cast("bigint").alias("w"),
                  F.col("v_e2")))
     rep = (e.groupBy("event_type", "b")
-           .agg(F.expr("(10000 * sum(w * v_e2)) div greatest(sum(w), 1)")
+           .agg(F.expr("CAST(10000 * CAST(sum(w * v_e2) AS DECIMAL(38,0))"
+                       " div greatest(sum(w), 1) AS BIGINT)")
                 .alias("mean_e6")))
     return (rep.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_reps"),
@@ -351,8 +355,9 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("padded_tokens",
                         F.expr("n_docs * bucket_cap"))
             .withColumn("pad_waste_e6",
-                        F.expr("(1000000 * (padded_tokens - total_tokens))"
-                               " div padded_tokens"))
+                        F.expr("CAST(1000000 * CAST(padded_tokens"
+                               " - total_tokens AS DECIMAL(38,0))"
+                               " div padded_tokens AS BIGINT)"))
             .withColumn("rows_per_batch",
                         F.expr(f"greatest(1, {_LB_BUDGET} div bucket_cap)"))
             .withColumn("n_batches",
@@ -494,9 +499,11 @@ def q_domain_affinity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.sum("rest_c").alias("t_rest"))
     weights = (freq.crossJoin(F.broadcast(totals))
                .select("term",
-                       F.expr("(1000000 * tgt_c) div greatest(t_tgt, 1)"
-                              " - (1000000 * rest_c)"
-                              " div greatest(t_rest, 1)")
+                       F.expr("CAST(1000000 * CAST(tgt_c AS"
+                              " DECIMAL(38,0)) div greatest(t_tgt, 1)"
+                              " - 1000000 * CAST(rest_c AS"
+                              " DECIMAL(38,0)) div greatest(t_rest, 1)"
+                              " AS BIGINT)")
                        .alias("w_e6")))
     return (postings.join(weights, "term")
             .groupBy("doc_id", "source")

@@ -52,7 +52,8 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(round(value * 100) AS BIGINT)")
                  .alias("v_e2")))
     return (e.groupBy("event_type", "day")
-            .agg(F.expr("(100 * sum(v_e2)) div count(*)").alias("m_e4")))
+            .agg(F.expr("CAST(100 * CAST(sum(v_e2) AS DECIMAL(38,0))"
+                        " div count(*) AS BIGINT)").alias("m_e4")))
 
 
 _DAILY_SQL = f"""

@@ -78,11 +78,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s").alias("total_subtokens"),
                  F.sum("c").alias("total_chars"))
             .withColumn("fertility_e6",
-                        F.expr("(1000000 * total_subtokens)"
-                               " div greatest(total_words, 1)"))
+                        F.expr("CAST(1000000 * CAST(total_subtokens AS"
+                               " DECIMAL(38,0))"
+                               " div greatest(total_words, 1) AS BIGINT)"))
             .withColumn("chars_per_subtoken_e3",
-                        F.expr("(1000 * total_chars)"
-                               " div greatest(total_subtokens, 1)"))
+                        F.expr("CAST(1000 * CAST(total_chars AS"
+                               " DECIMAL(38,0))"
+                               " div greatest(total_subtokens, 1)"
+                               " AS BIGINT)"))
             .orderBy("lang"))
 
 

@@ -79,7 +79,9 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("w1").agg(F.sum("c2").alias("c1")))
     stats = (c2.withColumn("w1", F.expr("split_part(g, ' ', 1)"))
              .join(c1, "w1")
-             .select("g", F.expr("(1000000 * c2) div c1").alias("p_e6")))
+             .select("g", F.expr("CAST(1000000 * CAST(c2 AS"
+                                 " DECIMAL(38,0)) div c1 AS BIGINT)")
+                     .alias("p_e6")))
     return (inst.join(stats, "g")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),

@@ -215,10 +215,12 @@ def q_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_rows"))
             .select(F.lit(name).alias("column_name"), "n_rows", "ndv",
                     "top1",
-                    F.expr("(1000000 * top1) div n_rows")
+                    F.expr("CAST(1000000 * CAST(top1 AS DECIMAL(38,0))"
+                           " div n_rows AS BIGINT)")
                     .alias("top1_share_e6"),
                     F.expr(f"CASE WHEN ndv <= {_CA_DICT_NDV} THEN 'DICT'"
-                           f" WHEN (1000000 * top1) div n_rows"
+                           f" WHEN CAST(1000000 * CAST(top1 AS"
+                           f" DECIMAL(38,0)) div n_rows AS BIGINT)"
                            f" >= {_CA_RLE_SHARE_E6} THEN 'RLE'"
                            f" ELSE 'PLAIN' END").alias("codec")))
     out = rows[0]
