@@ -93,6 +93,10 @@ from research_index_backend_spark.plans.queries_ext17 import (  # noqa: E402
     ORACLE_EXT17,
     QUERIES_EXT17,
 )
+from research_index_backend_spark.plans.queries_ext18 import (  # noqa: E402
+    ORACLE_EXT18,
+    QUERIES_EXT18,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -164,7 +168,7 @@ _VERIFY_FIRST = (
     "bigram_lm_score", "embedding_outliers", "latency_slo_report",
     "topk_churn_report",
     "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
-    "dedup_threshold_sweep",
+    "dedup_threshold_sweep", "residual_outliers", "equidepth_histogram",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -197,7 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT6, **QUERIES_EXT7, **QUERIES_EXT8,
                      **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11,
                      **QUERIES_EXT12, **QUERIES_EXT13, **QUERIES_EXT14,
-                     **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17})
+                     **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17,
+                     **QUERIES_EXT18})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -207,4 +212,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9,
                      **ORACLE_EXT10, **ORACLE_EXT11, **ORACLE_EXT12,
                      **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15,
-                     **ORACLE_EXT16, **ORACLE_EXT17})
+                     **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18})

@@ -62,6 +62,8 @@ SENSITIVE = [
     "topk_churn_report",
     # ext17: strata-rank apportionment, capped-index threshold sweep
     "quota_allocation", "dedup_threshold_sweep",
+    # ext18: scale-free residual ranks, cumulative-count deciles
+    "residual_outliers", "equidepth_histogram",
 ]
 
 

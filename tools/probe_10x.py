@@ -95,7 +95,7 @@ SCALED = [
     "bigram_lm_score", "embedding_outliers", "latency_slo_report",
     "topk_churn_report",
     "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
-    "dedup_threshold_sweep",
+    "dedup_threshold_sweep", "residual_outliers", "equidepth_histogram",
 ]
 
 
