@@ -97,6 +97,10 @@ from research_index_backend_spark.plans.queries_ext18 import (  # noqa: E402
     ORACLE_EXT18,
     QUERIES_EXT18,
 )
+from research_index_backend_spark.plans.queries_ext19 import (  # noqa: E402
+    ORACLE_EXT19,
+    QUERIES_EXT19,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -169,6 +173,7 @@ _VERIFY_FIRST = (
     "topk_churn_report",
     "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
     "dedup_threshold_sweep", "residual_outliers", "equidepth_histogram",
+    "ctfidf_topterms",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -202,7 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11,
                      **QUERIES_EXT12, **QUERIES_EXT13, **QUERIES_EXT14,
                      **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17,
-                     **QUERIES_EXT18})
+                     **QUERIES_EXT18, **QUERIES_EXT19})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -212,4 +217,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT7, **ORACLE_EXT8, **ORACLE_EXT9,
                      **ORACLE_EXT10, **ORACLE_EXT11, **ORACLE_EXT12,
                      **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15,
-                     **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18})
+                     **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18,
+                     **ORACLE_EXT19})

@@ -64,6 +64,8 @@ SENSITIVE = [
     "quota_allocation", "dedup_threshold_sweep",
     # ext18: scale-free residual ranks, cumulative-count deciles
     "residual_outliers", "equidepth_histogram",
+    # ext19: tie-broken per-source rank over the vocab lattice
+    "ctfidf_topterms",
 ]
 
 

@@ -74,6 +74,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-totals aggregate crossed onto the |vocab| weight
     # table (the bm25 stats shape)
     "domain_affinity_score",
+    # 1-row n_sources aggregate crossed onto the (source, term) counts
+    # (the bm25 stats shape)
+    "ctfidf_topterms",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report

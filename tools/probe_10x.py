@@ -96,6 +96,7 @@ SCALED = [
     "topk_churn_report",
     "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
     "dedup_threshold_sweep", "residual_outliers", "equidepth_histogram",
+    "ctfidf_topterms",
 ]
 
 
