@@ -101,6 +101,10 @@ from research_index_backend_spark.plans.queries_ext19 import (  # noqa: E402
     ORACLE_EXT19,
     QUERIES_EXT19,
 )
+from research_index_backend_spark.plans.queries_ext20 import (  # noqa: E402
+    ORACLE_EXT20,
+    QUERIES_EXT20,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -174,6 +178,11 @@ _VERIFY_FIRST = (
     "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
     "dedup_threshold_sweep", "residual_outliers", "equidepth_histogram",
     "ctfidf_topterms",
+    # --- new r9 waves (ext20+; rotate into official rows as the window
+    # reaches them; locally green at sf0.01 + sf0.001 under
+    # tools/check.py) ---
+    "hybrid_rrf_fusion", "link_prediction_ra", "target_encode_smoothed",
+    "ks_test_drift", "gini_gain_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -207,7 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT9, **QUERIES_EXT10, **QUERIES_EXT11,
                      **QUERIES_EXT12, **QUERIES_EXT13, **QUERIES_EXT14,
                      **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17,
-                     **QUERIES_EXT18, **QUERIES_EXT19})
+                     **QUERIES_EXT18, **QUERIES_EXT19, **QUERIES_EXT20})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -218,4 +227,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT10, **ORACLE_EXT11, **ORACLE_EXT12,
                      **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15,
                      **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18,
-                     **ORACLE_EXT19})
+                     **ORACLE_EXT19, **ORACLE_EXT20})

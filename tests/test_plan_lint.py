@@ -77,6 +77,18 @@ BNLJ_ALLOWED = {
     # 1-row n_sources aggregate crossed onto the (source, term) counts
     # (the bm25 stats shape)
     "ctfidf_topterms",
+    # brute-force vector arm (1-query broadcast product, the
+    # ann_cosine_topk shape) + 1-row n_docs stats cross
+    "hybrid_rrf_fusion",
+    # bounded value-domain spine crossed with the |types|-row dim (the
+    # gapfill_ffill shape) + two 1-row totals crosses
+    "ks_test_drift",
+    # 1-row global (count, sum) aggregate crossed onto the per-segment
+    # aggregate (the bm25 stats shape)
+    "target_encode_smoothed",
+    # 1-row parent label-distribution aggregate crossed onto the
+    # 3-row per-feature table
+    "gini_gain_report",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report
@@ -158,6 +170,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # strata dim (bounded vocabularies, ~tens of rows) — the mix_plan
     # shape with a rank
     "quota_allocation",
+    # rank window over the POST-LIMIT lexical pool (30 rows by
+    # construction: orderBy+limit precedes the window — TakeOrdered
+    # does the corpus-scale work, the window only numbers survivors)
+    "hybrid_rrf_fusion",
 }
 
 
