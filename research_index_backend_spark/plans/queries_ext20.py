@@ -366,6 +366,41 @@ ORDER BY segment
 # ks_test_drift — exact two-sample KS statistic, each type vs the rest
 # ---------------------------------------------------------------------------
 
+def _cdf_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared CDF machinery for the rank/CDF test statistics (KS here,
+    Mann-Whitney in ext21): events reduce map-side to (type, cents)
+    counts over the BOUNDED value domain, the |types|-row dim crosses
+    the distinct-value spine (BNLJ-allowlisted, the gapfill shape),
+    and per-type inclusive CDFs come from windows partitioned by type.
+    Global quantities derive from the per-type CDFs (g = sum of ft
+    over types at each v; tv = count at v over all types) — no global
+    window, no second corpus pass.
+
+    Columns: event_type, v (cents), c (count of type at v, 0-filled),
+    ft (inclusive per-type cum count), g (inclusive global cum count),
+    tv (total count at v over all types), nt (type total), nn (grand
+    total)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"))
+    cnt = e.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    lattice = (cnt.select("v").distinct()
+               .crossJoin(F.broadcast(cnt.select("event_type").distinct())))
+    filled = (lattice.join(cnt, ["event_type", "v"], "left")
+              .select("event_type", "v",
+                      F.coalesce("c", F.lit(0)).alias("c")))
+    wcum = (Window.partitionBy("event_type").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = filled.withColumn("ft", F.sum("c").over(wcum))
+    gt = cum.groupBy("v").agg(F.sum("ft").alias("g"),
+                              F.sum("c").alias("tv"))
+    per_n = cnt.groupBy("event_type").agg(F.sum("c").alias("nt"))
+    tot = per_n.agg(F.sum("nt").alias("nn"))
+    return (cum.join(gt, "v")
+            .join(F.broadcast(per_n), "event_type")
+            .crossJoin(F.broadcast(tot)))
+
+
 def q_ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift test: for each event
     type t, D = max over values v of |F_t(v) - F_rest(v)|, evaluated
@@ -383,28 +418,10 @@ def q_ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from G(v) = sum over types of F_t(v) — no second pass over the
     corpus and no global window anywhere.
     """
-    e = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"))
-    cnt = e.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
-    lattice = (cnt.select("v").distinct()
-               .crossJoin(F.broadcast(cnt.select("event_type").distinct())))
-    filled = (lattice.join(cnt, ["event_type", "v"], "left")
-              .select("event_type", "v",
-                      F.coalesce("c", F.lit(0)).alias("c")))
-    wcum = (Window.partitionBy("event_type").orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = filled.withColumn("ft", F.sum("c").over(wcum))
-    gt = cum.groupBy("v").agg(F.sum("ft").alias("g"))
-    per_n = cnt.groupBy("event_type").agg(F.sum("c").alias("nt"))
-    tot = per_n.agg(F.sum("nt").alias("nn"))
-    x = (cum.join(gt, "v")
-         .join(F.broadcast(per_n), "event_type")
-         .crossJoin(F.broadcast(tot))
-         .select("event_type", "v", "nt", "nn",
-                 F.expr("abs(CAST(ft AS DECIMAL(38,0)) * (nn - nt)"
-                        " - CAST(g - ft AS DECIMAL(38,0)) * nt)")
-                 .alias("diff")))
+    x = _cdf_lattice(spark, sf_dir).select(
+        "event_type", "v", "nt", "nn",
+        F.expr("abs(CAST(ft AS DECIMAL(38,0)) * (nn - nt)"
+               " - CAST(g - ft AS DECIMAL(38,0)) * nt)").alias("diff"))
     w = Window.partitionBy("event_type").orderBy(F.desc("diff"), "v")
     return (x.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)

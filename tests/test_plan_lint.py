@@ -89,6 +89,12 @@ BNLJ_ALLOWED = {
     # 1-row parent label-distribution aggregate crossed onto the
     # 3-row per-feature table
     "gini_gain_report",
+    # brute-force truth arm (query-batch x corpus broadcast product BY
+    # DESIGN — the exact baseline, the ann_recall_report shape)
+    "ndcg_eval",
+    # the ks_test_drift CDF-lattice machinery (bounded value spine x
+    # |types| dim + 1-row totals crosses)
+    "mannwhitney_auc",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report
