@@ -95,6 +95,17 @@ BNLJ_ALLOWED = {
     # the ks_test_drift CDF-lattice machinery (bounded value spine x
     # |types| dim + 1-row totals crosses)
     "mannwhitney_auc",
+    # K 1-row selected-center broadcasts crossed onto the point set
+    # (the kmeans_embed assignment shape) + 1-row radius aggregates
+    "coreset_kcenter",
+    # 1-row corpus-max-timestamp aggregate crossed onto the per-user
+    # aggregate
+    "rfm_segments",
+    # 1-row (n, sum) lag-totals aggregate crossed onto the cumulative
+    # count table
+    "conversion_lag_report",
+    # 1-row corpus-totals fold crossed onto the |sources|-row aggregate
+    "loo_source_impact",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report
@@ -180,6 +191,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # construction: orderBy+limit precedes the window — TakeOrdered
     # does the corpus-scale work, the window only numbers survivors)
     "hybrid_rrf_fusion",
+    # prefix sum over the lag-minute BAND table (|timeline minutes| /
+    # 512 rows, corpus-independent — the gini_coefficient two-level
+    # banded decomposition)
+    "conversion_lag_report",
 }
 
 

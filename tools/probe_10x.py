@@ -97,6 +97,11 @@ SCALED = [
     "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
     "dedup_threshold_sweep", "residual_outliers", "equidepth_histogram",
     "ctfidf_topterms",
+    # r9 waves (documents / embeddings / lineitem / orders / events
+    # driven)
+    "hybrid_rrf_fusion", "link_prediction_ra", "target_encode_smoothed",
+    "ks_test_drift", "gini_gain_report",
+    "ndcg_eval", "mannwhitney_auc", "interarrival_burstiness",
 ]
 
 
