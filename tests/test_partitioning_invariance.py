@@ -66,6 +66,13 @@ SENSITIVE = [
     "residual_outliers", "equidepth_histogram",
     # ext19: tie-broken per-source rank over the vocab lattice
     "ctfidf_topterms",
+    # ext20-22 (r9): pool ranks + salted top-k fusion, wedge-sum
+    # anti-joined scores, CDF-lattice windows, quintile cuts, greedy
+    # farthest-point rounds (argmax over a carried min-dist column),
+    # banded percentile prefix
+    "hybrid_rrf_fusion", "link_prediction_ra", "ks_test_drift",
+    "mannwhitney_auc", "ndcg_eval", "coreset_kcenter", "rfm_segments",
+    "conversion_lag_report",
 ]
 
 

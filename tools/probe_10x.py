@@ -102,6 +102,8 @@ SCALED = [
     "hybrid_rrf_fusion", "link_prediction_ra", "target_encode_smoothed",
     "ks_test_drift", "gini_gain_report",
     "ndcg_eval", "mannwhitney_auc", "interarrival_burstiness",
+    "coreset_kcenter", "rfm_segments", "conversion_lag_report",
+    "loo_source_impact",
 ]
 
 
