@@ -113,6 +113,10 @@ from research_index_backend_spark.plans.queries_ext22 import (  # noqa: E402
     ORACLE_EXT22,
     QUERIES_EXT22,
 )
+from research_index_backend_spark.plans.queries_ext23 import (  # noqa: E402
+    ORACLE_EXT23,
+    QUERIES_EXT23,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -194,6 +198,8 @@ _VERIFY_FIRST = (
     "ndcg_eval", "mannwhitney_auc", "interarrival_burstiness",
     "coreset_kcenter", "rfm_segments", "conversion_lag_report",
     "loo_source_impact",
+    "qlm_dirichlet_topk", "rich_club_coefficient",
+    "harmonic_centrality_seeds",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -228,7 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT12, **QUERIES_EXT13, **QUERIES_EXT14,
                      **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17,
                      **QUERIES_EXT18, **QUERIES_EXT19, **QUERIES_EXT20,
-                     **QUERIES_EXT21, **QUERIES_EXT22})
+                     **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -240,4 +246,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15,
                      **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18,
                      **ORACLE_EXT19, **ORACLE_EXT20, **ORACLE_EXT21,
-                     **ORACLE_EXT22})
+                     **ORACLE_EXT22, **ORACLE_EXT23})

@@ -73,6 +73,9 @@ SENSITIVE = [
     "hybrid_rrf_fusion", "link_prediction_ra", "ks_test_drift",
     "mannwhitney_auc", "ndcg_eval", "coreset_kcenter", "rfm_segments",
     "conversion_lag_report",
+    # ext23: sorted product fold over collected LM terms, per-seed
+    # frontier BFS rounds
+    "qlm_dirichlet_topk", "harmonic_centrality_seeds",
 ]
 
 

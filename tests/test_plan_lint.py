@@ -106,6 +106,9 @@ BNLJ_ALLOWED = {
     "conversion_lag_report",
     # 1-row corpus-totals fold crossed onto the |sources|-row aggregate
     "loo_source_impact",
+    # 1-row corpus-token-total + 3-row query-term LM crossed onto the
+    # candidate set (the bm25 stats shape)
+    "qlm_dirichlet_topk",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report

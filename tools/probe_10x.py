@@ -104,6 +104,8 @@ SCALED = [
     "ndcg_eval", "mannwhitney_auc", "interarrival_burstiness",
     "coreset_kcenter", "rfm_segments", "conversion_lag_report",
     "loo_source_impact",
+    "qlm_dirichlet_topk", "rich_club_coefficient",
+    "harmonic_centrality_seeds",
 ]
 
 
