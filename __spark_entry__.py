@@ -199,7 +199,7 @@ _VERIFY_FIRST = (
     "coreset_kcenter", "rfm_segments", "conversion_lag_report",
     "loo_source_impact",
     "qlm_dirichlet_topk", "rich_club_coefficient",
-    "harmonic_centrality_seeds",
+    "harmonic_centrality_seeds", "stream_drift_twin",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

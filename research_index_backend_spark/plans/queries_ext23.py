@@ -385,3 +385,76 @@ ORACLE_EXT23.update({
     "rich_club_coefficient": ORACLE_RICH_CLUB,
     "harmonic_centrality_seeds": ORACLE_HARMONIC,
 })
+
+
+# ---------------------------------------------------------------------------
+# stream_drift_twin — oracle-checked batch twin of the streaming monitor
+# ---------------------------------------------------------------------------
+
+def q_stream_drift_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/drift.py's drift_monitor_stream FINAL
+    emission, on the events table: per type, the first REF_N values in
+    (ts, event_id) order freeze as the reference histogram; everything
+    after scores as cumulative total-variation distance tv_e6 =
+    (1e6 * sum_b |r_b*n_cur - c_b*n_ref|) div (2*n_ref*n_cur) on the
+    domain-bounded bin lattice. The streaming operator itself is
+    pytest-pinned (batch parity + micro-batch-split invariance,
+    tests/test_streaming_drift.py); this entry gives the SAME
+    arithmetic an official DuckDB row.
+
+    Scale shape: the reference split is one window partitioned by type
+    (the sessionize shuffle); histograms reduce map-side to |types| x
+    |domain/BIN_W| rows; the statistic is one combinable aggregate.
+    """
+    from ..streaming.drift import drift_monitor_batch
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_e2"),
+        F.col("ts_ns").alias("ts"))
+    return (drift_monitor_batch(e)
+            .select("event_type",
+                    F.col("n_ref").cast("bigint").alias("n_ref"),
+                    F.col("n_cur").cast("bigint").alias("n_cur"),
+                    F.col("tv_e6").cast("bigint").alias("tv_e6"))
+            .orderBy("event_type"))
+
+
+ORACLE_STREAM_DRIFT = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_e2,
+         epoch_ns(ts) AS ts
+  FROM events
+),
+split AS (
+  SELECT event_type, v_e2 // 4096 AS bin,
+         CASE WHEN row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) <= 200
+              THEN 'ref' ELSE 'cur' END AS side
+  FROM e
+),
+h AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS r,
+         sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c
+  FROM split GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, sum(r) AS n_ref, sum(c) AS n_cur
+  FROM h GROUP BY 1
+)
+SELECT h.event_type,
+       CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+       CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+       CAST(CASE WHEN any_value(n_ref) > 0 AND any_value(n_cur) > 0
+                 THEN (1000000 * sum(abs(r * n_cur - c * n_ref)))
+                      // (2 * any_value(n_ref) * any_value(n_cur))
+                 ELSE 0 END AS BIGINT) AS tv_e6
+FROM h JOIN n ON h.event_type = n.event_type
+GROUP BY h.event_type
+ORDER BY h.event_type
+"""
+
+
+QUERIES_EXT23.update({"stream_drift_twin": q_stream_drift_twin})
+ORACLE_EXT23.update({"stream_drift_twin": ORACLE_STREAM_DRIFT})

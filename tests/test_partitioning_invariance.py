@@ -74,8 +74,9 @@ SENSITIVE = [
     "mannwhitney_auc", "ndcg_eval", "coreset_kcenter", "rfm_segments",
     "conversion_lag_report",
     # ext23: sorted product fold over collected LM terms, per-seed
-    # frontier BFS rounds
+    # frontier BFS rounds, ordered reference-window split
     "qlm_dirichlet_topk", "harmonic_centrality_seeds",
+    "stream_drift_twin",
 ]
 
 

@@ -105,7 +105,7 @@ SCALED = [
     "coreset_kcenter", "rfm_segments", "conversion_lag_report",
     "loo_source_impact",
     "qlm_dirichlet_topk", "rich_club_coefficient",
-    "harmonic_centrality_seeds",
+    "harmonic_centrality_seeds", "stream_drift_twin",
 ]
 
 
