@@ -383,7 +383,11 @@ def _cdf_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         "event_type",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"))
-    cnt = e.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    # cnt feeds FOUR consumers (value spine, type dim, fill join,
+    # per-type totals) — materialize the domain-bounded reduction once
+    # or the corpus scan re-executes per consumer (8 scans measured)
+    cnt = (e.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
     lattice = (cnt.select("v").distinct()
                .crossJoin(F.broadcast(cnt.select("event_type").distinct())))
     filled = (lattice.join(cnt, ["event_type", "v"], "left")
