@@ -117,6 +117,10 @@ from research_index_backend_spark.plans.queries_ext23 import (  # noqa: E402
     ORACLE_EXT23,
     QUERIES_EXT23,
 )
+from research_index_backend_spark.plans.queries_ext24 import (  # noqa: E402
+    ORACLE_EXT24,
+    QUERIES_EXT24,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -200,6 +204,8 @@ _VERIFY_FIRST = (
     "loo_source_impact",
     "qlm_dirichlet_topk", "rich_club_coefficient",
     "harmonic_centrality_seeds", "stream_drift_twin",
+    "dedup_best_survivor", "correlated_predicates",
+    "packing_efficiency_sweep",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -234,7 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT12, **QUERIES_EXT13, **QUERIES_EXT14,
                      **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17,
                      **QUERIES_EXT18, **QUERIES_EXT19, **QUERIES_EXT20,
-                     **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23})
+                     **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23,
+                     **QUERIES_EXT24})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -246,4 +253,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15,
                      **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18,
                      **ORACLE_EXT19, **ORACLE_EXT20, **ORACLE_EXT21,
-                     **ORACLE_EXT22, **ORACLE_EXT23})
+                     **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24})

@@ -140,14 +140,32 @@ def drift_monitor_batch(events: DataFrame) -> DataFrame:
     """Batch twin of drift_monitor_stream's FINAL emission: same
     reference split ((ts, event_id) order, first {REF_N} per type),
     same bins, same cross-multiplied tv_e6 — pure DataFrame ops, used
-    by the parity test. One window partitioned by type orders the
-    split; everything else is combinable aggregation."""
+    by the parity test.
+
+    The reference split does NOT rank the whole corpus: a per-type
+    full-sort window caps parallelism at |types| and measured 36s at
+    the 100x probe. Instead the {REF_N}-th (ts, event_id) per type is
+    found salted-two-stage (per-(type, salt) partial top-{REF_N}, then
+    a window over the <= {REF_N}*n_salts survivors) and broadcast back
+    as a threshold — rows at or below it are the reference, exactly
+    the first min({REF_N}, n) rows of the (ts, event_id) total order.
+    """
     from pyspark.sql import Window
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    binned = (events
-              .withColumn("rn", F.row_number().over(w))
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    w1 = Window.partitionBy("event_type", "__salt").orderBy(
+        "ts", "event_id")
+    w2 = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    th = (events
+          .withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(32)))
+          .withColumn("r1", F.row_number().over(w1))
+          .filter(F.col("r1") <= REF_N)
+          .withColumn("r2", F.row_number().over(w2))
+          .filter(F.col("r2") <= REF_N)
+          .groupBy("event_type")
+          .agg(F.max(key).alias("th")))
+    binned = (events.join(F.broadcast(th), "event_type")
               .withColumn("bin", F.expr(f"v_e2 div {BIN_W}"))
-              .withColumn("side", F.when(F.col("rn") <= REF_N, "ref")
+              .withColumn("side", F.when(key <= F.col("th"), "ref")
                           .otherwise(F.lit("cur"))))
     h = (binned.groupBy("event_type", "bin")
          .agg(F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))

@@ -77,6 +77,8 @@ SENSITIVE = [
     # frontier BFS rounds, ordered reference-window split
     "qlm_dirichlet_topk", "harmonic_centrality_seeds",
     "stream_drift_twin",
+    # ext24: per-component argmax keep-rule over LSH/CC labels
+    "dedup_best_survivor",
 ]
 
 

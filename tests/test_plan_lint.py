@@ -109,6 +109,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-token-total + 3-row query-term LM crossed onto the
     # candidate set (the bm25 stats shape)
     "qlm_dirichlet_topk",
+    # 1-row part-count total crossed onto the |brands| x |types|
+    # pair lattice
+    "correlated_predicates",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report

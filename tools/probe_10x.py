@@ -106,6 +106,8 @@ SCALED = [
     "loo_source_impact",
     "qlm_dirichlet_topk", "rich_club_coefficient",
     "harmonic_centrality_seeds", "stream_drift_twin",
+    "dedup_best_survivor", "correlated_predicates",
+    "packing_efficiency_sweep",
 ]
 
 
