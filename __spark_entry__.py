@@ -121,6 +121,10 @@ from research_index_backend_spark.plans.queries_ext24 import (  # noqa: E402
     ORACLE_EXT24,
     QUERIES_EXT24,
 )
+from research_index_backend_spark.plans.queries_ext25 import (  # noqa: E402
+    ORACLE_EXT25,
+    QUERIES_EXT25,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -205,6 +209,7 @@ _VERIFY_FIRST = (
     "harmonic_centrality_seeds", "stream_drift_twin",
     "dedup_best_survivor", "correlated_predicates",
     "packing_efficiency_sweep",
+    "matryoshka_recall_report", "mutual_knn_pairs",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -240,7 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17,
                      **QUERIES_EXT18, **QUERIES_EXT19, **QUERIES_EXT20,
                      **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23,
-                     **QUERIES_EXT24})
+                     **QUERIES_EXT24, **QUERIES_EXT25})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -252,4 +257,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT13, **ORACLE_EXT14, **ORACLE_EXT15,
                      **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18,
                      **ORACLE_EXT19, **ORACLE_EXT20, **ORACLE_EXT21,
-                     **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24})
+                     **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24,
+                     **ORACLE_EXT25})

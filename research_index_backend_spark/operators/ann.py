@@ -239,7 +239,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 def lsh_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_bits: int = 4,
-             bucket_fn=None, use_numpy: bool = False) -> DataFrame:
+             bucket_fn=None, use_numpy: bool = False,
+             broadcast_queries: bool = True) -> DataFrame:
     """Approximate top-k: only score candidates in the query's LSH bucket.
 
     The cross join becomes an equi-join on bucket — at 100 TB this is the
@@ -247,6 +248,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     a broadcast nested loop. bucket_fn defaults to the cheap
     sign_lsh_bucket; pass hyperplane_lsh_bucket for real cosine-LSH recall.
     use_numpy switches candidate scoring to the Arrow-batched backend.
+
+    broadcast_queries=True fits the serve shape (a small query batch);
+    pass False when QUERIES IS THE CORPUS (all-pairs kNN, e.g.
+    mutual_knn_pairs) — broadcasting a corpus-sized side is exactly the
+    plan a 1000-executor cluster dies on; the shuffle bucket equi-join
+    is the scale path there.
     """
     bucket_fn = bucket_fn or sign_lsh_bucket
     score = cosine_sim_np if use_numpy else cosine_sim
@@ -257,7 +264,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
                       F.col(vec_col).alias("c_vec"),
                       bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q) if broadcast_queries else q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", score(F.col("q_vec"), F.col("c_vec")))
     )

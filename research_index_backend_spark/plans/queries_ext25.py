@@ -1,0 +1,209 @@
+"""Catalog extension 25 (round 9, wave 7). Embedding-ops reports:
+
+  matryoshka_recall_report  retrieval quality of PREFIX-TRUNCATED
+                            embeddings (8/16/32/64 dims) against the
+                            full-dim ranking — the Matryoshka (MRL)
+                            dimension-budget report a vector-store
+                            owner reads before cutting storage 8x
+  mutual_knn_pairs          reciprocal nearest neighbors over the
+                            sign-LSH candidate graph: pairs where EACH
+                            is in the other's top-k — the
+                            high-precision pair miner used for
+                            translation/duplicate distillation
+
+Reference parity: none in the reference; the brief's
+similarity-search / embedding extension families.
+
+Cross-engine determinism (SURVEY 4.4): all rankings quantize
+round(sim, 9) with id tie-breaks (the ann catalog rule); recalls are
+(1e4 * hits) div k integers; the mutual join is a pure equi-join of
+two deterministic rank tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t
+
+QUERIES_EXT25: dict = {}
+ORACLE_EXT25: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_recall_report — dimension-truncation quality ladder
+# ---------------------------------------------------------------------------
+
+_MR_DIMS = (8, 16, 32, 64)
+_MR_K = 5
+_MR_NQ = 5
+
+
+def q_matryoshka_recall_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Matryoshka dimension budget: for each prefix length d in
+    {_MR_DIMS}, rank the corpus by cosine over the FIRST d dimensions
+    (queries = vec_id < {_MR_NQ}) and report recall@{_MR_K} against
+    the full-dimension ranking — the measurement behind "can we store
+    8x less vector?" (MRL-trained embeddings keep recall high at small
+    prefixes; untrained ones collapse, and THIS report is how you find
+    out). recall_e4 = (1e4 * hits) div k per (dim, query).
+
+    Scale shape: each ladder rung is the existing brute_force_topk
+    (query-batch x corpus broadcast product BY DESIGN — the eval runs
+    on a sampled query batch, the ann_recall_report rule); the
+    slice() truncation is a zero-copy column projection; hits come
+    from a {_MR_K}-row-per-query join. At production scale the rungs
+    share one corpus scan per d — 4 scans total, each cheaper than the
+    last.
+    """
+    from ..operators.ann import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MR_NQ)
+    truth = (brute_force_topk(emb, queries, k=_MR_K)
+             .select("query_id", "neighbor_id").localCheckpoint())
+    out = None
+    for d in _MR_DIMS:
+        sl = F.slice(F.col("embedding"), 1, d).alias("embedding")
+        emb_d = emb.select("vec_id", sl)
+        q_d = queries.select("vec_id", sl)
+        cand = (brute_force_topk(emb_d, q_d, k=_MR_K)
+                .select("query_id", "neighbor_id"))
+        hits = (cand.join(truth, ["query_id", "neighbor_id"], "semi")
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .select(F.lit(d).cast("bigint").alias("dim"),
+                        "query_id",
+                        F.col("hits").cast("bigint").alias("hits")))
+        out = hits if out is None else out.unionByName(hits)
+    return (out.withColumn(
+        "recall_e4", F.expr(f"(10000 * hits) div {_MR_K}").cast("bigint"))
+        .orderBy("dim", "query_id"))
+
+
+def _mr_rank_sql(d: int, name: str) -> str:
+    vec = f"embedding[1:{d}]" if d < 64 else "embedding"
+    return f"""{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(
+               e.{vec}, q.qv{d}), 9) DESC, e.vec_id) AS rnk
+    FROM embeddings e,
+         (SELECT vec_id AS query_id, {vec} AS qv{d} FROM embeddings
+          WHERE vec_id < {_MR_NQ}) q
+    WHERE e.vec_id <> q.query_id)
+  WHERE rnk <= {_MR_K}
+)"""
+
+
+def _mr_oracle() -> str:
+    ctes = [_mr_rank_sql(64, "truth")]
+    unions = []
+    for d in _MR_DIMS:
+        ctes.append(_mr_rank_sql(d, f"cand{d}"))
+        unions.append(f"""
+SELECT CAST({d} AS BIGINT) AS dim, c.query_id,
+       CAST(count(*) AS BIGINT) AS hits
+FROM cand{d} c SEMI JOIN truth t
+  ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+GROUP BY c.query_id""")
+    u = "\nUNION ALL\n".join(unions)
+    return (f"WITH " + ",\n".join(ctes) + f""",
+hits AS ({u})
+SELECT dim, query_id, hits,
+       CAST((10000 * hits) // {_MR_K} AS BIGINT) AS recall_e4
+FROM hits
+ORDER BY dim, query_id""")
+
+
+ORACLE_MATRYOSHKA = _mr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# mutual_knn_pairs — reciprocal nearest neighbors over the LSH graph
+# ---------------------------------------------------------------------------
+
+_MK_K = 5
+_MK_BITS = 4
+
+
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs (a, b) where b is in a's
+    top-{_MK_K} AND a is in b's top-{_MK_K}, candidates restricted to
+    the same sign-LSH bucket — the high-precision pair miner behind
+    bitext/duplicate distillation (mutual agreement kills the
+    hubness asymmetry a one-sided kNN list suffers). Output one row
+    per unordered pair with both ranks.
+
+    Scale shape: the all-pairs kNN rides lsh_topk with the CORPUS as
+    the query set — a SHUFFLE bucket equi-join (broadcast_queries=False;
+    broadcasting a corpus-sized query side is the plan a cluster dies
+    on), with CORPUS-SIZED bucket granularity via adaptive_lsh_bits
+    (fixed {_MK_BITS} bits went quadratic-in-bucket at the 100x probe —
+    the r7 embedding-family lesson, re-learned and re-applied; the
+    checked SFs size to the floor so the oracle's hardcoded 4-bit
+    bucket stays valid). Mutuality is an equi-join of the rank table
+    with its (b, a)-flipped self — rank tables are k rows per vector,
+    so the join is corpus*k, not corpus^2.
+    """
+    from ..operators.ann import lsh_topk
+    from ..operators.dedup import adaptive_lsh_bits
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = adaptive_lsh_bits(emb.select("vec_id").count(),
+                             target_bucket=125, floor_bits=_MK_BITS)
+    ranks = (lsh_topk(emb, emb, k=_MK_K, n_bits=bits,
+                      broadcast_queries=False)
+             .select(F.col("query_id").alias("a"),
+                     F.col("neighbor_id").alias("b"),
+                     F.col("rnk").alias("rnk_ab"))
+             .localCheckpoint())
+    flipped = ranks.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                           F.col("rnk_ab").alias("rnk_ba"))
+    return (ranks.join(flipped, ["a", "b"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.col("rnk_ab").cast("bigint").alias("rnk_ab"),
+                    F.col("rnk_ba").cast("bigint").alias("rnk_ba"))
+            .orderBy("a", "b"))
+
+
+ORACLE_MUTUAL_KNN = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+ranks AS (
+  SELECT a, b, rnk_ab FROM (
+    SELECT q.vec_id AS a, e.vec_id AS b,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+               e.embedding, q.embedding), 9) DESC, e.vec_id) AS rnk_ab
+    FROM bucketed e JOIN bucketed q ON e.bucket = q.bucket
+    WHERE e.vec_id <> q.vec_id)
+  WHERE rnk_ab <= {_MK_K}
+)
+SELECT r.a, r.b,
+       CAST(r.rnk_ab AS BIGINT) AS rnk_ab,
+       CAST(f.rnk_ab AS BIGINT) AS rnk_ba
+FROM ranks r JOIN ranks f ON r.a = f.b AND r.b = f.a
+WHERE r.a < r.b
+ORDER BY r.a, r.b
+"""
+
+
+QUERIES_EXT25.update({
+    "matryoshka_recall_report": q_matryoshka_recall_report,
+    "mutual_knn_pairs": q_mutual_knn_pairs,
+})
+ORACLE_EXT25.update({
+    "matryoshka_recall_report": ORACLE_MATRYOSHKA,
+    "mutual_knn_pairs": ORACLE_MUTUAL_KNN,
+})

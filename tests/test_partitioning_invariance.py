@@ -79,6 +79,8 @@ SENSITIVE = [
     "stream_drift_twin",
     # ext24: per-component argmax keep-rule over LSH/CC labels
     "dedup_best_survivor",
+    # ext25: salted all-pairs kNN rank tables joined with their flip
+    "mutual_knn_pairs",
 ]
 
 

@@ -112,6 +112,9 @@ BNLJ_ALLOWED = {
     # 1-row part-count total crossed onto the |brands| x |types|
     # pair lattice
     "correlated_predicates",
+    # brute-force truth + 4 truncated-prefix arms (query-batch x corpus
+    # broadcast products BY DESIGN — the ann_recall_report shape)
+    "matryoshka_recall_report",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report

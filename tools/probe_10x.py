@@ -108,6 +108,7 @@ SCALED = [
     "harmonic_centrality_seeds", "stream_drift_twin",
     "dedup_best_survivor", "correlated_predicates",
     "packing_efficiency_sweep",
+    "matryoshka_recall_report", "mutual_knn_pairs",
 ]
 
 
