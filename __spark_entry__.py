@@ -210,6 +210,7 @@ _VERIFY_FIRST = (
     "dedup_best_survivor", "correlated_predicates",
     "packing_efficiency_sweep",
     "matryoshka_recall_report", "mutual_knn_pairs",
+    "slo_burn_rate",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",

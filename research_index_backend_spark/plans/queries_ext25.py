@@ -207,3 +207,81 @@ ORACLE_EXT25.update({
     "matryoshka_recall_report": ORACLE_MATRYOSHKA,
     "mutual_knn_pairs": ORACLE_MUTUAL_KNN,
 })
+
+
+# ---------------------------------------------------------------------------
+# slo_burn_rate — multi-window error-budget burn (SRE fast/slow alert)
+# ---------------------------------------------------------------------------
+
+_SLO_BUDGET_E6 = 250000   # error budget: 25% of events may be errors
+_SLO_WINDOWS_H = (24, 168)   # fast / slow trailing windows (hours)
+
+
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn rate (the SRE workbook alert
+    shape): over the trailing {_SLO_WINDOWS_H} hours (anchored at the
+    stream's max timestamp), the error ratio vs the
+    {_SLO_BUDGET_E6}-ppm budget — burn_e4 = (1e4 * errors * 1e6) div
+    (n * budget), >1e4 means the window is burning budget faster than
+    allowed; alerting requires BOTH windows hot (fast = responsive,
+    slow = de-flapped). Cross-multiplied exact; the window pair rides
+    one in-row explode so the corpus scans once. latency_slo_report
+    tracks per-day p99s; this is the error-budget twin.
+
+    Scale shape: one 1-row max-ts aggregate broadcast onto the scan
+    (the snapshot_asof shape, BNLJ-allowlisted), one combinable
+    aggregate per window.
+    """
+    e = _t(spark, sf_dir, "events").select("event_type", "ts_ns")
+    anchor = e.agg(F.max("ts_ns").alias("amax"))
+    wins = F.array(*[F.lit(h) for h in _SLO_WINDOWS_H])
+    x = (e.crossJoin(F.broadcast(anchor))
+         .select("event_type", "ts_ns", "amax",
+                 F.explode(wins).alias("win_h"))
+         .filter(F.expr("ts_ns > amax - CAST(win_h AS BIGINT)"
+                        " * 3600000000000")))
+    agg = x.groupBy("win_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+        .alias("errors"))
+    return (agg.select(
+        F.col("win_h").cast("bigint").alias("window_h"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("errors").cast("bigint").alias("n_errors"),
+        F.expr("(1000000 * CAST(errors AS DECIMAL(38,0))) div n")
+        .cast("bigint").alias("err_ppm"),
+        F.expr(f"(10000 * CAST(errors AS DECIMAL(38,0)) * 1000000)"
+               f" div (CAST(n AS DECIMAL(38,0)) * {_SLO_BUDGET_E6})")
+        .cast("bigint").alias("burn_e4"))
+        .orderBy("window_h"))
+
+
+ORACLE_SLO_BURN = f"""
+WITH e AS (SELECT event_type, epoch_ns(ts) AS ts_ns FROM events),
+anchor AS (SELECT max(ts_ns) AS amax FROM e),
+x AS (
+  SELECT event_type, win_h
+  FROM e, anchor,
+       (SELECT unnest([{", ".join(str(h) for h in _SLO_WINDOWS_H)}])
+        AS win_h) w
+  WHERE ts_ns > amax - CAST(win_h AS BIGINT) * 3600000000000
+),
+agg AS (
+  SELECT win_h, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS errors
+  FROM x GROUP BY 1
+)
+SELECT CAST(win_h AS BIGINT) AS window_h,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(errors AS BIGINT) AS n_errors,
+       CAST((1000000 * errors) // n AS BIGINT) AS err_ppm,
+       CAST((10000 * errors * 1000000)
+            // (n * {_SLO_BUDGET_E6}) AS BIGINT) AS burn_e4
+FROM agg
+ORDER BY window_h
+"""
+
+
+QUERIES_EXT25.update({"slo_burn_rate": q_slo_burn_rate})
+ORACLE_EXT25.update({"slo_burn_rate": ORACLE_SLO_BURN})

@@ -115,6 +115,9 @@ BNLJ_ALLOWED = {
     # brute-force truth + 4 truncated-prefix arms (query-batch x corpus
     # broadcast products BY DESIGN — the ann_recall_report shape)
     "matryoshka_recall_report",
+    # 1-row max-ts anchor broadcast onto the trailing-window scan
+    # (the snapshot_asof shape)
+    "slo_burn_rate",
     # 1-row bounds aggregate broadcast onto the z-value/binning scan
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report

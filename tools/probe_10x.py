@@ -109,6 +109,7 @@ SCALED = [
     "dedup_best_survivor", "correlated_predicates",
     "packing_efficiency_sweep",
     "matryoshka_recall_report", "mutual_knn_pairs",
+    "slo_burn_rate",
 ]
 
 
