@@ -125,6 +125,10 @@ from research_index_backend_spark.plans.queries_ext25 import (  # noqa: E402
     ORACLE_EXT25,
     QUERIES_EXT25,
 )
+from research_index_backend_spark.plans.queries_ext26 import (  # noqa: E402
+    ORACLE_EXT26,
+    QUERIES_EXT26,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -211,6 +215,8 @@ _VERIFY_FIRST = (
     "packing_efficiency_sweep",
     "matryoshka_recall_report", "mutual_knn_pairs",
     "slo_burn_rate",
+    "gopher_quality_flags", "c4_line_filter", "spearman_corr",
+    "kendall_tau_grouped", "cramers_v_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -246,7 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT15, **QUERIES_EXT16, **QUERIES_EXT17,
                      **QUERIES_EXT18, **QUERIES_EXT19, **QUERIES_EXT20,
                      **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23,
-                     **QUERIES_EXT24, **QUERIES_EXT25})
+                     **QUERIES_EXT24, **QUERIES_EXT25, **QUERIES_EXT26})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -259,4 +265,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18,
                      **ORACLE_EXT19, **ORACLE_EXT20, **ORACLE_EXT21,
                      **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24,
-                     **ORACLE_EXT25})
+                     **ORACLE_EXT25, **ORACLE_EXT26})
