@@ -207,6 +207,12 @@ GLOBAL_WINDOW_ALLOWED = {
     # 512 rows, corpus-independent — the gini_coefficient two-level
     # banded decomposition)
     "conversion_lag_report",
+    # tie-averaged rank prefix over the QUANTITY-DOMAIN marginal
+    # (50 rows by construction — the value domain, not the corpus)
+    "kruskal_wallis",
+    # descending prefix + totals over the PRICE-BAND table (~500 rows,
+    # price-domain-bounded — the gini_coefficient banded shape)
+    "lift_gains_report",
 }
 
 
