@@ -133,6 +133,14 @@ from research_index_backend_spark.plans.queries_ext27 import (  # noqa: E402
     ORACLE_EXT27,
     QUERIES_EXT27,
 )
+from research_index_backend_spark.plans.queries_ext28 import (  # noqa: E402
+    ORACLE_EXT28,
+    QUERIES_EXT28,
+)
+from research_index_backend_spark.plans.queries_ext29 import (  # noqa: E402
+    ORACLE_EXT29,
+    QUERIES_EXT29,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -222,6 +230,8 @@ _VERIFY_FIRST = (
     "gopher_quality_flags", "c4_line_filter", "spearman_corr",
     "kendall_tau_grouped", "cramers_v_report",
     "kruskal_wallis", "lift_gains_report", "kaplan_meier",
+    "hits_hubs_authorities", "textrank_keywords", "ktruss_edges",
+    "stream_topk_twin", "chao_distinct_estimate",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -258,7 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT18, **QUERIES_EXT19, **QUERIES_EXT20,
                      **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23,
                      **QUERIES_EXT24, **QUERIES_EXT25, **QUERIES_EXT26,
-                     **QUERIES_EXT27})
+                     **QUERIES_EXT27, **QUERIES_EXT28,
+                     **QUERIES_EXT29})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -271,4 +282,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT16, **ORACLE_EXT17, **ORACLE_EXT18,
                      **ORACLE_EXT19, **ORACLE_EXT20, **ORACLE_EXT21,
                      **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24,
-                     **ORACLE_EXT25, **ORACLE_EXT26, **ORACLE_EXT27})
+                     **ORACLE_EXT25, **ORACLE_EXT26, **ORACLE_EXT27, **ORACLE_EXT28,
+                     **ORACLE_EXT29})

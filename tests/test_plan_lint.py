@@ -57,6 +57,12 @@ BNLJ_ALLOWED = {
     "gapfill_ffill",
     # two 1-row count aggregates cross-joined into the lineitem report row
     "cascade_delete_audit",
+    # 1-row grand-total + tie-sum aggregates cross-joined into the
+    # single report row (the cascade_delete_audit shape)
+    "cramers_v_report", "kruskal_wallis",
+    # 1-row corpus-end anchor broadcast onto the per-user lifetimes
+    # (the snapshot_asof shape)
+    "kaplan_meier",
     # 1-row total-count aggregate cross-joined into each scheme's report
     "blocking_quality",
     # 1-row pagination anchor broadcast onto the keyset predicate scan
