@@ -141,6 +141,10 @@ from research_index_backend_spark.plans.queries_ext29 import (  # noqa: E402
     ORACLE_EXT29,
     QUERIES_EXT29,
 )
+from research_index_backend_spark.plans.queries_ext30 import (  # noqa: E402
+    ORACLE_EXT30,
+    QUERIES_EXT30,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -232,6 +236,7 @@ _VERIFY_FIRST = (
     "kruskal_wallis", "lift_gains_report", "kaplan_meier",
     "hits_hubs_authorities", "textrank_keywords", "ktruss_edges",
     "stream_topk_twin", "chao_distinct_estimate",
+    "holt_forecast", "partition_advisor", "mmr_diversify",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -269,7 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23,
                      **QUERIES_EXT24, **QUERIES_EXT25, **QUERIES_EXT26,
                      **QUERIES_EXT27, **QUERIES_EXT28,
-                     **QUERIES_EXT29})
+                     **QUERIES_EXT29, **QUERIES_EXT30})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -283,4 +288,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT19, **ORACLE_EXT20, **ORACLE_EXT21,
                      **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24,
                      **ORACLE_EXT25, **ORACLE_EXT26, **ORACLE_EXT27, **ORACLE_EXT28,
-                     **ORACLE_EXT29})
+                     **ORACLE_EXT29, **ORACLE_EXT30})

@@ -209,6 +209,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # construction: orderBy+limit precedes the window — TakeOrdered
     # does the corpus-scale work, the window only numbers survivors)
     "hybrid_rrf_fusion",
+    # rank window over the POST-LIMIT candidate pool (30 rows — the
+    # hybrid_rrf_fusion shape); the greedy fold is windowless
+    "mmr_diversify",
     # prefix sum over the lag-minute BAND table (|timeline minutes| /
     # 512 rows, corpus-independent — the gini_coefficient two-level
     # banded decomposition)
