@@ -145,6 +145,14 @@ from research_index_backend_spark.plans.queries_ext30 import (  # noqa: E402
     ORACLE_EXT30,
     QUERIES_EXT30,
 )
+from research_index_backend_spark.plans.queries_ext31 import (  # noqa: E402
+    ORACLE_EXT31,
+    QUERIES_EXT31,
+)
+from research_index_backend_spark.plans.queries_ext32 import (  # noqa: E402
+    ORACLE_EXT32,
+    QUERIES_EXT32,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -237,6 +245,8 @@ _VERIFY_FIRST = (
     "hits_hubs_authorities", "textrank_keywords", "ktruss_edges",
     "stream_topk_twin", "chao_distinct_estimate",
     "holt_forecast", "partition_advisor", "mmr_diversify",
+    "anova_f_report", "dau_mau_stickiness", "isotonic_calibration",
+    "wow_delta_report", "embedding_centroid_drift", "pinball_loss_eval",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -274,7 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT21, **QUERIES_EXT22, **QUERIES_EXT23,
                      **QUERIES_EXT24, **QUERIES_EXT25, **QUERIES_EXT26,
                      **QUERIES_EXT27, **QUERIES_EXT28,
-                     **QUERIES_EXT29, **QUERIES_EXT30})
+                     **QUERIES_EXT29, **QUERIES_EXT30,
+                     **QUERIES_EXT31, **QUERIES_EXT32})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -288,4 +299,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT19, **ORACLE_EXT20, **ORACLE_EXT21,
                      **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24,
                      **ORACLE_EXT25, **ORACLE_EXT26, **ORACLE_EXT27, **ORACLE_EXT28,
-                     **ORACLE_EXT29, **ORACLE_EXT30})
+                     **ORACLE_EXT29, **ORACLE_EXT30,
+                     **ORACLE_EXT31, **ORACLE_EXT32})

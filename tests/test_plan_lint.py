@@ -63,6 +63,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-end anchor broadcast onto the per-user lifetimes
     # (the snapshot_asof shape)
     "kaplan_meier",
+    # banded jb <= kb self-join of the ~200-row price-band table
+    # (domain-bounded interval grid, corpus-independent)
+    "isotonic_calibration",
     # 1-row total-count aggregate cross-joined into each scheme's report
     "blocking_quality",
     # 1-row pagination anchor broadcast onto the keyset predicate scan
@@ -222,6 +225,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # descending prefix + totals over the PRICE-BAND table (~500 rows,
     # price-domain-bounded — the gini_coefficient banded shape)
     "lift_gains_report",
+    # prefix sums over the ~200-row PRICE-BAND table feeding the
+    # isotonic interval grid (domain-bounded; the minimax windows are
+    # partitioned by jb)
+    "isotonic_calibration",
 }
 
 
