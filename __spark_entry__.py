@@ -153,6 +153,14 @@ from research_index_backend_spark.plans.queries_ext32 import (  # noqa: E402
     ORACLE_EXT32,
     QUERIES_EXT32,
 )
+from research_index_backend_spark.plans.queries_ext33 import (  # noqa: E402
+    ORACLE_EXT33,
+    QUERIES_EXT33,
+)
+from research_index_backend_spark.plans.queries_ext34 import (  # noqa: E402
+    ORACLE_EXT34,
+    QUERIES_EXT34,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -175,7 +183,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # onward. Queries outside the window stay covered by tools/check.py
 # (r9: full-catalog sweep 269/269 green at sf0.01 mid-round, wave 6 +
 # rewrites re-verified individually; every new query also checked at
-# sf0.001 — see BENCH_HISTORY.md round-close records).
+# sf0.001 — see BENCH_HISTORY.md round-close records). r9 second
+# session: catalog 275 -> 300; full-catalog sweep 291/291 green at
+# sf0.01 before the last three waves; every new query green at BOTH
+# sf0.01 and sf0.001 + dtype-audited + 10x/100x-probed as it landed.
 _VERIFY_FIRST = (
     # --- never officially checked (30; ext4-8 tail of the r7 window) ---
     "ewma_report", "cascade_delete_audit", "table_profile",
@@ -247,6 +258,8 @@ _VERIFY_FIRST = (
     "holt_forecast", "partition_advisor", "mmr_diversify",
     "anova_f_report", "dau_mau_stickiness", "isotonic_calibration",
     "wow_delta_report", "embedding_centroid_drift", "pinball_loss_eval",
+    "mrr_eval", "knn_label_eval", "kanon_generalization_ladder",
+    "cohort_ltv", "invoice_reconciliation", "seasonal_naive_backtest",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -285,7 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT24, **QUERIES_EXT25, **QUERIES_EXT26,
                      **QUERIES_EXT27, **QUERIES_EXT28,
                      **QUERIES_EXT29, **QUERIES_EXT30,
-                     **QUERIES_EXT31, **QUERIES_EXT32})
+                     **QUERIES_EXT31, **QUERIES_EXT32,
+                     **QUERIES_EXT33, **QUERIES_EXT34})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -300,4 +314,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT22, **ORACLE_EXT23, **ORACLE_EXT24,
                      **ORACLE_EXT25, **ORACLE_EXT26, **ORACLE_EXT27, **ORACLE_EXT28,
                      **ORACLE_EXT29, **ORACLE_EXT30,
-                     **ORACLE_EXT31, **ORACLE_EXT32})
+                     **ORACLE_EXT31, **ORACLE_EXT32,
+                     **ORACLE_EXT33, **ORACLE_EXT34})

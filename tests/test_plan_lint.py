@@ -101,6 +101,9 @@ BNLJ_ALLOWED = {
     # brute-force truth arm (query-batch x corpus broadcast product BY
     # DESIGN — the exact baseline, the ann_recall_report shape)
     "ndcg_eval",
+    # brute-force ranking arm over the fixed query batch (the
+    # ann_recall_report shape)
+    "mrr_eval",
     # the ks_test_drift CDF-lattice machinery (bounded value spine x
     # |types| dim + 1-row totals crosses)
     "mannwhitney_auc",
