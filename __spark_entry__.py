@@ -161,6 +161,14 @@ from research_index_backend_spark.plans.queries_ext34 import (  # noqa: E402
     ORACLE_EXT34,
     QUERIES_EXT34,
 )
+from research_index_backend_spark.plans.queries_ext35 import (  # noqa: E402
+    ORACLE_EXT35,
+    QUERIES_EXT35,
+)
+from research_index_backend_spark.plans.queries_ext36 import (  # noqa: E402
+    ORACLE_EXT36,
+    QUERIES_EXT36,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -184,7 +192,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (r9: full-catalog sweep 269/269 green at sf0.01 mid-round, wave 6 +
 # rewrites re-verified individually; every new query also checked at
 # sf0.001 — see BENCH_HISTORY.md round-close records). r9 second
-# session: catalog 275 -> 300; full-catalog sweep 291/291 green at
+# session: catalog 275 -> 303+; full-catalog sweep 291/291 green at
 # sf0.01 before the last three waves; every new query green at BOTH
 # sf0.01 and sf0.001 + dtype-audited + 10x/100x-probed as it landed.
 _VERIFY_FIRST = (
@@ -260,6 +268,8 @@ _VERIFY_FIRST = (
     "wow_delta_report", "embedding_centroid_drift", "pinball_loss_eval",
     "mrr_eval", "knn_label_eval", "kanon_generalization_ladder",
     "cohort_ltv", "invoice_reconciliation", "seasonal_naive_backtest",
+    "histogram_refine_median", "trimmed_mean_report",
+    "curation_funnel_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -299,7 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT27, **QUERIES_EXT28,
                      **QUERIES_EXT29, **QUERIES_EXT30,
                      **QUERIES_EXT31, **QUERIES_EXT32,
-                     **QUERIES_EXT33, **QUERIES_EXT34})
+                     **QUERIES_EXT33, **QUERIES_EXT34,
+                     **QUERIES_EXT35, **QUERIES_EXT36})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -315,4 +326,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT25, **ORACLE_EXT26, **ORACLE_EXT27, **ORACLE_EXT28,
                      **ORACLE_EXT29, **ORACLE_EXT30,
                      **ORACLE_EXT31, **ORACLE_EXT32,
-                     **ORACLE_EXT33, **ORACLE_EXT34})
+                     **ORACLE_EXT33, **ORACLE_EXT34,
+                     **ORACLE_EXT35, **ORACLE_EXT36})

@@ -63,6 +63,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-end anchor broadcast onto the per-user lifetimes
     # (the snapshot_asof shape)
     "kaplan_meier",
+    # 1-row eval-slice shingle-set aggregate broadcast onto the
+    # corpus overlap probe (the decontaminate_overlap shape)
+    "curation_funnel_report",
     # banded jb <= kb self-join of the ~200-row price-band table
     # (domain-bounded interval grid, corpus-independent)
     "isotonic_calibration",
