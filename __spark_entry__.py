@@ -169,6 +169,10 @@ from research_index_backend_spark.plans.queries_ext36 import (  # noqa: E402
     ORACLE_EXT36,
     QUERIES_EXT36,
 )
+from research_index_backend_spark.plans.queries_ext37 import (  # noqa: E402
+    ORACLE_EXT37,
+    QUERIES_EXT37,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -270,6 +274,8 @@ _VERIFY_FIRST = (
     "cohort_ltv", "invoice_reconciliation", "seasonal_naive_backtest",
     "histogram_refine_median", "trimmed_mean_report",
     "curation_funnel_report",
+    "stream_sessionize_twin", "qini_uplift_report",
+    "conformal_coverage_audit",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -310,7 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT29, **QUERIES_EXT30,
                      **QUERIES_EXT31, **QUERIES_EXT32,
                      **QUERIES_EXT33, **QUERIES_EXT34,
-                     **QUERIES_EXT35, **QUERIES_EXT36})
+                     **QUERIES_EXT35, **QUERIES_EXT36,
+                     **QUERIES_EXT37})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -327,4 +334,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT29, **ORACLE_EXT30,
                      **ORACLE_EXT31, **ORACLE_EXT32,
                      **ORACLE_EXT33, **ORACLE_EXT34,
-                     **ORACLE_EXT35, **ORACLE_EXT36})
+                     **ORACLE_EXT35, **ORACLE_EXT36,
+                     **ORACLE_EXT37})

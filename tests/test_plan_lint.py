@@ -66,6 +66,9 @@ BNLJ_ALLOWED = {
     # 1-row eval-slice shingle-set aggregate broadcast onto the
     # corpus overlap probe (the decontaminate_overlap shape)
     "curation_funnel_report",
+    # 1-row (min, max) timeline-bounds aggregate broadcast onto the
+    # train/test split scan (the snapshot_asof shape)
+    "conformal_coverage_audit",
     # banded jb <= kb self-join of the ~200-row price-band table
     # (domain-bounded interval grid, corpus-independent)
     "isotonic_calibration",
@@ -235,6 +238,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # isotonic interval grid (domain-bounded; the minimax windows are
     # partitioned by jb)
     "isotonic_calibration",
+    # descending prefix over the ~6-row extended-price band table
+    # (the lift_gains_report banded shape)
+    "qini_uplift_report",
 }
 
 
