@@ -177,6 +177,10 @@ from research_index_backend_spark.plans.queries_ext38 import (  # noqa: E402
     ORACLE_EXT38,
     QUERIES_EXT38,
 )
+from research_index_backend_spark.plans.queries_ext39 import (  # noqa: E402
+    ORACLE_EXT39,
+    QUERIES_EXT39,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -281,6 +285,7 @@ _VERIFY_FIRST = (
     "stream_sessionize_twin", "qini_uplift_report",
     "conformal_coverage_audit",
     "broadcast_advisor", "split_leakage_audit", "churn_feature_labels",
+    "novelty_curve_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -322,7 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT31, **QUERIES_EXT32,
                      **QUERIES_EXT33, **QUERIES_EXT34,
                      **QUERIES_EXT35, **QUERIES_EXT36,
-                     **QUERIES_EXT37, **QUERIES_EXT38})
+                     **QUERIES_EXT37, **QUERIES_EXT38,
+                     **QUERIES_EXT39})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -340,4 +346,5 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT31, **ORACLE_EXT32,
                      **ORACLE_EXT33, **ORACLE_EXT34,
                      **ORACLE_EXT35, **ORACLE_EXT36,
-                     **ORACLE_EXT37, **ORACLE_EXT38})
+                     **ORACLE_EXT37, **ORACLE_EXT38,
+                     **ORACLE_EXT39})

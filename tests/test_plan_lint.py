@@ -69,6 +69,19 @@ BNLJ_ALLOWED = {
     # 1-row (min, max) timeline-bounds aggregate broadcast onto the
     # train/test split scan (the snapshot_asof shape)
     "conformal_coverage_audit",
+    # final-norm 1-row (sum, count) aggregates crossed onto the
+    # score frames (the pagerank dangling-mass shape)
+    "hits_hubs_authorities",
+    # 1-row pool-array x 1-row sims-array cross for the in-row greedy
+    # fold (both sides are single-row collected aggregates)
+    "mmr_diversify",
+    # 1-row max-vec-id split anchor broadcast onto the scan
+    # (the snapshot_asof shape)
+    "embedding_centroid_drift",
+    # 1-row timeline-bounds / max-ts anchors broadcast onto the scan
+    # (the snapshot_asof shape)
+    "split_leakage_audit", "churn_feature_labels",
+    "novelty_curve_report",
     # banded jb <= kb self-join of the ~200-row price-band table
     # (domain-bounded interval grid, corpus-independent)
     "isotonic_calibration",
@@ -234,13 +247,11 @@ GLOBAL_WINDOW_ALLOWED = {
     # descending prefix + totals over the PRICE-BAND table (~500 rows,
     # price-domain-bounded — the gini_coefficient banded shape)
     "lift_gains_report",
-    # prefix sums over the ~200-row PRICE-BAND table feeding the
-    # isotonic interval grid (domain-bounded; the minimax windows are
-    # partitioned by jb)
-    "isotonic_calibration",
     # descending prefix over the ~6-row extended-price band table
     # (the lift_gains_report banded shape)
     "qini_uplift_report",
+    # prefix + total over the FIXED 10-row tranche table
+    "novelty_curve_report",
 }
 
 
