@@ -81,6 +81,21 @@ SENSITIVE = [
     "dedup_best_survivor",
     # ext25: salted all-pairs kNN rank tables joined with their flip
     "mutual_knn_pairs",
+    # ext26-27 (r9-s2): row_number pair order over duplicate
+    # linenumbers, in-row floor-recurrence folds over sorted arrays
+    "kendall_tau_grouped", "kaplan_meier", "holt_forecast",
+    # ext30: packed-argmax greedy fold + rank-join decode
+    "mmr_diversify",
+    # ext31: interval-grid minimax over checkpointed band prefixes
+    "isotonic_calibration",
+    # ext33: LSH-bucketed LOO votes with (count, label) tie-break
+    "knn_label_eval",
+    # ext35: two-pass band-refine rank selections
+    "histogram_refine_median", "trimmed_mean_report",
+    # ext36-37: staged funnel semi/anti chain, gap sessionization
+    # windows, exact train-half quantile selections
+    "curation_funnel_report", "stream_sessionize_twin",
+    "conformal_coverage_audit",
 ]
 
 
