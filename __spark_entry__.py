@@ -181,6 +181,10 @@ from research_index_backend_spark.plans.queries_ext39 import (  # noqa: E402
     ORACLE_EXT39,
     QUERIES_EXT39,
 )
+from research_index_backend_spark.plans.queries_ext40 import (  # noqa: E402
+    ORACLE_EXT40,
+    QUERIES_EXT40,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -286,6 +290,7 @@ _VERIFY_FIRST = (
     "conformal_coverage_audit",
     "broadcast_advisor", "split_leakage_audit", "churn_feature_labels",
     "novelty_curve_report",
+    "cohens_d_report", "odds_ratio_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
@@ -328,7 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      **QUERIES_EXT33, **QUERIES_EXT34,
                      **QUERIES_EXT35, **QUERIES_EXT36,
                      **QUERIES_EXT37, **QUERIES_EXT38,
-                     **QUERIES_EXT39})
+                     **QUERIES_EXT39, **QUERIES_EXT40})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -347,4 +352,4 @@ def oracle_sql() -> dict[str, str]:
                      **ORACLE_EXT33, **ORACLE_EXT34,
                      **ORACLE_EXT35, **ORACLE_EXT36,
                      **ORACLE_EXT37, **ORACLE_EXT38,
-                     **ORACLE_EXT39})
+                     **ORACLE_EXT39, **ORACLE_EXT40})
