@@ -2,6 +2,10 @@
 second session, waves 3-4: HITS / TextRank / k-truss / streaming topk
 twin / Chao1). Oracle values are pinned by tools/check.py; these pin
 the scale-shape contracts and invariants.
+
+NOTE: this file covers BOTH queries_ext28.py and queries_ext29.py
+(stream_topk_twin, chao_distinct_estimate live in ext29); there is
+deliberately no test_plans_ext29.py.
 """
 
 from __future__ import annotations

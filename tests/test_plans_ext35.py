@@ -1,6 +1,10 @@
 """Plan-shape + semantics tests for catalog extensions 35/36 (round 9,
 second session, waves 10-11: histogram-refine selection, trimmed
 mean, curation funnel).
+
+NOTE: this file covers BOTH queries_ext35.py and queries_ext36.py
+(curation_funnel_report lives in ext36); there is deliberately no
+test_plans_ext36.py.
 """
 
 from __future__ import annotations
