@@ -196,110 +196,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (observed: exactly the first 50 entries land in
-# CORRECTNESS_r{N}.json). Rotation policy (round-7 ADVICE item 1),
-# r9 status: CORRECTNESS_r08 never landed on disk, so the r8 window
-# (the 30 never-officially-checked ext4-8 queries + pareto_frontier +
-# the first ~19 r8 additions) keeps priority UNCHANGED — whatever
-# window runs next still closes the oldest official-record gap first.
-# The r8-late and r9 waves follow in landing order and rotate into
-# official rows across subsequent rounds; the stalest (r5)
-# officially-checked set refreshes after that, from anti_semi_split
-# onward. Queries outside the window stay covered by tools/check.py
-# (r9: full-catalog sweep 269/269 green at sf0.01 mid-round, wave 6 +
-# rewrites re-verified individually; every new query also checked at
-# sf0.001 — see BENCH_HISTORY.md round-close records). r9 second
-# session: catalog 275 -> 303+; full-catalog sweep 291/291 green at
-# sf0.01 before the last three waves; every new query green at BOTH
-# sf0.01 and sf0.001 + dtype-audited + 10x/100x-probed as it landed.
+# CORRECTNESS_r{N}.json). Rotation policy (round-7 ADVICE item 1;
+# round-9 VERDICT "Next round" item 1): the catalog is FROZEN at 315
+# for r10 and the window is dedicated to clearing the 122 queries that
+# have never had an official CORRECTNESS row. All 122 were re-verified
+# locally in r9 (122/122 PASS through the identical tools/check.py
+# oracle harness at sf0.01) and again as part of the r10 close sweep,
+# so this is record debt, not code debt. Three frozen rounds clear it:
+# r10 = first 50 (alphabetical), r11 = next 50, r12 = final 22 + the
+# stalest (r5) officially-checked rows refresh after that.
 _VERIFY_FIRST = (
-    # --- never officially checked (30; ext4-8 tail of the r7 window) ---
-    "ewma_report", "cascade_delete_audit", "table_profile",
-    "sliding_distinct_users", "build_inverted_index",
-    "exact_percentile_rank", "skew_report", "blocking_quality",
-    "keyset_page", "graph_ppr", "ivm_update", "cdc_apply",
-    "schema_evolution_merge", "embed_quantize_report", "ann_recall_report",
-    "anomaly_mad", "session_paths", "seasonality_report",
-    "graph_jaccard_similarity", "graph_motif_wedge", "graph_motif_path",
-    "asof_tolerance", "pii_scrub", "vocab_drift", "grouping_sets_report",
-    "mix_plan", "token_histogram", "quality_calibration", "scd2_history",
-    "group_topk_ties",
-    # --- rewritten this round (banded two-level window; needs a fresh
-    # official row on the new plan even though r6's row was green) ---
-    "pareto_frontier",
-    # --- new this round (the last ~1 overflows the 50-slot window and
-    # rotates in next round; locally green under tools/check.py) ---
-    "ann_pq_trained", "crossref_enrich",
-    "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q18", "bpe_encode",
-    "shuffle_shard_plan", "hard_negative_mining", "tpch_q14", "tpch_q4",
-    "tpch_q6", "tpch_q19", "dedup_recall_report", "tpch_q15", "tpch_q22",
-    "tpch_q8", "tpch_q17", "l_diversity", "graph_assortativity",
-    "graph_sssp", "jaccard_prefix_join",
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
-    "tpch_q20", "tpch_q21",
-    "ab_test_welch", "chi_square_report", "gini_coefficient",
-    "cusum_changepoint", "acf_report", "grid_dbscan_core",
-    "benford_report", "ohlc_bars", "t_closeness",
-    "association_rules", "hierarchy_rollup", "decayed_popularity",
-    "attribution_report",
-    "referential_integrity", "readability_report", "source_overlap",
-    "fd_discovery", "distribution_drift", "metadata_consistency",
-    "embedding_integrity",
-    # --- late r8 waves (ext12/ext13; overflow the 50-slot window and
-    # rotate into official rows next round; locally green at sf0.01 +
-    # sf0.001 under tools/check.py, dtype audit clean) ---
-    "golden_record", "snapshot_asof", "boolean_retrieval",
-    "phrase_search", "frequent_triples", "group_kfold",
-    "winsorize_report", "theil_sen_trend", "bootstrap_ci",
-    "length_bucket_batching", "compaction_plan", "domain_affinity_score",
-    "rolling_median_7d", "unigram_surprisal", "feature_hashing_report",
-    "sax_symbolic",
-    "tokenizer_fertility", "postings_compression_report",
-    "graph_random_walk",
-    "bigram_lm_score", "embedding_outliers", "latency_slo_report",
-    "topk_churn_report",
-    "seasonal_anomaly_report", "quota_allocation", "codec_advisor",
-    "dedup_threshold_sweep", "residual_outliers", "equidepth_histogram",
-    "ctfidf_topterms",
-    # --- new r9 waves (ext20+; rotate into official rows as the window
-    # reaches them; locally green at sf0.01 + sf0.001 under
-    # tools/check.py) ---
-    "hybrid_rrf_fusion", "link_prediction_ra", "target_encode_smoothed",
-    "ks_test_drift", "gini_gain_report",
-    "ndcg_eval", "mannwhitney_auc", "interarrival_burstiness",
-    "coreset_kcenter", "rfm_segments", "conversion_lag_report",
-    "loo_source_impact",
-    "qlm_dirichlet_topk", "rich_club_coefficient",
-    "harmonic_centrality_seeds", "stream_drift_twin",
-    "dedup_best_survivor", "correlated_predicates",
-    "packing_efficiency_sweep",
-    "matryoshka_recall_report", "mutual_knn_pairs",
-    "slo_burn_rate",
-    "gopher_quality_flags", "c4_line_filter", "spearman_corr",
-    "kendall_tau_grouped", "cramers_v_report",
-    "kruskal_wallis", "lift_gains_report", "kaplan_meier",
-    "hits_hubs_authorities", "textrank_keywords", "ktruss_edges",
-    "stream_topk_twin", "chao_distinct_estimate",
-    "holt_forecast", "partition_advisor", "mmr_diversify",
-    "anova_f_report", "dau_mau_stickiness", "isotonic_calibration",
-    "wow_delta_report", "embedding_centroid_drift", "pinball_loss_eval",
-    "mrr_eval", "knn_label_eval", "kanon_generalization_ladder",
-    "cohort_ltv", "invoice_reconciliation", "seasonal_naive_backtest",
-    "histogram_refine_median", "trimmed_mean_report",
-    "curation_funnel_report",
-    "stream_sessionize_twin", "qini_uplift_report",
-    "conformal_coverage_audit",
-    "broadcast_advisor", "split_leakage_audit", "churn_feature_labels",
-    "novelty_curve_report",
-    "cohens_d_report", "odds_ratio_report",
+    # --- r10 window: the 50 stalest never-officially-checked entries
+    # (alphabetical; catalog minus the 193 ever-green official rows) ---
+    "ab_test_welch", "acf_report", "anova_f_report", "association_rules",
+    "attribution_report", "benford_report", "bigram_lm_score",
+    "boolean_retrieval", "bootstrap_ci", "broadcast_advisor",
+    "c4_line_filter", "chao_distinct_estimate", "chi_square_report",
+    "churn_feature_labels", "codec_advisor", "cohens_d_report",
+    "cohort_ltv", "compaction_plan", "conformal_coverage_audit",
+    "conversion_lag_report", "coreset_kcenter", "correlated_predicates",
+    "cramers_v_report", "ctfidf_topterms", "curation_funnel_report",
+    "cusum_changepoint", "dau_mau_stickiness", "decayed_popularity",
+    "dedup_best_survivor", "dedup_threshold_sweep", "distribution_drift",
+    "domain_affinity_score", "embedding_centroid_drift",
+    "embedding_integrity", "embedding_outliers", "equidepth_histogram",
+    "fd_discovery", "feature_hashing_report", "frequent_triples",
+    "gini_coefficient", "gini_gain_report", "golden_record",
+    "gopher_quality_flags", "graph_assortativity", "graph_random_walk",
+    "graph_sssp", "grid_dbscan_core", "group_kfold",
+    "harmonic_centrality_seeds", "hierarchy_rollup",
+    # --- remaining never-checked (72; rotate in r11/r12) ---
+    "histogram_refine_median", "hits_hubs_authorities", "holt_forecast",
+    "hybrid_rrf_fusion", "interarrival_burstiness",
+    "invoice_reconciliation", "isotonic_calibration", "jaccard_prefix_join",
+    "kanon_generalization_ladder", "kaplan_meier", "kendall_tau_grouped",
+    "knn_label_eval", "kruskal_wallis", "ks_test_drift", "ktruss_edges",
+    "latency_slo_report", "length_bucket_batching", "lift_gains_report",
+    "link_prediction_ra", "loo_source_impact", "mannwhitney_auc",
+    "matryoshka_recall_report", "metadata_consistency", "mmr_diversify",
+    "mrr_eval", "mutual_knn_pairs", "ndcg_eval", "novelty_curve_report",
+    "odds_ratio_report", "ohlc_bars", "packing_efficiency_sweep",
+    "partition_advisor", "phrase_search", "pinball_loss_eval",
+    "postings_compression_report", "qini_uplift_report",
+    "qlm_dirichlet_topk", "quota_allocation", "readability_report",
+    "referential_integrity", "residual_outliers", "rfm_segments",
+    "rich_club_coefficient", "rolling_median_7d", "sax_symbolic",
+    "seasonal_anomaly_report", "seasonal_naive_backtest", "slo_burn_rate",
+    "snapshot_asof", "source_overlap", "spearman_corr",
+    "split_leakage_audit", "stream_drift_twin", "stream_sessionize_twin",
+    "stream_topk_twin", "t_closeness", "target_encode_smoothed",
+    "textrank_keywords", "theil_sen_trend", "tokenizer_fertility",
+    "topk_churn_report", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q9", "trimmed_mean_report",
+    "unigram_surprisal", "winsorize_report", "wow_delta_report",
     # --- stalest official rows (last checked r5) ---
     "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
     "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
     "date_decompose", "theta_range_check", "similarity_join",
     "groupby_count_report", "windowed_events", "sliding_windows",
     "sessionize_events", "dedup_exact", "doc_fingerprint", "doc_winnow",
-    "dedup_minhash_sigs",
-    # --- r5 overflow (land only if the window widens past 50) ---
-    "dedup_lsh_pairs", "dedup_jaccard",
+    "dedup_minhash_sigs", "dedup_lsh_pairs", "dedup_jaccard",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "quality_filter",
     "token_stats", "graph_degree", "graph_two_hop", "skew_salted_join",

@@ -239,7 +239,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 def lsh_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_bits: int = 4,
-             bucket_fn=None, use_numpy: bool = False,
+             bucket_fn=None, use_numpy: bool | None = None,
              broadcast_queries: bool = True) -> DataFrame:
     """Approximate top-k: only score candidates in the query's LSH bucket.
 
@@ -247,7 +247,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     difference between |Q|x|C| and |Q|x|C|/2^bits with a shuffle instead of
     a broadcast nested loop. bucket_fn defaults to the cheap
     sign_lsh_bucket; pass hyperplane_lsh_bucket for real cosine-LSH recall.
-    use_numpy switches candidate scoring to the Arrow-batched backend.
+
+    use_numpy switches candidate scoring to the Arrow-batched backend;
+    None (default) auto-selects: JVM whole-stage codegen below 8 sized
+    bits (the checked SFs: adaptive_lsh_bits gives 8 only past ~16k
+    rows, so every oracle plan keeps the exact JVM fold), Arrow/numpy
+    at >= 8 bits where candidate volume sits well past the measured
+    ~1e5-row Python-worker crossover (SURVEY 4.4) — measured at the
+    r10 100x probe: 29.4s JVM vs 18.4s numpy warm, rank tables
+    IDENTICAL because _salted_topk quantizes to round(sim, 9) before
+    ranking, absorbing the fold-order ulp.
 
     broadcast_queries=True fits the serve shape (a small query batch);
     pass False when QUERIES IS THE CORPUS (all-pairs kNN, e.g.
@@ -256,13 +265,33 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
     is the scale path there.
     """
     bucket_fn = bucket_fn or sign_lsh_bucket
+    if use_numpy is None:
+        use_numpy = n_bits >= 8
     score = cosine_sim_np if use_numpy else cosine_sim
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"),
-                       bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"),
-                      bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
+    if queries is corpus and not broadcast_queries:
+        # All-pairs self-kNN: bucketing is the expensive per-row work
+        # (n_bits hyperplane dots over the vector) and the same frame
+        # feeds BOTH join sides — compute it once, materialize, and
+        # self-join (the r6 multi-consumer rule). Halves the scan +
+        # bucket cost that the r9 100x probes charged to
+        # mutual_knn_pairs / knn_label_eval.
+        base = corpus.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+            bucket_fn(F.col(vec_col), n_bits).alias("bucket")
+        ).localCheckpoint()
+        q = base.select(F.col("__id").alias("query_id"),
+                        F.col("__vec").alias("q_vec"), "bucket")
+        c = base.select(F.col("__id").alias("neighbor_id"),
+                        F.col("__vec").alias("c_vec"), "bucket")
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            bucket_fn(F.col(vec_col), n_bits).alias("bucket"))
     scored = (
         c.join(F.broadcast(q) if broadcast_queries else q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

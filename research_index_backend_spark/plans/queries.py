@@ -865,11 +865,16 @@ def q_dedup_embedding(spark, sf_dir):
     self-join go quadratic — the 10x probe measured 13.6x wall for 10x
     data before this landed (BENCH_HISTORY r7). At the oracle-checked
     SFs N<=2000 sizes to 4 bits, so the SQL twin's plane set is
-    unchanged; the one count() here is plan-build sizing, same
-    precedent as pagerank's |V| count."""
+    unchanged; plan-build sizing reads the parquet-footer stats
+    sidecar (sources/stats.py) — no Spark job."""
     from ..operators.dedup import adaptive_lsh_bits, embedding_near_dup_pairs
+    from ..sources.stats import table_rowcount
     emb = _t(spark, sf_dir, "embeddings")
-    bits = adaptive_lsh_bits(emb.count())
+    try:
+        n_rows = table_rowcount(sf_dir, "embeddings")
+    except OSError:  # non-local path: one column-pruned count job
+        n_rows = emb.select("vec_id").count()
+    bits = adaptive_lsh_bits(n_rows)
     return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=bits,
                                     max_bucket_size=100,
                                     max_bucket_denom=4)

@@ -168,13 +168,20 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab edge join; no driver round-trips.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")) \
+    # Stage the token array to a NAMED column before the bigram
+    # transform references it 4x — CollapseProject otherwise inlines
+    # the regex split per reference (the r7 token_stats/quality_filter
+    # duplicated-expression-tree lesson, 7.9x -> 5.0x there).
+    tok_d = d.select(
+        F.filter(F.split(F.lower("text"), r"\s+"),
+                 lambda t: t != "").alias("toks"))
+    tk = F.col("toks")
+    bigrams = F.when(F.size(tk) < 2, F.array().cast("array<string>")) \
         .otherwise(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                               F.element_at(toks, i + 1))))
-    pair_cnt = (d.select(F.explode(bigrams).alias("bg"))
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat(F.element_at(tk, i), F.lit(" "),
+                               F.element_at(tk, i + 1))))
+    pair_cnt = (tok_d.select(F.explode(bigrams).alias("bg"))
                 .groupBy("bg").agg(F.count(F.lit(1)).alias("wt"))
                 .select(F.split("bg", " ").getItem(0).alias("w1"),
                         F.split("bg", " ").getItem(1).alias("w2"),

@@ -65,12 +65,18 @@ def q_curation_funnel_report(spark: SparkSession,
     min(doc_id)-per-hash aggregate joined back semi; the eval
     shingle set is tiny by construction and BROADCASTS into the
     overlap probe (the decontaminate_overlap shape); stage counts
-    stack via one union of four 1-row aggregates."""
+    stack via one union of four 1-row aggregates. Checkpoint
+    payloads carry only what downstream stages consume (the r9
+    19.6x 100x-probe tail was materialized text+toks riding through
+    BOTH checkpoints): the base pass folds md5(text) into a column
+    and drops the text; shingles are computed AT the s2 checkpoint —
+    only for quality+dedup survivors — and toks dropped there."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"),
                     lambda t: t != "")
     base = d.select(
-        "doc_id", "text",
+        "doc_id",
+        F.md5("text").alias("h"),
         F.size(toks).alias("nw"),
         F.size(F.array_distinct(toks)).alias("nd"),
         toks.alias("toks")).localCheckpoint()
@@ -79,23 +85,21 @@ def q_curation_funnel_report(spark: SparkSession,
         (F.col("nw") >= _CF_MIN_WORDS) & (F.col("nw") <= _CF_MAX_WORDS)
         & (F.expr("(1000000 * CAST(nw - nd AS DECIMAL(38,0))) div nw")
            <= _CF_DUP_MAX_E6))
-    winners = (s1.groupBy(F.md5("text").alias("h"))
-               .agg(F.min("doc_id").alias("doc_id")))
-    s2 = s1.join(winners.select("doc_id"), "doc_id", "semi") \
-        .localCheckpoint()
-
+    winners = s1.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     sh = F.when(F.col("nw") < _CF_SHINGLE,
                 F.array().cast("array<string>")) \
         .otherwise(F.transform(
             F.sequence(F.lit(1), F.col("nw") - _CF_SHINGLE + 1),
             lambda i: F.concat_ws(
                 " ", F.slice(F.col("toks"), i, F.lit(_CF_SHINGLE)))))
-    doc_sh = s2.select("doc_id", "nw",
-                       F.array_distinct(sh).alias("shs"))
-    eval_sh = (doc_sh.filter(F.col("doc_id") < _CF_EVAL_DOCS)
+    s2 = (s1.join(winners.select("doc_id"), "doc_id", "semi")
+          .select("doc_id", "nw", F.array_distinct(sh).alias("shs"))
+          .localCheckpoint())
+
+    eval_sh = (s2.filter(F.col("doc_id") < _CF_EVAL_DOCS)
                .select(F.explode("shs").alias("sh")).distinct()
                .groupBy().agg(F.collect_list("sh").alias("eset")))
-    probed = (doc_sh.join(F.broadcast(eval_sh))
+    probed = (s2.join(F.broadcast(eval_sh))
               .select("doc_id",
                       F.size("shs").alias("n_sh"),
                       F.size(F.array_intersect("shs", "eset"))

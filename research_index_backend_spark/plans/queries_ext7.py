@@ -214,7 +214,12 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("p_name", " "), 2).alias("noun"),
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 10000")
         .alias("price_band"))
-    refine = _rl_refine(p.count())   # one column-pruned count job
+    from ..sources.stats import table_rowcount
+    try:
+        n_rows = table_rowcount(sf_dir, "part")  # footer stats sidecar
+    except OSError:  # non-local path: one column-pruned count job
+        n_rows = p.select("p_partkey").count()
+    refine = _rl_refine(n_rows)
     if refine >= 1:
         p = p.withColumn("blk1", F.substring("adj", 1, 1))
     if refine >= 2:

@@ -72,7 +72,15 @@ def _topk_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
     allpdf = (pd.concat(chunks, ignore_index=True) if chunks
               else pd.DataFrame())
     if len(allpdf):
-        bins = (allpdf["v_e2"].astype(int) // BIN_W).value_counts()
+        # Match the batch twin's Spark `div` (truncation toward ZERO),
+        # not pandas floor division: start from floor, then bump the
+        # inexact negative quotients up by one. Integer-exact for any
+        # int64 v_e2, so stream/batch parity holds even if the value
+        # domain ever goes negative (generated data is >= 0 today).
+        v = allpdf["v_e2"].astype("int64")
+        q = v // BIN_W
+        q = q + ((v < 0) & (v % BIN_W != 0)).astype("int64")
+        bins = q.value_counts()
         for b, c in bins.items():
             hist[int(b)] = hist.get(int(b), 0) + int(c)
     seq += 1

@@ -347,3 +347,60 @@ def test_every_query_builds_and_explains(all_plans):
              and "LocalTableScan" not in p and "Rdd" not in p
              and "RDD" not in p]
     assert not empty, f"plans with no scan at all: {empty}"
+
+
+# Driver-side df.count() sites in package source. Raw-TABLE sizing counts
+# were replaced in r10 by the parquet-footer stats sidecar
+# (sources/stats.py — r9 VERDICT item 3); the survivors are either
+# (a) `except OSError` fallbacks for non-posix table paths where the
+#     sidecar can't stat (one column-pruned count, never taken on
+#     local testdata), or
+# (b) counts on DERIVED, just-checkpointed frames inherent to iterative
+#     algorithms: convergence/fixpoint tests and |V| seeds, where no
+#     footer exists to read.
+# Any new .count() anywhere else in the package is a lint failure: add
+# it here only with a (a)/(b)-class justification.
+DRIVER_COUNT_ALLOWED = {
+    # (a) sidecar fallbacks
+    "plans/queries.py": 1,        # dedup_embedding
+    "plans/queries_ext2.py": 1,   # embedding multi-family LSH
+    "plans/queries_ext7.py": 1,   # record linkage blocking ladder
+    "plans/queries_ext25.py": 1,  # mutual_knn_pairs
+    "plans/queries_ext33.py": 1,  # knn_label_eval
+    # (b) iterative derived-frame counts
+    "plans/queries_ext5.py": 2,   # k-core peel fixpoint early-exit
+    "plans/queries_ext28.py": 1,  # textrank |V| (distinct-word frame)
+    "graph/analytics.py": 4,      # CC + edge-fixpoint convergence, PR |V|
+}
+
+
+def test_driver_side_counts_are_pinned():
+    import os
+    import tokenize
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "research_index_backend_spark")
+    found: dict[str, int] = {}
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, pkg)
+            n = 0
+            with open(path, "rb") as fh:
+                toks = list(tokenize.tokenize(fh.readline))
+            # a .count() call = NAME 'count' preceded by OP '.' and
+            # followed by OP '(' OP ')' — strings/comments never match
+            for i, t in enumerate(toks):
+                if (t.type == tokenize.NAME and t.string == "count"
+                        and i >= 1 and toks[i - 1].string == "."
+                        and i + 2 < len(toks)
+                        and toks[i + 1].string == "("
+                        and toks[i + 2].string == ")"):
+                    n += 1
+            if n:
+                found[rel] = n
+    assert found == DRIVER_COUNT_ALLOWED, (
+        f"driver-side .count() drift: found {found}, "
+        f"allowed {DRIVER_COUNT_ALLOWED}")
