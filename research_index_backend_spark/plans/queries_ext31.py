@@ -131,38 +131,41 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     audience shows up daily"). sliding_distinct_users counts one
     window; this emits the calendar-long engagement series.
 
-    Scale shape: the corpus reduces ONCE to the distinct (user, day)
-    grid (combinable); the trailing windows then count over the
-    DAY-SPAN of that grid via a banded self-join on the CALENDAR
-    day table (each (user, day) row lands in <= {_DM_MAU_D}
-    subsequent day buckets via an in-row explode of the bounded
-    offset range — never a corpus-row window). Exact, no sketches;
-    at 100 TB the grid is |users| x |days| which this plan shuffles
-    once."""
+    Scale shape (r10 rewrite — the r9 plan shuffled the (user, day)
+    grid at {_DM_MAU_D}x exploded volume into a (day, user) dedup
+    aggregate; 10.8x at the 100x probe): ONE corpus shuffle, the
+    per-user groupBy whose partial collect_set dedups map-side. The
+    trailing-window credits are then computed IN-ROW per user — for
+    the i-th active day, offsets run only to the day before the NEXT
+    active day (else that later day is the closer anchor), so each
+    (user, window-day) pair is emitted exactly once and already
+    carries its true min_off. The exploded credits flow straight
+    into the combinable per-day conditional counts: no {_DM_MAU_D}x
+    grid ever crosses the wire. A user's in-row state is their
+    distinct-day set, bounded by the calendar span, never by event
+    volume. Exact, no sketches."""
     e = _t(spark, sf_dir, "events")
-    ud = (e.select(F.expr(f"ts_ns div {_DM_DAY_NS}").alias("day"),
-                   "user_id")
-          .distinct())
-    # each (user, day) credits day..day+27 as "active within trailing
-    # window of that later day" — bounded in-row explode, then one
-    # distinct per (window-day, horizon-class) via conditional counts
-    spans = (ud.select(
-        "user_id", F.col("day").alias("d0"),
-        F.explode(F.expr(f"sequence(0, {_DM_MAU_D - 1})")).alias("off"))
-        .select("user_id", F.col("d0"),
-                (F.col("d0") + F.col("off")).alias("day"),
-                F.col("off")))
-    agg = (spans.groupBy("day", "user_id")
-           .agg(F.min("off").alias("min_off"))
-           .groupBy("day")
-           .agg(F.sum(F.when(F.col("min_off") == 0, 1).otherwise(0))
+    days = (e.groupBy("user_id")
+            .agg(F.sort_array(F.collect_set(
+                F.expr(f"ts_ns div {_DM_DAY_NS}"))).alias("ds")))
+    credits = days.select(F.explode(F.expr(f"""
+        flatten(transform(ds, (d, i) ->
+          transform(
+            sequence(0L, least(CAST({_DM_MAU_D - 1} AS BIGINT),
+                               coalesce(try_element_at(ds, i + 2) - d - 1,
+                                        CAST({_DM_MAU_D - 1} AS BIGINT)))),
+            o -> struct(d + o AS day, o AS off))))
+        """)).alias("cr")).select("cr.day", "cr.off")
+    agg = (credits.groupBy("day")
+           .agg(F.sum(F.when(F.col("off") == 0, 1).otherwise(0))
                 .alias("dau"),
-                F.sum(F.when(F.col("min_off") < _DM_WAU_D, 1)
+                F.sum(F.when(F.col("off") < _DM_WAU_D, 1)
                       .otherwise(0)).alias("wau"),
                 F.count(F.lit(1)).alias("mau")))
-    # keep only days that actually occur in the stream (the explode
-    # manufactures trailing days past the corpus end)
-    real = ud.select("day").distinct()
+    # keep only days that actually occur in the stream (the credits
+    # manufacture trailing days past the corpus end)
+    real = (e.select(F.expr(f"ts_ns div {_DM_DAY_NS}").alias("day"))
+            .distinct())
     return (agg.join(real, "day")
             .select(F.col("day").cast("bigint").alias("day"),
                     F.col("dau").cast("bigint").alias("dau"),
