@@ -110,6 +110,10 @@ SCALED = [
     "packing_efficiency_sweep",
     "matryoshka_recall_report", "mutual_knn_pairs",
     "slo_burn_rate",
+    # r9 late waves + r10 hardened tails (kept under permanent watch)
+    "knn_label_eval", "textrank_keywords", "curation_funnel_report",
+    "dau_mau_stickiness", "kendall_tau_grouped", "novelty_curve_report",
+    "hits_hubs_authorities", "ktruss_edges", "chao_distinct_estimate",
 ]
 
 
