@@ -22,6 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -227,7 +228,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # without the checkpoint the upstream edge derivation re-executes per
     # round (see connected_components note). out_deg rides along in the
     # base frame so each iteration is ONE join with ranks, not two.
-    edges = edges.select(src, dst).localCheckpoint()
+    # DISK_ONLY: |E|-scale, written once and re-read sequentially per
+    # iteration — OS page cache keeps it RAM-hot off-heap; the default
+    # on-heap cache OOM'd the 16g local harness at the r10 100x probe.
+    edges = edges.select(src, dst).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY)
     nodes = (edges.select(F.col(src).alias("id"))
              .unionAll(edges.select(F.col(dst).alias("id")))
              .distinct())
@@ -295,7 +300,11 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     round. Expects a graph where every node has out-edges (symmetrize
     first), as with handle_dangling=False.
     """
-    edges = edges.select(src, dst).localCheckpoint()
+    # DISK_ONLY: |E|-scale, written once and re-read sequentially per
+    # iteration — OS page cache keeps it RAM-hot off-heap; the default
+    # on-heap cache OOM'd the 16g local harness at the r10 100x probe.
+    edges = edges.select(src, dst).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY)
     nodes = (edges.select(F.col(src).alias("id"))
              .unionAll(edges.select(F.col(dst).alias("id")))
              .distinct())

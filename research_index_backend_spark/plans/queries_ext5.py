@@ -743,10 +743,16 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge endpoint — all hash-partition-friendly; the edge list
     localCheckpoints once. Peeling converges from above, so rounds are
     monotone shrinking and a lineage-flat loop.
+
+    BIGINT node ids internally + DISK_ONLY for the |E|-scale round
+    states (the r10 100x-probe OOM fix — see _sym_supplier_edges_i);
+    labels decode only in the output projection.
     """
+    from pyspark import StorageLevel
     l = _t(spark, sf_dir, "lineitem")
     li = l.select("l_suppkey", "l_orderkey").distinct()
-    edges = _sym_supplier_edges(li).localCheckpoint()
+    edges = _sym_supplier_edges_i(li).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY)
     cur = edges
     prev_n = cur.count()
     for _ in range(_KCORE_ROUNDS):
@@ -755,7 +761,7 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("src").localCheckpoint())
         cur = (cur.join(keep, "src", "semi")
                .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
-               .localCheckpoint())
+               .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
         # fixpoint early-exit: the round cap is the ORACLE's contract
         # (6 unrolled CTE rounds); once a peel removes nothing, every
         # further round is the identity, so stopping is result-identical
@@ -766,7 +772,9 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_n = n
     return (cur.groupBy(F.col("src").alias("node_id"))
-            .agg(F.count(F.lit(1)).alias("core_degree")))
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .select(_decode_node(F.col("node_id"), "o").alias("node_id"),
+                    "core_degree"))
 
 
 def _kcore_oracle() -> str:
@@ -965,6 +973,35 @@ def _sym_supplier_edges(li):
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def _sym_supplier_edges_i(li):
+    """BIGINT twin of _sym_supplier_edges: supplier 2k, counterparty
+    2k+1 — the r10 narrowing. The string encoding through a 100M-edge
+    checkpoint plus frontier distincts OOM'd the 16g local harness at
+    the 100x probe; the BIGINT states run the identical plan in ~1/4
+    of the bytes. Decode labels at the OUTPUT projection only, via
+    _decode_node; the oracle twins keep the string encoding — their
+    states never leave DuckDB."""
+    other = [c for c in li.columns if c != "l_suppkey"][0]
+    fwd = li.select(
+        (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+        (F.col(other).cast("bigint") * 2 + 1).alias("dst"))
+    return fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _decode_node(col, pref: str):
+    """Label a _sym_supplier_edges_i BIGINT node id back to the
+    oracle's string form ('s<k>' for even, '<pref><k>' for odd).
+    shiftright keeps the halving in integer space — a float /2 would
+    lose exactness past 2^53."""
+    return (F.when(col % 2 == 0,
+                   F.concat(F.lit("s"),
+                            F.shiftright(col, 1).cast("string")))
+            .otherwise(F.concat(F.lit(pref),
+                                F.shiftright(col - 1, 1)
+                                .cast("string"))))
+
+
 # ---------------------------------------------------------------------------
 # graph_bfs_depth — bounded multi-source BFS hop distance
 # ---------------------------------------------------------------------------
@@ -988,30 +1025,49 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed constant, so lineage stays flat. The DuckDB twin is a
     recursive CTE over DISTINCT (node, depth) states with the same
     depth cap.
+
+    Node ids are BIGINT internally (supplier 2k, part 2k+1) and the
+    's'/'p' labels decoded only in the output projection; iterative
+    state checkpoints are DISK_ONLY — the r10 100x probe caught the
+    string-id / deserialized-cache variant OOMing the 16g local
+    harness (same fix as harmonic_centrality_seeds, ext23).
     """
+    from pyspark import StorageLevel
     l = _t(spark, sf_dir, "lineitem")
     li = l.select("l_suppkey", "l_partkey").distinct()
-    edges = _sym_supplier_edges(li).localCheckpoint()
+    fwd = li.select(
+        (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+        (F.col("l_partkey").cast("bigint") * 2 + 1).alias("dst"))
+    edges = (fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+             .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
     seeds = (li.select("l_suppkey").distinct()
              .filter(F.col("l_suppkey") % _BFS_SEED_MOD == 0)
-             .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                     .alias("id"), F.lit(0).cast("int").alias("d")))
+             .select((F.col("l_suppkey").cast("bigint") * 2).alias("id"),
+                     F.lit(0).cast("int").alias("d")))
     # Only each round's FRONTIER materializes (localCheckpoint); the
     # reached set is a union of already-checkpointed frontiers, so
     # checkpointing it again would double every round's work.
-    dist = seeds.localCheckpoint()
+    dist = seeds.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     frontier = dist
     for r in range(1, _BFS_MAX_DEPTH + 1):
         nxt = (frontier.join(edges, frontier["id"] == edges["src"])
                .select(F.col("dst").alias("id"),
                        F.lit(r).cast("int").alias("d"))
                .distinct())
-        new = nxt.join(dist, "id", "left_anti").localCheckpoint()
+        new = (nxt.join(dist, "id", "left_anti")
+               .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
         if not new.take(1):   # frontier exhausted -> all later rounds empty
             break
         dist = dist.unionAll(new)
         frontier = new
-    return dist.select(F.col("id").alias("node_id"), F.col("d").alias("depth"))
+    return dist.select(
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("s"), F.expr("id div 2").cast("string")))
+        .otherwise(
+            F.concat(F.lit("p"), F.expr("(id - 1) div 2").cast("string")))
+        .alias("node_id"),
+        F.col("d").alias("depth"))
 
 
 ORACLE_BFS = f"""
@@ -1657,16 +1713,18 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.analytics import personalized_pagerank
     l = _t(spark, sf_dir, "lineitem")
     li = l.select("l_suppkey", "l_partkey").distinct()
-    edges = _sym_supplier_edges(li)
+    # BIGINT ids + output-only label decode (the r10 100x-probe OOM
+    # fix — see _sym_supplier_edges_i); the analytics operator is
+    # id-type-agnostic.
+    edges = _sym_supplier_edges_i(li)
     seeds = (li.select("l_suppkey").distinct()
              .filter(F.col("l_suppkey") % 10 == 0)
-             .select(F.concat(F.lit("s"),
-                              F.col("l_suppkey").cast("string"))
-                     .alias("id")))
+             .select((F.col("l_suppkey").cast("bigint") * 2).alias("id")))
     pr = personalized_pagerank(edges, seeds, n_iter=_PPR_ITERS,
                                damping=_PPR_DAMPING, broadcast_ranks=True)
     return pr.select(
-        "id", F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
+        _decode_node(F.col("id"), "p").alias("id"),
+        F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
 
 
 def _ppr_oracle() -> str:

@@ -969,11 +969,16 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("pb"))
     # both the hub ranking and the induced-subgraph semi-joins consume
     # the distinct edge set: materialize it once (1.2M narrow rows at
-    # sf0.1) or the self-join + distinct executes twice
+    # sf0.1) or the self-join + distinct executes twice. DISK_ONLY:
+    # the |E|-scale cache on the default deserialized level OOM'd the
+    # 16g local harness at the r10 100x probe (~120M edges); written
+    # once, re-read sequentially, page-cache-hot.
+    from pyspark import StorageLevel
     edges_all = (a.join(b, "o")
                  .filter(F.col("pa") < F.col("pb"))
                  .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-                 .distinct().localCheckpoint())
+                 .distinct().localCheckpoint(
+                     storageLevel=StorageLevel.DISK_ONLY))
     nodes_all = (edges_all.select(F.col("u").alias("id"))
                  .unionAll(edges_all.select(F.col("v").alias("id"))))
     deg_all = nodes_all.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
@@ -1001,7 +1006,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).localCheckpoint()
+    ).localCheckpoint()  # K^2-capped hub core: small, default level fine
     e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"),
                   F.col("ddst").alias("dy"))
     e2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"),
