@@ -184,10 +184,15 @@ def q_graph_pagerank(spark, sf_dir):
     checkpoint_every=2 measured fastest at sf0.1 (4.1s vs 5.2s at 3,
     4.5s at end-only; broadcast build off a shorter lineage wins over
     fewer eager jobs)."""
+    # BIGINT node ids internally (supplier 2k, part 2k+1; the r10
+    # narrowing — see queries_ext5._sym_supplier_edges_i), labels
+    # decoded only in the output projection; rank values depend on
+    # graph structure alone, so the oracle's string encoding stays.
+    from .queries_ext5 import _decode_node
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+        (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+        (F.col("l_partkey").cast("bigint") * 2 + 1).alias("dst"))
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     # symmetrized graph -> every node has out-edges -> no dangling mass ->
@@ -195,7 +200,8 @@ def q_graph_pagerank(spark, sf_dir):
     pr = pagerank(edges, n_iter=5, handle_dangling=False,
                   checkpoint_every=2, broadcast_ranks=True)
     return pr.select(
-        "id", F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
+        _decode_node(F.col("id"), "p").alias("id"),
+        F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
 
 
 def _oracle_pagerank(n_iter: int = 5, damping: float = 0.85) -> str:
@@ -664,15 +670,18 @@ def q_graph_pagerank_dangling(spark, sf_dir):
     loop, unlike the collect()-per-round shape this replaced (round-4
     VERDICT #2). Same e4 quantization rationale as graph_pagerank: both
     engines run the identical IEEE recurrence up to summation order."""
+    from .queries_ext5 import _decode_node
     li = _t(spark, sf_dir, "lineitem").select("l_partkey",
                                               "l_suppkey").distinct()
+    # BIGINT ids, output-only decode (same narrowing as graph_pagerank)
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+        (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+        (F.col("l_partkey").cast("bigint") * 2 + 1).alias("dst"))
     pr = pagerank(edges, n_iter=5, handle_dangling=True,
                   checkpoint_every=2, broadcast_ranks=True)
     return pr.select(
-        "id", F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
+        _decode_node(F.col("id"), "p").alias("id"),
+        F.round(F.col("rank") * 1e4).cast("bigint").alias("rank_e4"))
 
 
 def _oracle_pagerank_dangling(n_iter: int = 5, damping: float = 0.85) -> str:

@@ -959,20 +959,6 @@ ORDER BY pmi_e6 DESC, w1, w2 LIMIT {_PMI_TOPK}
 
 
 
-def _sym_supplier_edges(li):
-    """Symmetrized supplier<->counterparty edge list with 's'/'X'
-    prefixed node ids — the shared graph construction for the BFS /
-    k-core / PPR family (li = a distinct 2-column key frame whose first
-    column is l_suppkey)."""
-    other = [c for c in li.columns if c != "l_suppkey"][0]
-    pref = other.split("_")[1][0]  # l_partkey -> 'p', l_orderkey -> 'o'
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit(pref), F.col(other).cast("string")).alias("dst"))
-    return fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-
-
 def _sym_supplier_edges_i(li):
     """BIGINT twin of _sym_supplier_edges: supplier 2k, counterparty
     2k+1 — the r10 narrowing. The string encoding through a 100M-edge
