@@ -43,12 +43,21 @@ def q_novelty_curve_report(spark: SparkSession,
 
     Scale shape: tranche ids derive from a 1-row max-doc_id
     broadcast (snapshot_asof shape); first-seen tranche per shingle
-    is ONE combinable min() aggregate over the exploded shingles;
-    the curve is a prefix sum over the {_NC_TRANCHES}-row tranche
-    table (fixed size — no allowlist concern: the window partitions
-    over a constant frame... listed anyway for the lint)."""
+    is ONE combinable min() aggregate over the exploded shingles —
+    the ONLY pass that builds shingle strings. The docs/occurrence
+    tranche totals never touch arrays: |shingles(doc)| is just
+    greatest(0, n_tokens - {_NC_SHINGLE - 1}) and n_tokens is
+    regexp_count(text, '\\S+') (non-empty \\s+-split tokens ==
+    non-whitespace runs), so that branch is a pure scalar scan (the
+    first cut built the full shingle-string arrays TWICE, once per
+    consumer, just to size() them in this branch). The curve is a
+    prefix sum over the {_NC_TRANCHES}-row tranche table (fixed size
+    — no allowlist concern: the window partitions over a constant
+    frame... listed anyway for the lint)."""
     d = _t(spark, sf_dir, "documents")
     anchor = d.agg(F.max("doc_id").alias("mx"))
+    tranche = F.expr(f"least(doc_id * {_NC_TRANCHES}"
+                     f" div (mx + 1), {_NC_TRANCHES - 1})")
     toks = F.filter(F.split(F.lower("text"), r"\s+"),
                     lambda t: t != "")
     sh = F.when(F.size(toks) < _NC_SHINGLE,
@@ -57,15 +66,18 @@ def q_novelty_curve_report(spark: SparkSession,
             F.sequence(F.lit(1), F.size(toks) - _NC_SHINGLE + 1),
             lambda i: F.concat_ws(
                 " ", F.slice(toks, i, F.lit(_NC_SHINGLE)))))
-    base = (d.join(F.broadcast(anchor))
-            .select(F.expr(f"least(doc_id * {_NC_TRANCHES}"
-                           f" div (mx + 1), {_NC_TRANCHES - 1})")
-                    .alias("tranche"),
-                    "doc_id", sh.alias("shs")))
-    docs = base.groupBy("tranche").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("shs")).alias("n_occurrences"))
-    first_seen = (base.select("tranche", F.explode("shs").alias("s"))
+    docs = (d.join(F.broadcast(anchor))
+            .select(tranche.alias("tranche"),
+                    F.greatest(
+                        F.lit(0),
+                        F.regexp_count("text", F.lit(r"\S+"))
+                        - (_NC_SHINGLE - 1)).alias("n_sh"))
+            .groupBy("tranche").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_sh").alias("n_occurrences")))
+    first_seen = (d.join(F.broadcast(anchor))
+                  .select(tranche.alias("tranche"), sh.alias("shs"))
+                  .select("tranche", F.explode("shs").alias("s"))
                   .groupBy("s").agg(F.min("tranche").alias("tranche"))
                   .groupBy("tranche")
                   .agg(F.count(F.lit(1)).alias("novel")))
