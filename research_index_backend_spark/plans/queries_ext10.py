@@ -790,9 +790,16 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts are exact; support_e6 = cnt * 1e6 div n,
     confidence_e6 = cnt * 1e6 div cnt_a, lift_e6 = cnt * n * 1e6 div
-    (cnt_a * cnt_b), all truncating div both engines share."""
+    (cnt_a * cnt_b), all truncating div both engines share.
+
+    The basket edge set is checkpointed ONCE (DISK_ONLY, |E|-scale
+    idiom): the order total, item counts, and both pair-join sides
+    each re-ran the lineitem-distinct subtree in the first cut — 5
+    fact scans and 4 distinct shuffles per run."""
+    from pyspark import StorageLevel
     b = (_t(spark, sf_dir, "lineitem")
-         .select("l_orderkey", "l_partkey").distinct())
+         .select("l_orderkey", "l_partkey").distinct()
+         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
     n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = (b.groupBy(F.col("l_partkey").alias("ipart"))
             .agg(F.count(F.lit(1)).alias("icnt")))

@@ -224,7 +224,14 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE equi-join frontier x adjacency on (src, rank) — |seeds| rows
     against the ranked edge table, never a crossJoin; hop count is a
     constant unroll. The oracle replays the identical three joins.
+
+    The ranked adjacency is checkpointed ONCE (DISK_ONLY, the
+    |E|-scale idiom from the 100x OOM campaign) and degrees / seeds
+    derive from it: the first cut re-evaluated the orders x lineitem
+    edge subtree SEVEN times (deg + ranked per hop, plus seeds) — 14
+    fact-table scans per walk at 100 TB.
     """
+    from pyspark import StorageLevel
     cp = (_t(spark, sf_dir, "orders")
           .join(_t(spark, sf_dir, "lineitem"),
                 F.col("o_orderkey") == F.col("l_orderkey"))
@@ -235,10 +242,11 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cp.select((F.col("l_partkey") * 2 + 1).alias("src"),
                            (F.col("o_custkey") * 2).alias("dst"))))
     wrk = Window.partitionBy("src").orderBy("dst")
-    ranked = edges.withColumn("rn", F.row_number().over(wrk))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (edges.withColumn("rn", F.row_number().over(wrk))
+              .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
+    deg = ranked.groupBy("src").agg(F.max("rn").alias("deg"))
 
-    walk = (edges.select("src").distinct()
+    walk = (ranked.select("src").distinct()
             .filter(F.expr(f"src % 2 = 0"
                            f" AND (src div 2) % {_RW_SEED_MOD} = 0"))
             .select(F.expr("src div 2").alias("seed"),

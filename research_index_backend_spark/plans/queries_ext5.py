@@ -2119,13 +2119,21 @@ def q_graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic blob two_hop caps). Intersections aggregate from the
     wedge join; degrees join in from a per-supplier pre-aggregate;
     the score is one exact-int division. Top-k is TakeOrdered.
+
+    The distinct edge set and its hub-capped subset are checkpointed
+    ONCE (DISK_ONLY, |E|-scale idiom): deg + both wedge sides + the
+    part-degree cap each re-evaluated the lineitem-distinct subtree
+    in the first cut — 8 fact scans and 4 distinct shuffles per run.
     """
+    from pyspark import StorageLevel
     l = _t(spark, sf_dir, "lineitem")
-    li = l.select("l_suppkey", "l_partkey").distinct()
+    li = (l.select("l_suppkey", "l_partkey").distinct()
+          .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
     part_deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pd"))
     ok_parts = part_deg.filter(F.col("pd") <= _NJ_HUB_CAP) \
                        .select("l_partkey")
-    li_ok = li.join(F.broadcast(ok_parts), "l_partkey", "semi")
+    li_ok = (li.join(F.broadcast(ok_parts), "l_partkey", "semi")
+             .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
     # degrees over the SAME capped edge set as the intersections — mixing
     # full-graph degrees with capped intersections would score no
     # consistent neighborhood (caught in review)
