@@ -391,7 +391,12 @@ def q_acf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle to (type, day) for local ranks, a
     day-table rollup, one hash join on (type, seq) fanned 3x by the
-    lag dim, and a (type, lag) rollup. ~5 types x 3 lags output."""
+    lag dim, and a (type, lag) rollup. ~5 types x 3 lags output.
+    The sequenced deviation frame is checkpointed ONCE (DISK_ONLY,
+    3 narrow columns): the denominator and both lag-join sides each
+    re-ran the rank window + both broadcast joins in the first cut —
+    9 events scans and 3 window shuffles per run."""
+    from pyspark import StorageLevel
     e = (_t(spark, sf_dir, "events")
          .select("event_type", "ts_ns", "event_id",
                  F.round(F.col("value") * 10000).cast("bigint")
@@ -413,7 +418,8 @@ def q_acf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(t), F.col("event_type") == F.col("t_type"))
          .select("event_type",
                  (F.col("before") + F.col("rn")).alias("seq"),
-                 (F.col("v_e4") - F.col("m_e4")).alias("dev")))
+                 (F.col("v_e4") - F.col("m_e4")).alias("dev"))
+         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
     den = (s.groupBy(F.col("event_type").alias("d_type"))
            .agg(F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev"))
                 .alias("den")))

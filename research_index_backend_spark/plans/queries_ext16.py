@@ -278,7 +278,9 @@ def q_topk_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K rank window is partitioned BY MONTH over the per-month part
     dim (the group_top1 class); consecutive months join on midx —
     |months| x {_TC_K} rows. Nothing after the first aggregate scales
-    with the corpus.
+    with the corpus. The |months| x K top-K table is checkpointed
+    ONCE (tiny): its four consumers each re-ran the corpus aggregate
+    + rank window in the first cut — 4 fact scans per run.
     """
     li = (_t(spark, sf_dir, "lineitem")
           .select((F.year("l_shipdate") * 12 + F.month("l_shipdate"))
@@ -290,7 +292,8 @@ def q_topk_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("midx").orderBy(F.desc("qty_e2"), "l_partkey")
     topk = (monthly.withColumn("rn", F.row_number().over(wr))
             .filter(F.col("rn") <= _TC_K)
-            .select("midx", "l_partkey"))
+            .select("midx", "l_partkey")
+            .localCheckpoint())
     nxt = topk.select((F.col("midx") - 1).alias("midx"),
                       F.col("l_partkey").alias("next_part"))
     sizes = topk.groupBy("midx").agg(F.count(F.lit(1)).alias("k_cur"))

@@ -326,6 +326,11 @@ def q_conversion_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitioned by {_CL_BAND}-minute band plus a prefix sum
     over the ~|domain|/{_CL_BAND}-row band table (the only global
     window, GLOBAL_WINDOW_ALLOWED). Output is one row.
+
+    The lag-minute count table is checkpointed ONCE (bounded by the
+    timeline domain) and the n/mean totals derive from it
+    (sum(c), sum(lag_min*c)): the first cut re-ran the per-user min
+    aggregates once per consumer — 6 events scans per run.
     """
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
     s = (e.filter(F.col("event_type") == "signup")
@@ -338,7 +343,8 @@ def q_conversion_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.first("s_ts").alias("s_ts")))
     lag = p.select(F.expr("(p_ts - s_ts) div 60000000000").alias("lag_min"))
     counts = (lag.groupBy("lag_min").agg(F.count(F.lit(1)).alias("c"))
-              .withColumn("band", F.expr(f"lag_min div {_CL_BAND}")))
+              .withColumn("band", F.expr(f"lag_min div {_CL_BAND}"))
+              .localCheckpoint())
     w_local = (Window.partitionBy("band").orderBy("lag_min")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = counts.withColumn("lcum", F.sum("c").over(w_local))
@@ -351,8 +357,10 @@ def q_conversion_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (local.join(F.broadcast(prefix), "band")
            .select("lag_min", "c",
                    (F.col("before") + F.col("lcum")).alias("cum")))
-    n = lag.agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("lag_min").cast("decimal(38,0)")).alias("s"))
+    n = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("lag_min").cast("decimal(38,0)") * F.col("c"))
+        .alias("s"))
     return (cum.crossJoin(F.broadcast(n))
             .agg(F.max("n").cast("bigint").alias("n_pairs"),
                  F.expr("CAST(max(s) div max(n) AS BIGINT)")
