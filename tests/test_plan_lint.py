@@ -404,3 +404,74 @@ def test_driver_side_counts_are_pinned():
     assert found == DRIVER_COUNT_ALLOWED, (
         f"driver-side .count() drift: found {found}, "
         f"allowed {DRIVER_COUNT_ALLOWED}")
+
+
+# Fact-table scan fan-out. A frame consumed by N downstream branches
+# re-evaluates its whole subtree once per consumer unless an exchange is
+# reused — at 100 TB that is N full passes over a fact table. The r10
+# multi-scan audit found graph_random_walk re-running its orders x
+# lineitem edge join SEVEN times (14 fact scans) this way; this lint
+# pins the fixed state. Two caveats the allowlist encodes:
+# (a) some multi-arm evals re-scan BY DESIGN (pruned re-reads, separate
+#     algorithm arms) — cheaper than materializing at scale;
+# (b) AQE ReusedExchange shares IDENTICAL exchange subtrees at runtime,
+#     so the static scan count can overstate executed work — for three
+#     entries below an explicit localCheckpoint was MEASURED SLOWER
+#     (sf0.1, r10) and rejected; do not "fix" them again.
+FACT_TABLES = ("lineitem", "orders", "documents", "embeddings",
+               "events", "customer")
+FACT_SCAN_CAP = 4
+FACT_SCAN_ALLOWED = {
+    # (a) two-version snapshot simulation: fingerprint pass per version
+    # + dirty-bucket row re-scans are PRUNED re-reads by design — in
+    # production v1/v2 are separate tables and never materialized
+    "merkle_diff": {"orders": 9},
+    # (a) 4 ladder rungs + the truth arm, each a by-design brute-force
+    # pass over the corpus (the ann_recall_report eval contract)
+    "matryoshka_recall_report": {"embeddings": 8},
+    # (a) per-FK-edge single-column pruned key scans (3 lineitem edges
+    # x child/count sides) — each scan reads ONE column
+    "referential_integrity": {"lineitem": 6},
+    # (a) resolve cascade levels each probe the customer key dim with a
+    # pruned lookup scan
+    "resolve_cascade": {"customer": 5},
+    # (a) per-case 1-row statistics aggregates feeding the 3-row report
+    "join_cardinality_est": {"lineitem": 5},
+    # (b) candidate LSH arm + bounded truth arm + count consumers;
+    # AQE reuses the identical exchanges (checkpoint measured slower)
+    "dedup_recall_report": {"documents": 8},
+    # (b) bounded 500-doc collection; token/ordered consumers share
+    # exchanges via AQE reuse (checkpoint measured slower)
+    "jaccard_prefix_join": {"documents": 8},
+    # (b) brute-force arm + label dims; the union+agg consumers share
+    # the ranking exchange via AQE reuse (checkpoint measured slower)
+    "mrr_eval": {"embeddings": 8},
+}
+
+
+def _fact_scan_counts(plan: str) -> dict[str, int]:
+    return {t: plan.count(f"{t}.parquet") for t in FACT_TABLES}
+
+
+def test_fact_table_scan_fanout(all_plans):
+    bad = {}
+    for name, p in all_plans.items():
+        allowed = FACT_SCAN_ALLOWED.get(name, {})
+        over = {t: n for t, n in _fact_scan_counts(p).items()
+                if n > max(FACT_SCAN_CAP, allowed.get(t, 0))}
+        if over:
+            bad[name] = over
+    assert not bad, (
+        f"fact-table scan fan-out over cap (see FACT_SCAN_ALLOWED "
+        f"rationale before allowlisting): {bad}")
+
+
+def test_fact_scan_allowlist_is_tight(all_plans):
+    # Every allowlisted (query, table) must still exceed the cap —
+    # stale entries would silently widen the lint's blind spot.
+    stale = []
+    for name, tables in FACT_SCAN_ALLOWED.items():
+        counts = _fact_scan_counts(all_plans[name])
+        stale += [(name, t) for t in tables
+                  if counts.get(t, 0) <= FACT_SCAN_CAP]
+    assert not stale, f"allowlisted but within cap: {stale}"
