@@ -319,13 +319,18 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")) \
+    # token array STAGED to a named column before the bigram HOF
+    # references it per position (the novelty_curve_report
+    # CollapseProject lesson; measured 0.69 -> 0.46s at sf0.1)
+    tk = F.col("tk")
+    bigrams = F.when(F.size(tk) < 2, F.array().cast("array<string>")) \
         .otherwise(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                               F.element_at(toks, i + 1))))
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat(F.element_at(tk, i), F.lit(" "),
+                               F.element_at(tk, i + 1))))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(toks.alias("tk"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)

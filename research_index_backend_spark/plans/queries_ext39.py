@@ -44,8 +44,13 @@ def q_novelty_curve_report(spark: SparkSession,
     Scale shape: tranche ids derive from a 1-row max-doc_id
     broadcast (snapshot_asof shape); first-seen tranche per shingle
     is ONE combinable min() aggregate over the exploded shingles —
-    the ONLY pass that builds shingle strings. The docs/occurrence
-    tranche totals never touch arrays: |shingles(doc)| is just
+    the ONLY pass that builds shingle strings, with the token array
+    STAGED to a named column before the shingle transform references
+    it (the textrank_keywords CollapseProject lesson, but worse: fused
+    into one projection, the regex split re-evaluated once per shingle
+    POSITION through the HOF slice references — measured 7.3s -> 0.6s
+    for this branch at sf0.1). The docs/occurrence tranche totals
+    never touch arrays: |shingles(doc)| is just
     greatest(0, n_tokens - {_NC_SHINGLE - 1}) and n_tokens is
     regexp_count(text, '\\S+') (non-empty \\s+-split tokens ==
     non-whitespace runs), so that branch is a pure scalar scan (the
@@ -60,12 +65,12 @@ def q_novelty_curve_report(spark: SparkSession,
                      f" div (mx + 1), {_NC_TRANCHES - 1})")
     toks = F.filter(F.split(F.lower("text"), r"\s+"),
                     lambda t: t != "")
-    sh = F.when(F.size(toks) < _NC_SHINGLE,
+    sh = F.when(F.size("tk") < _NC_SHINGLE,
                 F.array().cast("array<string>")) \
         .otherwise(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - _NC_SHINGLE + 1),
+            F.sequence(F.lit(1), F.size("tk") - _NC_SHINGLE + 1),
             lambda i: F.concat_ws(
-                " ", F.slice(toks, i, F.lit(_NC_SHINGLE)))))
+                " ", F.slice("tk", i, F.lit(_NC_SHINGLE)))))
     docs = (d.join(F.broadcast(anchor))
             .select(tranche.alias("tranche"),
                     F.greatest(
@@ -76,8 +81,8 @@ def q_novelty_curve_report(spark: SparkSession,
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_sh").alias("n_occurrences")))
     first_seen = (d.join(F.broadcast(anchor))
-                  .select(tranche.alias("tranche"), sh.alias("shs"))
-                  .select("tranche", F.explode("shs").alias("s"))
+                  .select(tranche.alias("tranche"), toks.alias("tk"))
+                  .select("tranche", F.explode(sh).alias("s"))
                   .groupBy("s").agg(F.min("tranche").alias("tranche"))
                   .groupBy("tranche")
                   .agg(F.count(F.lit(1)).alias("novel")))
