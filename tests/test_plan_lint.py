@@ -475,3 +475,58 @@ def test_fact_scan_allowlist_is_tight(all_plans):
         stale += [(name, t) for t in tables
                   if counts.get(t, 0) <= FACT_SCAN_CAP]
     assert not stale, f"allowlisted but within cap: {stale}"
+
+
+def test_no_split_expression_referenced_inside_hof_lambdas():
+    # Higher-order-function lambdas run interpreted, and any expression
+    # the lambda body references re-evaluates PER ELEMENT — a token
+    # array built by F.split() and then sliced inside transform() runs
+    # the regex split once per shingle POSITION (novelty_curve_report
+    # measured its first-seen branch 7.3s -> 0.6s at sf0.1 after
+    # staging the array to a named column; chao_distinct_estimate and
+    # bigram_topk carried the same defect). The fix is always the same:
+    # .select(toks.alias("tk")) first, then reference the cheap column
+    # attribute inside the lambda. This lint parses every plans/ and
+    # operators/ module and fails if a lambda body references a
+    # variable whose assignment contains F.split( — i.e. the expensive
+    # expression itself, not a staged column.
+    import ast
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "research_index_backend_spark")
+    bad = []
+    for sub in ("plans", "operators", "graph", "functions", "streaming"):
+        root = os.path.join(pkg, sub)
+        if not os.path.isdir(root):
+            continue
+        for f in sorted(os.listdir(root)):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            src = open(path).read()
+            tree = ast.parse(src)
+            for fn in [n for n in ast.walk(tree)
+                       if isinstance(n, ast.FunctionDef)]:
+                split_vars = set()
+                for node in ast.walk(fn):
+                    if (isinstance(node, ast.Assign)
+                            and len(node.targets) == 1
+                            and isinstance(node.targets[0], ast.Name)):
+                        seg = ast.get_source_segment(src, node.value) or ""
+                        if "F.split(" in seg:
+                            split_vars.add(node.targets[0].id)
+                if not split_vars:
+                    continue
+                for lam in [n for n in ast.walk(fn)
+                            if isinstance(n, ast.Lambda)]:
+                    args = {a.arg for a in lam.args.args}
+                    refs = {n.id for n in ast.walk(lam.body)
+                            if isinstance(n, ast.Name)} - args
+                    hit = refs & split_vars
+                    if hit:
+                        bad.append(f"{sub}/{f}:{lam.lineno} "
+                                   f"lambda references split var {hit}")
+    assert not bad, (
+        "split() expression referenced inside HOF lambda (re-evaluates "
+        f"per element — stage it to a named column first): {bad}")
