@@ -197,35 +197,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness harness verifies queries in dict order with a bounded
 # budget (observed: exactly the first 50 entries land in
 # CORRECTNESS_r{N}.json). Rotation policy (round-7 ADVICE item 1;
-# round-9 VERDICT "Next round" item 1): the catalog is FROZEN at 315
-# for r10 and the window is dedicated to clearing the 122 queries that
-# have never had an official CORRECTNESS row. All 122 were re-verified
-# locally in r9 (122/122 PASS through the identical tools/check.py
-# oracle harness at sf0.01) and again as part of the r10 close sweep,
-# so this is record debt, not code debt. Three frozen rounds clear it:
-# r10 = first 50 (alphabetical), r11 = next 50, r12 = final 22 + the
-# stalest (r5) officially-checked rows refresh after that.
+# round-10 VERDICT "Next round" item 1): the catalog is FROZEN at 315
+# and the window clears the queries that have never had an official
+# CORRECTNESS row. r10 cleared the first 50 alphabetical (50/50 green,
+# official coverage 193 -> 243/315). r11 = the next 50
+# (histogram_refine_median .. source_overlap); r12 = the final 22 +
+# the stalest (r5) officially-checked rows refresh. All 72 remaining
+# were re-verified locally in r10's close sweep (72/72 PASS through
+# the identical tools/check.py oracle harness at sf0.01), so this is
+# record debt, not code debt.
 _VERIFY_FIRST = (
-    # --- r10 window: the 50 stalest never-officially-checked entries
-    # (alphabetical; catalog minus the 193 ever-green official rows) ---
-    "ab_test_welch", "acf_report", "anova_f_report", "association_rules",
-    "attribution_report", "benford_report", "bigram_lm_score",
-    "boolean_retrieval", "bootstrap_ci", "broadcast_advisor",
-    "c4_line_filter", "chao_distinct_estimate", "chi_square_report",
-    "churn_feature_labels", "codec_advisor", "cohens_d_report",
-    "cohort_ltv", "compaction_plan", "conformal_coverage_audit",
-    "conversion_lag_report", "coreset_kcenter", "correlated_predicates",
-    "cramers_v_report", "ctfidf_topterms", "curation_funnel_report",
-    "cusum_changepoint", "dau_mau_stickiness", "decayed_popularity",
-    "dedup_best_survivor", "dedup_threshold_sweep", "distribution_drift",
-    "domain_affinity_score", "embedding_centroid_drift",
-    "embedding_integrity", "embedding_outliers", "equidepth_histogram",
-    "fd_discovery", "feature_hashing_report", "frequent_triples",
-    "gini_coefficient", "gini_gain_report", "golden_record",
-    "gopher_quality_flags", "graph_assortativity", "graph_random_walk",
-    "graph_sssp", "grid_dbscan_core", "group_kfold",
-    "harmonic_centrality_seeds", "hierarchy_rollup",
-    # --- remaining never-checked (72; rotate in r11/r12) ---
+    # --- r11 window: next 50 never-officially-checked (alphabetical) ---
     "histogram_refine_median", "hits_hubs_authorities", "holt_forecast",
     "hybrid_rrf_fusion", "interarrival_burstiness",
     "invoice_reconciliation", "isotonic_calibration", "jaccard_prefix_join",
@@ -242,7 +224,9 @@ _VERIFY_FIRST = (
     "referential_integrity", "residual_outliers", "rfm_segments",
     "rich_club_coefficient", "rolling_median_7d", "sax_symbolic",
     "seasonal_anomaly_report", "seasonal_naive_backtest", "slo_burn_rate",
-    "snapshot_asof", "source_overlap", "spearman_corr",
+    "snapshot_asof", "source_overlap",
+    # --- remaining never-checked (22; r12 window) ---
+    "spearman_corr",
     "split_leakage_audit", "stream_drift_twin", "stream_sessionize_twin",
     "stream_topk_twin", "t_closeness", "target_encode_smoothed",
     "textrank_keywords", "theil_sen_trend", "tokenizer_fertility",

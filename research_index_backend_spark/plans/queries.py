@@ -868,12 +868,9 @@ def q_dedup_embedding(spark, sf_dir):
     unchanged; plan-build sizing reads the parquet-footer stats
     sidecar (sources/stats.py) — no Spark job."""
     from ..operators.dedup import adaptive_lsh_bits, embedding_near_dup_pairs
-    from ..sources.stats import table_rowcount
+    from ..sources.stats import table_rowcount_or_count
     emb = _t(spark, sf_dir, "embeddings")
-    try:
-        n_rows = table_rowcount(sf_dir, "embeddings")
-    except OSError:  # non-local path: one column-pruned count job
-        n_rows = emb.select("vec_id").count()
+    n_rows = table_rowcount_or_count(sf_dir, "embeddings", emb, "vec_id")
     bits = adaptive_lsh_bits(n_rows)
     return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=bits,
                                     max_bucket_size=100,

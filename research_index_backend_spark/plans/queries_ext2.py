@@ -1323,12 +1323,9 @@ def q_dedup_embedding_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset tracks the sized bit count so the two families stay
     independent at any N."""
     from ..operators.dedup import adaptive_lsh_bits, embedding_near_dup_pairs
-    from ..sources.stats import table_rowcount
+    from ..sources.stats import table_rowcount_or_count
     emb = _t(spark, sf_dir, "embeddings")
-    try:
-        n_rows = table_rowcount(sf_dir, "embeddings")
-    except OSError:  # non-local path: one column-pruned count job
-        n_rows = emb.select("vec_id").count()
+    n_rows = table_rowcount_or_count(sf_dir, "embeddings", emb, "vec_id")
     bits = adaptive_lsh_bits(n_rows)
     return embedding_near_dup_pairs(emb, threshold_e6=300_000, n_bits=bits,
                                     n_tables=2, max_bucket_size=100,

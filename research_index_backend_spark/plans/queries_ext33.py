@@ -136,12 +136,9 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector aggregate."""
     from ..operators.ann import lsh_topk
     from ..operators.dedup import adaptive_lsh_bits
-    from ..sources.stats import table_rowcount
+    from ..sources.stats import table_rowcount_or_count
     emb = _t(spark, sf_dir, "embeddings")
-    try:
-        n_rows = table_rowcount(sf_dir, "embeddings")
-    except OSError:  # non-local path: one column-pruned count job
-        n_rows = emb.select("vec_id").count()
+    n_rows = table_rowcount_or_count(sf_dir, "embeddings", emb, "vec_id")
     bits = adaptive_lsh_bits(n_rows,
                              target_bucket=125, floor_bits=_KL_BITS)
     ranks = (lsh_topk(emb, emb, k=_KL_K, n_bits=bits,

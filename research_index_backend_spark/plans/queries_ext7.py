@@ -214,11 +214,8 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("p_name", " "), 2).alias("noun"),
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 10000")
         .alias("price_band"))
-    from ..sources.stats import table_rowcount
-    try:
-        n_rows = table_rowcount(sf_dir, "part")  # footer stats sidecar
-    except OSError:  # non-local path: one column-pruned count job
-        n_rows = p.select("p_partkey").count()
+    from ..sources.stats import table_rowcount_or_count
+    n_rows = table_rowcount_or_count(sf_dir, "part", p, "p_partkey")
     refine = _rl_refine(n_rows)
     if refine >= 1:
         p = p.withColumn("blk1", F.substring("adj", 1, 1))

@@ -361,12 +361,10 @@ def test_every_query_builds_and_explains(all_plans):
 # Any new .count() anywhere else in the package is a lint failure: add
 # it here only with a (a)/(b)-class justification.
 DRIVER_COUNT_ALLOWED = {
-    # (a) sidecar fallbacks
-    "plans/queries.py": 1,        # dedup_embedding
-    "plans/queries_ext2.py": 1,   # embedding multi-family LSH
-    "plans/queries_ext7.py": 1,   # record linkage blocking ladder
-    "plans/queries_ext25.py": 1,  # mutual_knn_pairs
-    "plans/queries_ext33.py": 1,  # knn_label_eval
+    # (a) the single sidecar-fallback path: every sizing site routes
+    # through table_rowcount_or_count (one cached count per table per
+    # session when footers are unreadable) — no per-query fallbacks
+    "sources/stats.py": 1,
     # (b) iterative derived-frame counts
     "plans/queries_ext5.py": 2,   # k-core peel fixpoint early-exit
     "plans/queries_ext28.py": 1,  # textrank |V| (distinct-word frame)
@@ -450,7 +448,16 @@ FACT_SCAN_ALLOWED = {
 
 
 def _fact_scan_counts(plan: str) -> dict[str, int]:
-    return {t: plan.count(f"{t}.parquet") for t in FACT_TABLES}
+    # Anchor to scan-node Location lines ("Location: InMemoryFileIndex
+    # [file:/.../<table>.parquet]") rather than bare substrings, so a
+    # table whose name suffixes another, or path text echoed inside
+    # ReusedExchange/subquery sections, can't over- or under-count
+    # (round-10 ADVICE item 3).
+    import re
+
+    return {t: len(re.findall(
+        rf"Location.*[/ ]{re.escape(t)}\.parquet", plan))
+        for t in FACT_TABLES}
 
 
 def test_fact_table_scan_fanout(all_plans):
@@ -471,10 +478,17 @@ def test_fact_scan_allowlist_is_tight(all_plans):
     # stale entries would silently widen the lint's blind spot.
     stale = []
     for name, tables in FACT_SCAN_ALLOWED.items():
-        counts = _fact_scan_counts(all_plans[name])
-        stale += [(name, t) for t in tables
-                  if counts.get(t, 0) <= FACT_SCAN_CAP]
-    assert not stale, f"allowlisted but within cap: {stale}"
+        plan = all_plans.get(name)
+        if plan is None:
+            # renamed/removed query → the allowlist entry itself is
+            # stale; report it readably instead of a KeyError
+            stale += [(name, t, "query not in catalog") for t in tables]
+            continue
+        counts = _fact_scan_counts(plan)
+        stale += [(name, t, f"count {counts.get(t, 0)} <= cap")
+                  for t in tables if counts.get(t, 0) <= FACT_SCAN_CAP]
+    assert not stale, (
+        f"stale FACT_SCAN_ALLOWED entries (remove or update): {stale}")
 
 
 def test_no_split_expression_referenced_inside_hof_lambdas():
@@ -490,8 +504,34 @@ def test_no_split_expression_referenced_inside_hof_lambdas():
     # operators/ module and fails if a lambda body references a
     # variable whose assignment contains F.split( — i.e. the expensive
     # expression itself, not a staged column.
+    # Round-10 ADVICE item 2 hardening: the lint walks module bodies
+    # and async functions too, follows every assignment form (tuple /
+    # multiple targets, walrus, augmented), and detects split via the
+    # AST call graph — a Call whose func is `split` or `<alias>.split`
+    # where the name binds pyspark.sql.functions — instead of a source
+    # substring, so aliased imports can't slip past.
     import ast
     import os
+
+    def _split_call_in(expr: ast.AST, f_aliases: set, split_names: set):
+        for node in ast.walk(expr):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            if isinstance(fn, ast.Name) and fn.id in split_names:
+                return True
+            if (isinstance(fn, ast.Attribute) and fn.attr == "split"
+                    and isinstance(fn.value, ast.Name)
+                    and fn.value.id in f_aliases):
+                return True
+        return False
+
+    def _target_names(tgt: ast.AST):
+        if isinstance(tgt, ast.Name):
+            yield tgt.id
+        elif isinstance(tgt, (ast.Tuple, ast.List)):
+            for e in tgt.elts:
+                yield from _target_names(e)
 
     pkg = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "research_index_backend_spark")
@@ -503,19 +543,46 @@ def test_no_split_expression_referenced_inside_hof_lambdas():
         for f in sorted(os.listdir(root)):
             if not f.endswith(".py"):
                 continue
-            path = os.path.join(root, f)
-            src = open(path).read()
-            tree = ast.parse(src)
-            for fn in [n for n in ast.walk(tree)
-                       if isinstance(n, ast.FunctionDef)]:
+            tree = ast.parse(open(os.path.join(root, f)).read())
+            # module-level aliases of pyspark.sql.functions / its split
+            f_aliases, split_names = set(), set()
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    for a in node.names:
+                        if a.name == "pyspark.sql.functions":
+                            f_aliases.add(a.asname or "pyspark")
+                elif isinstance(node, ast.ImportFrom):
+                    if node.module == "pyspark.sql":
+                        for a in node.names:
+                            if a.name == "functions":
+                                f_aliases.add(a.asname or "functions")
+                    elif node.module == "pyspark.sql.functions":
+                        for a in node.names:
+                            if a.name == "split":
+                                split_names.add(a.asname or "split")
+            if not f_aliases and not split_names:
+                continue
+            # scopes to scan: every (async) function body + the module
+            scopes = [n for n in ast.walk(tree) if isinstance(
+                n, (ast.FunctionDef, ast.AsyncFunctionDef))] + [tree]
+            for fn in scopes:
                 split_vars = set()
-                for node in ast.walk(fn):
-                    if (isinstance(node, ast.Assign)
-                            and len(node.targets) == 1
-                            and isinstance(node.targets[0], ast.Name)):
-                        seg = ast.get_source_segment(src, node.value) or ""
-                        if "F.split(" in seg:
-                            split_vars.add(node.targets[0].id)
+                body_nodes = (ast.walk(fn) if not isinstance(fn, ast.Module)
+                              else ast.iter_child_nodes(fn))
+                for node in body_nodes:
+                    val, tgts = None, []
+                    if isinstance(node, ast.Assign):
+                        val, tgts = node.value, node.targets
+                    elif isinstance(node, ast.AugAssign):
+                        val, tgts = node.value, [node.target]
+                    elif isinstance(node, ast.AnnAssign) and node.value:
+                        val, tgts = node.value, [node.target]
+                    elif isinstance(node, ast.NamedExpr):
+                        val, tgts = node.value, [node.target]
+                    if val is not None and _split_call_in(
+                            val, f_aliases, split_names):
+                        for t in tgts:
+                            split_vars.update(_target_names(t))
                 if not split_vars:
                     continue
                 for lam in [n for n in ast.walk(fn)
