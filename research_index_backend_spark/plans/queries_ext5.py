@@ -732,49 +732,61 @@ _KCORE_ROUNDS = 6
 
 def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core membership (k=4) of the symmetrized order-supplier
-    bipartite graph by iterative peeling: drop nodes with degree < k,
-    recompute degrees on the induced subgraph, repeat — the dense-
-    community extraction primitive (spam cliques, hub detection).
+    bipartite graph by DELTA peeling: drop nodes with degree < k, then
+    decrement only the degrees of nodes adjacent to this round's
+    removals — the dense-community extraction primitive (spam cliques,
+    hub detection).
 
     Fixed peel rounds (6 — a fixpoint at test SF, asserted in pytest by
     round 6 == round 5 output) keep both engines on the identical
     unrolled recurrence, the same discipline as the PageRank/k-means
-    oracles. Each round is one degree aggregate + one semi-join per
-    edge endpoint — all hash-partition-friendly; the edge list
-    localCheckpoints once. Peeling converges from above, so rounds are
-    monotone shrinking and a lineage-flat loop.
+    oracles. Unlike the r10 shape (which re-materialized the |E| edge
+    list through a DISK_ONLY checkpoint every round — the heaviest
+    completing 100x probe at 30.2x / 113.7s), the edge list is now
+    checkpointed ONCE, pre-partitioned on dst; each round's only |E|
+    work is a probe scan against this round's removed set (AQE
+    broadcasts it once the peel front shrinks), and the churning state
+    is the |V|-scale degree frame. deg(v) after round i equals v's
+    degree in the oracle's induced subgraph e_{i+1} by construction
+    (degree minus edges into removed nodes), so the unrolled CTE
+    recurrence is matched exactly; nodes that end with zero remaining
+    edges are filtered like the oracle's final GROUP BY over e_6 drops
+    them.
 
-    BIGINT node ids internally + DISK_ONLY for the |E|-scale round
-    states (the r10 100x-probe OOM fix — see _sym_supplier_edges_i);
-    labels decode only in the output projection.
+    BIGINT node ids internally + DISK_ONLY states (the r10 100x-probe
+    OOM discipline — see _sym_supplier_edges_i); labels decode only in
+    the output projection.
     """
     from pyspark import StorageLevel
     l = _t(spark, sf_dir, "lineitem")
     li = l.select("l_suppkey", "l_orderkey").distinct()
-    edges = _sym_supplier_edges_i(li).localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY)
-    cur = edges
-    prev_n = cur.count()
+    edges = (_sym_supplier_edges_i(li)
+             .repartition(F.col("dst"))
+             .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
     for _ in range(_KCORE_ROUNDS):
-        keep = (cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= _KCORE_K)
-                .select("src").localCheckpoint())
-        cur = (cur.join(keep, "src", "semi")
-               .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
-               .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
+        removed = (deg.filter(F.col("deg") < _KCORE_K)
+                   .select("src").localCheckpoint())
         # fixpoint early-exit: the round cap is the ORACLE's contract
         # (6 unrolled CTE rounds); once a peel removes nothing, every
         # further round is the identity, so stopping is result-identical
-        # while skipping the dead rounds' aggregates + joins. count() on
-        # the just-checkpointed frame is a metadata-cheap action.
-        n = cur.count()
-        if n == prev_n:
+        # while skipping the dead rounds' probe + maintenance. count()
+        # on the just-checkpointed removed frame is metadata-cheap.
+        if removed.count() == 0:
             break
-        prev_n = n
-    return (cur.groupBy(F.col("src").alias("node_id"))
-            .agg(F.count(F.lit(1)).alias("core_degree"))
-            .select(_decode_node(F.col("node_id"), "o").alias("node_id"),
-                    "core_degree"))
+        delta = (edges.join(removed.withColumnRenamed("src", "dst"),
+                            "dst", "semi")
+                 .groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+        deg = (deg.join(removed, "src", "anti")
+               .join(delta, "src", "left")
+               .select("src",
+                       (F.col("deg") - F.coalesce(F.col("d"), F.lit(0)))
+                       .alias("deg"))
+               .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
+    return (deg.filter(F.col("deg") > 0)
+            .select(_decode_node(F.col("src"), "o").alias("node_id"),
+                    F.col("deg").alias("core_degree")))
 
 
 def _kcore_oracle() -> str:

@@ -366,7 +366,7 @@ DRIVER_COUNT_ALLOWED = {
     # session when footers are unreadable) — no per-query fallbacks
     "sources/stats.py": 1,
     # (b) iterative derived-frame counts
-    "plans/queries_ext5.py": 2,   # k-core peel fixpoint early-exit
+    "plans/queries_ext5.py": 1,   # k-core peel fixpoint early-exit
     "plans/queries_ext28.py": 1,  # textrank |V| (distinct-word frame)
     "graph/analytics.py": 4,      # CC + edge-fixpoint convergence, PR |V|
 }
