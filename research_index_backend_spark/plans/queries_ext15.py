@@ -229,11 +229,7 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |E|-scale idiom from the 100x OOM campaign) and degrees / seeds
     derive from it: the first cut re-evaluated the orders x lineitem
     edge subtree SEVEN times (deg + ranked per hop, plus seeds) — 14
-    fact-table scans per walk at 100 TB. r11: deg is itself
-    checkpointed (|V|-scale) so the three per-hop consumers stop
-    re-running the |E| aggregate, and seeds derive from deg (one row
-    per src already) instead of a separate |E| distinct — per-run
-    |E|-scale passes drop 8 -> 4 (build + three hop probes).
+    fact-table scans per walk at 100 TB.
     """
     from pyspark import StorageLevel
     cp = (_t(spark, sf_dir, "orders")
@@ -248,10 +244,9 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrk = Window.partitionBy("src").orderBy("dst")
     ranked = (edges.withColumn("rn", F.row_number().over(wrk))
               .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
-    deg = (ranked.groupBy("src").agg(F.max("rn").alias("deg"))
-           .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
+    deg = ranked.groupBy("src").agg(F.max("rn").alias("deg"))
 
-    walk = (deg.select("src")
+    walk = (ranked.select("src").distinct()
             .filter(F.expr(f"src % 2 = 0"
                            f" AND (src div 2) % {_RW_SEED_MOD} = 0"))
             .select(F.expr("src div 2").alias("seed"),
