@@ -23,6 +23,12 @@ per-event state; the operator's state stays 4 longs/key regardless.
 Usage:
     python tools/stream_longrun.py [target_batches] [out_json]
 Defaults: 2000 batches per operator, BENCH_STREAM_LONGRUN.json.
+RIB_LONGRUN_OPS selects operators (default topk,drift,sessionize;
+also available: kmv, heavy_hitters, transitions, funnel — the sketch
+pair runs with UNBOUNDED distinct user_ids so the flat curve proves
+sketch-bounded state against growing cardinality; funnel uses append
+mode so its per-batch output is empty after every user completes,
+while its state stays one fixed-width row per user).
 """
 
 from __future__ import annotations
@@ -43,7 +49,7 @@ def _rate(spark, rps: int):
             .option("rowsPerSecond", rps).load())
 
 
-def build_queries(spark):
+def build_queries(spark, ops: set[str]):
     from pyspark.sql import functions as F
 
     from research_index_backend_spark.streaming.drift import (
@@ -51,6 +57,12 @@ def build_queries(spark):
     )
     from research_index_backend_spark.streaming.sessionize import (
         sessionize_stream,
+    )
+    from research_index_backend_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        kmv_distinct_stream,
+        streaming_funnel,
+        transitions_stream,
     )
     from research_index_backend_spark.streaming.topk import (
         topk_monitor_stream,
@@ -70,12 +82,38 @@ def build_queries(spark):
         (F.col("value") % 512).alias("user_id"),
         (F.col("value") * F.lit(1_000_000)).alias("ts_ns"),
         F.col("value").alias("event_id"))
+    # sketch operators get UNBOUNDED key cardinality on purpose: the
+    # raw rate counter as user_id means millions of distinct users flow
+    # past while KMV keeps <= 64 hashes/key and space-saving keeps 8
+    # counters/key — the strongest form of the bounded-state claim
+    kmv_in = _rate(spark, ROWS_PER_SEC).select(
+        etype.alias("event_type"), F.col("value").alias("user_id"))
+    hh_in = _rate(spark, ROWS_PER_SEC).select(
+        etype.alias("event_type"), F.col("value").alias("user_id"),
+        F.col("timestamp").alias("ts"), F.col("value").alias("event_id"))
+    # transitions / funnel: bounded 512-user domain, cycling types so
+    # funnels complete and transitions churn every batch
+    trans_in = _rate(spark, ROWS_PER_SEC).select(
+        (F.col("value") % 512).alias("user_id"),
+        F.col("value").alias("event_id"), etype.alias("event_type"),
+        F.col("timestamp").alias("ts"))
+    step = F.element_at(
+        F.array(F.lit("signup"), F.lit("view"), F.lit("purchase")),
+        ((F.col("value") % 3) + 1).cast("int"))
+    funnel_in = _rate(spark, ROWS_PER_SEC).select(
+        (F.col("value") % 512).alias("user_id"),
+        step.alias("event_type"), F.col("value").alias("ts_us"))
 
-    return {
-        "topk": topk_monitor_stream(topk_in),
-        "drift": drift_monitor_stream(drift_in),
-        "sessionize": sessionize_stream(sess_in),
+    builders = {
+        "topk": lambda: topk_monitor_stream(topk_in),
+        "drift": lambda: drift_monitor_stream(drift_in),
+        "sessionize": lambda: sessionize_stream(sess_in),
+        "kmv": lambda: kmv_distinct_stream(kmv_in),
+        "heavy_hitters": lambda: heavy_hitters_stream(hh_in),
+        "transitions": lambda: transitions_stream(trans_in),
+        "funnel": lambda: streaming_funnel(funnel_in),
     }
+    return {n: b() for n, b in builders.items() if n in ops}
 
 
 def main(target_batches: int = 2000,
@@ -90,12 +128,16 @@ def main(target_batches: int = 2000,
     # partition-count independent)
     spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("RIB_LONGRUN_PARTS", "2"))
 
+    ops = set(os.environ.get(
+        "RIB_LONGRUN_OPS", "topk,drift,sessionize").split(","))
     queries = {}
-    for name, df in build_queries(spark).items():
+    for name, df in build_queries(spark, ops).items():
+        # funnel's stateful op declares append mode; the rest update
+        mode = "append" if name == "funnel" else "update"
         queries[name] = (df.writeStream.format("noop")
                          .option("checkpointLocation",
                                  f"/tmp/longrun_ckpt_{name}_{time.time_ns()}")
-                         .outputMode("update").start())
+                         .outputMode(mode).start())
 
     # per-operator batch samples: batchId -> (rows, numRowsTotal, mem)
     samples: dict[str, dict[int, tuple]] = {n: {} for n in queries}
