@@ -43,6 +43,26 @@ def test_rowcount_missing_path_raises_oserror():
         stats.table_rowcount(SF_DIR, "no_such_table")
 
 
+def test_footer_rowcount_directory_of_parts(tmp_path):
+    # multi-part layout (what a real Spark write produces): footer
+    # counts must sum across part files and skip _SUCCESS/dot markers
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"a": list(range(7))}), d / "part-0.parquet")
+    pq.write_table(pa.table({"a": list(range(5))}), d / "part-1.parquet")
+    (d / "_SUCCESS").write_text("")
+    (d / ".part-0.parquet.crc").write_text("x")
+    assert stats.table_rowcount(str(tmp_path), "t") == 12
+
+
+def test_footer_rowcount_empty_directory_raises(tmp_path):
+    (tmp_path / "t.parquet").mkdir()
+    with pytest.raises(OSError):
+        stats.table_rowcount(str(tmp_path), "t")
+
+
 class _CountingFrame:
     """Fake DataFrame: records how many count() jobs the fallback ran."""
 
