@@ -96,6 +96,10 @@ SENSITIVE = [
     # windows, exact train-half quantile selections
     "curation_funnel_report", "stream_sessionize_twin",
     "conformal_coverage_audit",
+    # r11: delta-peel k-core (iterative removed-set probes + degree
+    # decrements; rounds and final degrees must not depend on how the
+    # pre-partitioned edge checkpoint is split)
+    "kcore_decompose",
 ]
 
 
