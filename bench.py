@@ -57,9 +57,28 @@ def main() -> int:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
 
-    # warmup: JVM + codegen + parquet footer reads
+    # warmup: JVM + codegen + parquet footer reads. The flagship query
+    # alone left ~1s of fixed spin-up on whichever queries ran first
+    # (r11 driver bench: seven sub-1.5s head-of-catalog queries read
+    # >=2x their warm records purely from session startup), so also
+    # (a) count every base table — footer decode + scan-path codegen —
+    # and (b) run one trivial Arrow round trip to fork the Python
+    # worker pool before the first timed query.
     try:
         run(qs["flagship_contains_tag"])
+    except Exception:
+        pass
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        try:
+            spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+        except Exception:
+            pass
+    try:  # Python/Arrow worker spin-up (mapInPandas fork + serde path)
+        import pandas as _pd  # noqa: F401
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, "id long").write.format("noop").mode(
+            "overwrite").save()
     except Exception:
         pass
 

@@ -138,6 +138,12 @@ def swap_write(spark, path: str, build) -> None:
     new.rename(target)
     if old.exists():
         shutil.rmtree(old)
+    # The swap changed the table's rowcount mid-session: drop any
+    # session-cached fallback sizing stat for it so the next plan build
+    # re-counts (sources/stats.py staleness note — the footer cache
+    # self-invalidates on mtime/size, the fallback cache cannot).
+    from ..sources.stats import invalidate_rowcount
+    invalidate_rowcount(str(target.parent), target.stem)
 
 
 def upsert_parquet(spark, incoming: DataFrame, path: str, keys: list[str],

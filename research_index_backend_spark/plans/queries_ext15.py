@@ -226,10 +226,19 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant unroll. The oracle replays the identical three joins.
 
     The ranked adjacency is checkpointed ONCE (DISK_ONLY, the
-    |E|-scale idiom from the 100x OOM campaign) and degrees / seeds
-    derive from it: the first cut re-evaluated the orders x lineitem
-    edge subtree SEVEN times (deg + ranked per hop, plus seeds) — 14
-    fact-table scans per walk at 100 TB.
+    |E|-scale idiom from the 100x OOM campaign) WITH deg folded in as
+    a second window column over the same partition spec (one shuffle
+    gives both rank and degree): each hop is then a single join on the
+    lone equi-key src — exactly the checkpoint's hash-partitioning, so
+    the |E| side never reshuffles — with the neighbor-pick predicate
+    `rn = 1 + md5(seed:cur:hop) % deg` as the residual condition, and
+    seeds derive from the rn=1 slice (shuffle-free scan). The prior
+    shape paid a second per-hop join against a groupBy-derived deg
+    frame plus a distinct for seeds — 7 passes over the |E| subtree
+    per walk vs 4 now; the r11 A/B that instead CHECKPOINTED deg lost
+    (BENCH_HISTORY r11 negative result: the eager |V| barrier cost
+    more than the shuffle-free rescans it saved), which is why deg
+    rides the ranked rows instead of a separate frame.
     """
     from pyspark import StorageLevel
     cp = (_t(spark, sf_dir, "orders")
@@ -243,26 +252,24 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (F.col("o_custkey") * 2).alias("dst"))))
     wrk = Window.partitionBy("src").orderBy("dst")
     ranked = (edges.withColumn("rn", F.row_number().over(wrk))
+              .withColumn("deg", F.count(F.lit(1))
+                          .over(Window.partitionBy("src")))
               .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY))
-    deg = ranked.groupBy("src").agg(F.max("rn").alias("deg"))
 
-    walk = (ranked.select("src").distinct()
-            .filter(F.expr(f"src % 2 = 0"
-                           f" AND (src div 2) % {_RW_SEED_MOD} = 0"))
+    walk = (ranked.filter(F.expr(
+                f"rn = 1 AND src % 2 = 0"
+                f" AND (src div 2) % {_RW_SEED_MOD} = 0"))
             .select(F.expr("src div 2").alias("seed"),
                     F.col("src").alias("cur")))
     for k in range(1, _RW_HOPS + 1):
-        d_k, r_k = f"d{k}", f"r{k}"
-        u = F.expr(
-            f"CAST(conv(substring(md5(concat_ws(':',"
+        r_k = f"r{k}"
+        pick = F.expr(
+            f"{r_k}.rn = 1 + CAST(conv(substring(md5(concat_ws(':',"
             f" CAST(seed AS STRING), CAST(cur AS STRING), '{k}')),"
-            f" 1, 13), 16, 10) AS BIGINT) % {d_k}.deg")
+            f" 1, 13), 16, 10) AS BIGINT) % {r_k}.deg")
         walk = (walk
-                .join(deg.alias(d_k), F.col("cur") == F.col(f"{d_k}.src"))
-                .withColumn("u", u)
                 .join(ranked.alias(r_k),
-                      (F.col("cur") == F.col(f"{r_k}.src"))
-                      & (F.col(f"{r_k}.rn") == F.col("u") + 1))
+                      (F.col("cur") == F.col(f"{r_k}.src")) & pick)
                 .select("seed",
                         *[F.col(f"n{j}") for j in range(1, k)],
                         F.col(f"{r_k}.dst").alias(f"n{k}"))

@@ -93,6 +93,16 @@ def table_rowcount_or_count(sf_dir: str, name: str, df, key_col: str) -> int:
 
     ``df`` is the already-loaded table frame; ``key_col`` is a cheap
     single column so the fallback scan is column-pruned.
+
+    Staleness window (r11 ADVICE item 4): unlike the footer cache,
+    which keys on file mtime/size and self-invalidates, the fallback
+    cache keys only on (sf_dir, table) — a table REWRITTEN mid-session
+    (the atomic-swap upsert path) keeps serving the pre-rewrite count
+    until :func:`invalidate_rowcount` is called or the session ends.
+    That is acceptable for plan SIZING (a broadcast-vs-shuffle choice
+    survives a small drift) but callers that rewrite a table and then
+    rebuild plans against it in the same session must invalidate —
+    the upsert commit path does (operators/upsert.py).
     """
     try:
         return table_rowcount(sf_dir, name)
@@ -109,3 +119,12 @@ def table_rowcount_or_count(sf_dir: str, name: str, df, key_col: str) -> int:
         n = int(df.select(key_col).count())
         _FALLBACK_CACHE[key] = n
         return n
+
+
+def invalidate_rowcount(sf_dir: str, name: str) -> None:
+    """Drop the session-cached fallback rowcount for one table so the
+    next sizing call re-counts — the hook the atomic-swap upsert path
+    calls after rewriting a table (see table_rowcount_or_count's
+    staleness note). The footer cache needs no invalidation: it keys
+    on file mtime/size and a rewrite changes both."""
+    _FALLBACK_CACHE.pop((sf_dir, name), None)

@@ -520,10 +520,28 @@ def test_no_split_expression_referenced_inside_hof_lambdas():
             fn = node.func
             if isinstance(fn, ast.Name) and fn.id in split_names:
                 return True
-            if (isinstance(fn, ast.Attribute) and fn.attr == "split"
-                    and isinstance(fn.value, ast.Name)
-                    and fn.value.id in f_aliases):
-                return True
+            if isinstance(fn, ast.Attribute) and fn.attr == "split":
+                # <alias>.split(...) where alias binds the functions
+                # module, OR the fully-qualified Attribute chain
+                # pyspark.sql.functions.split(...) (r11 ADVICE: a
+                # plain `import pyspark.sql.functions` registers alias
+                # 'pyspark', but the qualified call's func.value is an
+                # Attribute chain, not an ast.Name — resolve the
+                # dotted name and compare).
+                if (isinstance(fn.value, ast.Name)
+                        and fn.value.id in f_aliases):
+                    return True
+                dotted = []
+                v = fn.value
+                while isinstance(v, ast.Attribute):
+                    dotted.append(v.attr)
+                    v = v.value
+                if isinstance(v, ast.Name):
+                    dotted.append(v.id)
+                    name = ".".join(reversed(dotted))
+                    if (name == "pyspark.sql.functions"
+                            or name in f_aliases):
+                        return True
         return False
 
     def _target_names(tgt: ast.AST):

@@ -100,3 +100,18 @@ def test_fallback_prefers_sidecar_when_available():
     n = stats.table_rowcount_or_count(SF_DIR, "region", df, "k")
     assert df.jobs == 0, "footer path must not run a Spark job"
     assert n == stats.table_rowcount(SF_DIR, "region")
+
+
+def test_invalidate_rowcount_forces_recount():
+    # r11 ADVICE item 4: the fallback cache has no mtime keying, so the
+    # atomic-swap upsert path must be able to drop one table's entry.
+    stats._FALLBACK_CACHE.clear()
+    df = _CountingFrame(10)
+    assert stats.table_rowcount_or_count("/nonexistent/sf", "t", df, "k") == 10
+    stats.invalidate_rowcount("/nonexistent/sf", "t")
+    df.n = 25  # table rewritten
+    assert stats.table_rowcount_or_count("/nonexistent/sf", "t", df, "k") == 25
+    assert df.jobs == 2, "invalidate must force exactly one re-count"
+    # invalidating an absent entry is a no-op
+    stats.invalidate_rowcount("/nonexistent/sf", "never-counted")
+    stats._FALLBACK_CACHE.clear()

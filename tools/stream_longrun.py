@@ -28,7 +28,11 @@ also available: kmv, heavy_hitters, transitions, funnel — the sketch
 pair runs with UNBOUNDED distinct user_ids so the flat curve proves
 sketch-bounded state against growing cardinality; funnel uses append
 mode so its per-batch output is empty after every user completes,
-while its state stays one fixed-width row per user).
+while its state stays one fixed-width row per user; interval_join
+drives the stream-stream symmetric hash join, whose watermark-evicted
+buffers are the classic unbounded-growth trap — its state rows
+oscillate with eviction cadence but the p50 curve must go flat at
+~(watermark delay + interval) x rate rows, r11 VERDICT item 7).
 """
 
 from __future__ import annotations
@@ -63,6 +67,9 @@ def build_queries(spark, ops: set[str]):
         kmv_distinct_stream,
         streaming_funnel,
         transitions_stream,
+    )
+    from research_index_backend_spark.streaming.joins import (
+        interval_join_stream,
     )
     from research_index_backend_spark.streaming.topk import (
         topk_monitor_stream,
@@ -104,6 +111,20 @@ def build_queries(spark, ops: set[str]):
         (F.col("value") % 512).alias("user_id"),
         step.alias("event_type"), F.col("value").alias("ts_us"))
 
+    # stream-stream interval join: two independent rate sources (views
+    # and purchases legs), 512-user key domain, REAL event time from
+    # the rate source so the watermark advances with the wall clock and
+    # evicts buffered rows. Short delay + interval on purpose: steady
+    # state ~= (delay + interval) x rate rows per side — the curve must
+    # plateau there, not track total input (the unbounded-growth trap).
+    ij_left = _rate(spark, ROWS_PER_SEC).select(
+        (F.col("value") % 512).alias("user_id"),
+        F.col("timestamp").alias("ts"), F.col("value").alias("view_id"))
+    ij_right = _rate(spark, ROWS_PER_SEC).select(
+        (F.col("value") % 512).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("purchase_id"))
+
     builders = {
         "topk": lambda: topk_monitor_stream(topk_in),
         "drift": lambda: drift_monitor_stream(drift_in),
@@ -112,8 +133,22 @@ def build_queries(spark, ops: set[str]):
         "heavy_hitters": lambda: heavy_hitters_stream(hh_in),
         "transitions": lambda: transitions_stream(trans_in),
         "funnel": lambda: streaming_funnel(funnel_in),
+        "interval_join": lambda: interval_join_stream(
+            ij_left, ij_right, interval="5 seconds",
+            watermark_delay="10 seconds"),
     }
-    return {n: b() for n, b in builders.items() if n in ops}
+    # Fail fast on unknown/empty selections (r11 ADVICE: misspelled
+    # RIB_LONGRUN_OPS silently produced an empty query set, and
+    # 0 == len({}) exited immediately with an empty "clean" report).
+    unknown = ops - set(builders)
+    if unknown:
+        raise SystemExit(
+            f"stream_longrun: unknown RIB_LONGRUN_OPS {sorted(unknown)}; "
+            f"available: {sorted(builders)}")
+    picked = {n: b() for n, b in builders.items() if n in ops}
+    if not picked:
+        raise SystemExit("stream_longrun: RIB_LONGRUN_OPS selected nothing")
+    return picked
 
 
 def main(target_batches: int = 2000,
@@ -132,8 +167,10 @@ def main(target_batches: int = 2000,
         "RIB_LONGRUN_OPS", "topk,drift,sessionize").split(","))
     queries = {}
     for name, df in build_queries(spark, ops).items():
-        # funnel's stateful op declares append mode; the rest update
-        mode = "append" if name == "funnel" else "update"
+        # funnel's stateful op declares append mode; stream-stream
+        # joins only support append; the rest update
+        mode = ("append" if name in ("funnel", "interval_join")
+                else "update")
         queries[name] = (df.writeStream.format("noop")
                          .option("checkpointLocation",
                                  f"/tmp/longrun_ckpt_{name}_{time.time_ns()}")
@@ -171,6 +208,14 @@ def main(target_batches: int = 2000,
         rows_total = [s[b][1] for b in bids]
         mem = [s[b][2] for b in bids]
         half = len(bids) // 2
+        # r11 ADVICE: a single sampled batch made half=0 and
+        # sorted(mem[:0])[0] raise; fall back to the lone sample for
+        # both halves when there aren't two to split.
+        if half == 0:
+            p50_early = p50_late = mem[0]
+        else:
+            p50_early = sorted(mem[:half])[half // 2]
+            p50_late = sorted(mem[half:])[(len(bids) - half) // 2]
         report["operators"][name] = {
             "batches": max(bids) + 1,
             "sampled": len(bids),
@@ -178,15 +223,21 @@ def main(target_batches: int = 2000,
             "state_rows_first": rows_total[0],
             "state_rows_max": max(rows_total),
             "state_rows_last": rows_total[-1],
-            "state_mem_p50_early": sorted(mem[:half])[half // 2],
-            "state_mem_p50_late": sorted(mem[half:])[(len(bids) - half) // 2],
+            "state_mem_p50_early": p50_early,
+            "state_mem_p50_late": p50_late,
             "state_mem_max": max(mem),
         }
         o = report["operators"][name]
         flat_rows = o["state_rows_last"] == o["state_rows_max"] <= 512
         growth = (o["state_mem_p50_late"] / o["state_mem_p50_early"]
                   if o["state_mem_p50_early"] > 0 else float("nan"))
-        print(f"{name}: {o['batches']} batches, {o['input_rows']:,} rows -> "
+        # recentProgress is a ~100-entry ring polled every 2s, so fast
+        # micro-batches can slip between polls — surface the gap so a
+        # sparse sample can't read as full coverage (r11 ADVICE).
+        print(f"{name}: {o['batches']} batches "
+              f"({o['sampled']} sampled, "
+              f"{o['batches'] - o['sampled']} missed between polls), "
+              f"{o['input_rows']:,} rows -> "
               f"state rows {o['state_rows_first']}->{o['state_rows_last']} "
               f"(max {o['state_rows_max']}, flat={flat_rows}), "
               f"mem p50 early/late = {o['state_mem_p50_early']}/"
