@@ -239,6 +239,16 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BENCH_HISTORY r11 negative result: the eager |V| barrier cost
     more than the shuffle-free rescans it saved), which is why deg
     rides the ranked rows instead of a separate frame.
+
+    The frontier carries an explicit broadcast hint: the walker set is
+    by contract a bounded seed SAMPLE (custkey % _RW_SEED_MOD of one
+    bipartite side — |customers|/97 rows, ~15k at 100x sf0.1), so
+    forcing BHJ means the |E|-scale checkpoint is never shuffled and
+    AQE never materializes a frontier stage just to discover it is
+    tiny (A/B at 100x: 81.2s AQE-decided vs 71.9s hinted, same host).
+    A deployment walking the FULL node population must drop the hint —
+    at that point frontier ~ |V| and the hop join belongs on a
+    shuffle.
     """
     from pyspark import StorageLevel
     cp = (_t(spark, sf_dir, "orders")
@@ -267,7 +277,7 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{r_k}.rn = 1 + CAST(conv(substring(md5(concat_ws(':',"
             f" CAST(seed AS STRING), CAST(cur AS STRING), '{k}')),"
             f" 1, 13), 16, 10) AS BIGINT) % {r_k}.deg")
-        walk = (walk
+        walk = (F.broadcast(walk)
                 .join(ranked.alias(r_k),
                       (F.col("cur") == F.col(f"{r_k}.src")) & pick)
                 .select("seed",
