@@ -147,6 +147,19 @@ def main(names: list[str]) -> None:
         p = prior.get(name)
         ratio = round(best / p, 1) if p else None
         print(f"{name:28s} sf0.1={p} sf1={best} ratio={ratio}", flush=True)
+        # 100x probes accumulate DISK_ONLY localCheckpoint blocks across
+        # queries faster than the async ContextCleaner frees them — a
+        # 14-query shared session killed graph_sssp on GCLocker retries
+        # (r12; both victims pass isolated: sssp 64.8s, ktruss 28.3s).
+        # Nudge py4j + JVM GC between queries so the cleaner can run;
+        # this is probe-harness hygiene, not an engine requirement —
+        # production runs one query per job.
+        import gc as _gc
+        _gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         flag = 10 if PROBE_DIR.endswith("sf1") else 100
         if ratio and ratio > flag:
             suspects[name] = ratio
