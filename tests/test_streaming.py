@@ -620,3 +620,23 @@ class TestHeavyHittersStream:
         for k, (est, err) in one.items():
             t = true.get(k, 0)
             assert est - err <= t <= est, (k, est, err, t)
+
+
+def test_longrun_harness_rejects_bad_op_selection(spark):
+    # r11 ADVICE item 3: a misspelled RIB_LONGRUN_OPS used to produce an
+    # empty query dict and exit immediately with an empty "clean" report.
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tools"))
+    import pytest as _pytest
+    from stream_longrun import build_queries
+    with _pytest.raises(SystemExit, match="unknown RIB_LONGRUN_OPS"):
+        build_queries(spark, {"bogus_op"})
+    with _pytest.raises(SystemExit, match="selected nothing"):
+        build_queries(spark, set())
+    # a valid selection builds exactly the asked-for streams
+    qs = build_queries(spark, {"interval_join", "topk"})
+    assert set(qs) == {"interval_join", "topk"}
+    assert all(df.isStreaming for df in qs.values())
