@@ -169,15 +169,24 @@ _RL_TOPK = 20
 # Corpus-adaptive block refinement (the adaptive_lsh_bits contract,
 # operators/dedup.py:233): with the base (brand, type) key alone, block
 # size grows with n and candidate volume with n^2 — the 10x probe
-# measured 7.4x wall for 10x parts before refinement landed. Each
-# refinement level appends the first letter of one more name token to
-# the block key, multiplying block count by the letter branching
-# (~8 here). True near-dups agree on name tokens with high probability,
-# so recall cost is the standard blocked-linkage trade (production runs
-# a multi-pass union of blocking schemes; blocking_quality evaluates
-# them). Checked SFs (2000 parts at sf0.01) stay at level 0, so the
-# static oracle remains valid — pinned by test_rl_refine_contract.
-_RL_REFINE_AT = (15_000, 120_000)   # rows -> levels 1, 2
+# measured 7.4x wall for 10x parts before refinement landed. Levels
+# 1/2 append the first letter of the adj/noun name tokens (x8 block
+# branching each); levels 3/4 escalate to the FULL noun / adj tokens.
+# Letter depth beyond the first is dead weight on real vocabularies —
+# the r12 100x probe measured it: 2M parts at level 2 sat at 4.1e8
+# candidate pairs (82.4x wall), a hypothetical adj-second-letter level
+# left the block count EXACTLY unchanged (the ~8-word adj vocabulary
+# is determined by its first letter), while full-noun blocking
+# collapsed candidates to 2.1e6 (max block 8). Full-token levels cost
+# recall only on pairs that disagree on that token — which forfeit the
+# token's agreement weight, the largest in the F-S score (rarest-
+# agreement field), so they were never top-20 material in a corpus
+# dense with full-agreement pairs. Past level 4 additional blocking
+# PASSES (multi-scheme union, sorted-neighborhood) are the production
+# answer, not more depth. Checked SFs (2000 parts at sf0.01) stay at
+# level 0, so the static oracle remains valid — pinned by
+# test_rl_refine_contract.
+_RL_REFINE_AT = (15_000, 120_000, 960_000, 7_680_000)  # rows -> lvl 1-4
 
 
 def _rl_refine(n_rows: int) -> int:
@@ -221,6 +230,10 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = p.withColumn("blk1", F.substring("adj", 1, 1))
     if refine >= 2:
         p = p.withColumn("blk2", F.substring("noun", 1, 1))
+    if refine >= 3:
+        p = p.withColumn("blk3", F.col("noun"))
+    if refine >= 4:
+        p = p.withColumn("blk4", F.col("adj"))
 
     def u_weight(col: str):
         cnts = p.groupBy(col).agg(F.count(F.lit(1)).alias("c"))

@@ -172,13 +172,20 @@ class TestSemantics:
 def test_rl_refine_contract():
     """Pin the corpus-adaptive blocking staircase: level 0 at every
     checked SF (so the static DuckDB oracle stays valid), level 1 at
-    the benched sf0.1 part count, level 2 on the 10x probe corpus."""
+    the benched sf0.1 part count, level 2 on the 10x probe corpus,
+    levels 3/4 (FULL noun / adj tokens) at the same x8 spacing — the
+    r12 100x probe measured the old level-2 cap at 82.4x wall for
+    100x parts (4.1e8 candidate pairs; full-noun blocking collapses
+    them to 2.1e6, while deeper letter prefixes changed nothing on
+    the ~8-word adj vocabulary)."""
     assert Q7._rl_refine(2_000) == 0      # sf0.01 (oracle-checked)
     assert Q7._rl_refine(200) == 0        # sf0.001
     assert Q7._rl_refine(20_000) == 1     # sf0.1 (benched)
     assert Q7._rl_refine(200_000) == 2    # 10x probe
-    assert Q7._rl_refine(10**9) == 2      # capped: further scale adds
-    #                                       blocking PASSES, not depth
+    assert Q7._rl_refine(2_000_000) == 3  # 100x probe corpus
+    assert Q7._rl_refine(10**8) == 4      # capped at full-name blocking:
+    #   past that, additional blocking PASSES (multi-scheme union,
+    #   sorted-neighborhood) are the answer, not more depth
 
 
 class TestWave2:
