@@ -207,6 +207,15 @@ FROM per_term GROUP BY 1 ORDER BY df_band
 _RW_SEED_MOD = 97   # seeds: customers with custkey % 97 == 0 (that bought)
 _RW_HOPS = 3
 
+# Broadcast-hint gate (r12 ADVICE item 4): the frontier hint is only
+# safe while the walker set is a bounded sample. Estimated seeds =
+# |customer| / _RW_SEED_MOD; a walk row is ~6 BIGINT cols (~50 B), so
+# 2M seeds ~ 100 MB on the driver — comfortably broadcastable, while
+# anything past it belongs on a shuffle. Enlarging the seed population
+# (shrinking _RW_SEED_MOD or walking the full node set) now degrades
+# to AQE-decided join strategy instead of an OOM-prone forced BHJ.
+_RW_BROADCAST_MAX_SEEDS = 2_000_000
+
 
 def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-hop random walks over the customer-part
@@ -240,17 +249,21 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than the shuffle-free rescans it saved), which is why deg
     rides the ranked rows instead of a separate frame.
 
-    The frontier carries an explicit broadcast hint: the walker set is
-    by contract a bounded seed SAMPLE (custkey % _RW_SEED_MOD of one
-    bipartite side — |customers|/97 rows, ~15k at 100x sf0.1), so
-    forcing BHJ means the |E|-scale checkpoint is never shuffled and
-    AQE never materializes a frontier stage just to discover it is
-    tiny (A/B at 100x: 81.2s AQE-decided vs 71.9s hinted, same host).
-    A deployment walking the FULL node population must drop the hint —
-    at that point frontier ~ |V| and the hop join belongs on a
-    shuffle.
+    The frontier carries an explicit broadcast hint GATED on the
+    stats-sidecar seed estimate (|customer| / _RW_SEED_MOD vs
+    _RW_BROADCAST_MAX_SEEDS): the walker set is by contract a bounded
+    seed SAMPLE (custkey % _RW_SEED_MOD of one bipartite side —
+    |customers|/97 rows, ~15k at 100x sf0.1), so forcing BHJ means the
+    |E|-scale checkpoint is never shuffled and AQE never materializes
+    a frontier stage just to discover it is tiny (A/B at 100x: 81.2s
+    AQE-decided vs 71.9s hinted, same host). A deployment walking a
+    larger population (smaller mod, full node set) automatically loses
+    the hint and falls back to AQE-decided strategy — the hint is tied
+    to the bounded-seed contract in code, not just this docstring
+    (r12 ADVICE item 4).
     """
     from pyspark import StorageLevel
+    from ..sources.stats import table_rowcount_or_count
     cp = (_t(spark, sf_dir, "orders")
           .join(_t(spark, sf_dir, "lineitem"),
                 F.col("o_orderkey") == F.col("l_orderkey"))
@@ -271,13 +284,19 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" AND (src div 2) % {_RW_SEED_MOD} = 0"))
             .select(F.expr("src div 2").alias("seed"),
                     F.col("src").alias("cur")))
+    cust = _t(spark, sf_dir, "customer")
+    est_seeds = (table_rowcount_or_count(sf_dir, "customer", cust,
+                                         "c_custkey")
+                 // _RW_SEED_MOD + 1)
+    hint = (F.broadcast if est_seeds <= _RW_BROADCAST_MAX_SEEDS
+            else (lambda df: df))
     for k in range(1, _RW_HOPS + 1):
         r_k = f"r{k}"
         pick = F.expr(
             f"{r_k}.rn = 1 + CAST(conv(substring(md5(concat_ws(':',"
             f" CAST(seed AS STRING), CAST(cur AS STRING), '{k}')),"
             f" 1, 13), 16, 10) AS BIGINT) % {r_k}.deg")
-        walk = (F.broadcast(walk)
+        walk = (hint(walk)
                 .join(ranked.alias(r_k),
                       (F.col("cur") == F.col(f"{r_k}.src")) & pick)
                 .select("seed",

@@ -33,11 +33,20 @@ _LOG = logging.getLogger(__name__)
 
 _CACHE: Dict[Tuple[str, float, int], int] = {}
 
-# Fallback counts keyed by (sf_dir, table): when the footer walk is
-# unavailable (object-store path where os.stat raises OSError), a
-# deployment pays at most ONE column-pruned count job per table per
+# Fallback counts keyed by (normalized sf_dir, table): when the footer
+# walk is unavailable (object-store path where os.stat raises OSError),
+# a deployment pays at most ONE column-pruned count job per table per
 # session — the metastore shape — instead of one per query build.
 _FALLBACK_CACHE: Dict[Tuple[str, str], int] = {}
+
+
+def _fallback_key(sf_dir: str, name: str) -> Tuple[str, str]:
+    """Normalized fallback-cache key: sizing callers and the upsert
+    invalidation hook may spell the same directory differently
+    (trailing slash, relative vs absolute) — abspath/normpath both so
+    invalidate_rowcount can never miss the entry a sizing call wrote
+    (r12 ADVICE item 1)."""
+    return (os.path.normpath(os.path.abspath(sf_dir)), name)
 
 
 def _footer_rows(path: str) -> int:
@@ -107,7 +116,7 @@ def table_rowcount_or_count(sf_dir: str, name: str, df, key_col: str) -> int:
     try:
         return table_rowcount(sf_dir, name)
     except OSError:
-        key = (sf_dir, name)
+        key = _fallback_key(sf_dir, name)
         hit = _FALLBACK_CACHE.get(key)
         if hit is not None:
             return hit
@@ -126,5 +135,7 @@ def invalidate_rowcount(sf_dir: str, name: str) -> None:
     next sizing call re-counts — the hook the atomic-swap upsert path
     calls after rewriting a table (see table_rowcount_or_count's
     staleness note). The footer cache needs no invalidation: it keys
-    on file mtime/size and a rewrite changes both."""
-    _FALLBACK_CACHE.pop((sf_dir, name), None)
+    on file mtime/size and a rewrite changes both. The key is
+    normalized (abspath/normpath) so a caller passing a different
+    spelling of the same directory still hits the entry."""
+    _FALLBACK_CACHE.pop(_fallback_key(sf_dir, name), None)

@@ -283,3 +283,39 @@ class TestMotifCompiler:
             g.match("(a)-[:r]->(a)")
         with _pytest.raises(ValueError, match="not unique"):
             g.match("(a)-[e1:r]->(b), (b)-[e1:r]->(c)")
+
+
+class TestRandomWalkBroadcastGate:
+    """r12 ADVICE item 4: the frontier broadcast hint in
+    graph_random_walk is only safe under the bounded-seed contract;
+    the gate ties it to the stats-sidecar seed estimate in code."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _analyzed(self, df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    def test_hint_present_under_bounded_seed_contract(self, spark):
+        import os
+        if not os.path.isdir(self.SF):
+            pytest.skip("testdata not present")
+        from research_index_backend_spark.plans import queries_ext15 as m
+        df = m.q_graph_random_walk(spark, self.SF)
+        # default contract: ~|customer|/97 seeds << 2M -> hint applied
+        assert "strategy=broadcast" in self._analyzed(df)
+
+    def test_hint_dropped_when_seed_estimate_exceeds_cap(
+            self, spark, monkeypatch):
+        import os
+        if not os.path.isdir(self.SF):
+            pytest.skip("testdata not present")
+        from research_index_backend_spark.plans import queries_ext15 as m
+        monkeypatch.setattr(m, "_RW_BROADCAST_MAX_SEEDS", 0)
+        df = m.q_graph_random_walk(spark, self.SF)
+        # oversized walker population: no forced BHJ, AQE decides
+        assert "strategy=broadcast" not in self._analyzed(df)
+        # and the gate changes STRATEGY only, never answers
+        monkeypatch.undo()
+        hinted = m.q_graph_random_walk(spark, self.SF)
+        assert sorted(map(tuple, df.collect())) == \
+            sorted(map(tuple, hinted.collect()))

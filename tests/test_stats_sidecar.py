@@ -102,6 +102,29 @@ def test_fallback_prefers_sidecar_when_available():
     assert n == stats.table_rowcount(SF_DIR, "region")
 
 
+def test_fallback_key_normalized_across_spellings():
+    # r12 ADVICE item 1: sizing caller and invalidation hook may spell
+    # the same sf_dir differently (trailing slash, relative segments);
+    # the cache key must normalize so invalidate can never miss.
+    stats._FALLBACK_CACHE.clear()
+    df = _CountingFrame(11)
+    assert stats.table_rowcount_or_count(
+        "/nonexistent/sf", "t", df, "k") == 11
+    # trailing slash + redundant segment hit the SAME entry
+    assert stats.table_rowcount_or_count(
+        "/nonexistent/sf/", "t", df, "k") == 11
+    assert stats.table_rowcount_or_count(
+        "/nonexistent/./sf", "t", df, "k") == 11
+    assert df.jobs == 1, "all spellings must share one cache entry"
+    # invalidation under a different spelling drops the sizing entry
+    stats.invalidate_rowcount("/nonexistent/sf/", "t")
+    df.n = 33
+    assert stats.table_rowcount_or_count(
+        "/nonexistent/sf", "t", df, "k") == 33
+    assert df.jobs == 2
+    stats._FALLBACK_CACHE.clear()
+
+
 def test_invalidate_rowcount_forces_recount():
     # r11 ADVICE item 4: the fallback cache has no mtime keying, so the
     # atomic-swap upsert path must be able to drop one table's entry.

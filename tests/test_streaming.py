@@ -622,12 +622,14 @@ class TestHeavyHittersStream:
             assert est - err <= t <= est, (k, est, err, t)
 
 
-def test_longrun_harness_rejects_bad_op_selection(spark):
+def test_longrun_harness_rejects_bad_op_selection(spark, monkeypatch):
     # r11 ADVICE item 3: a misspelled RIB_LONGRUN_OPS used to produce an
     # empty query dict and exit immediately with an empty "clean" report.
-    import sys as _sys
     import os as _os
-    _sys.path.insert(0, _os.path.join(
+    # monkeypatch-scoped path insert (r12 ADVICE item 3): the old bare
+    # sys.path.insert leaked past this test and let tools/*.py shadow
+    # same-named imports for the rest of the session.
+    monkeypatch.syspath_prepend(_os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         "tools"))
     import pytest as _pytest

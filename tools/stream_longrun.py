@@ -204,6 +204,14 @@ def main(target_batches: int = 2000,
     for name, s in sorted(samples.items()):
         bids = sorted(s)
         if not bids:
+            # A selected operator with zero stateOperators samples must
+            # be visible in the report, not silently dropped — the
+            # per-operator variant of the r11 empty-clean-report bug
+            # (r12 ADVICE item 2). A stub entry keeps downstream
+            # consumers from reading missing coverage as proven-flat.
+            print(f"WARNING: {name}: 0 stateOperators samples — "
+                  f"no state evidence collected for this operator")
+            report["operators"][name] = {"sampled": 0}
             continue
         rows_total = [s[b][1] for b in bids]
         mem = [s[b][2] for b in bids]
