@@ -116,6 +116,50 @@ SCALED = [
     "hits_hubs_authorities", "ktruss_edges", "chao_distinct_estimate",
 ]
 
+# The scaled TAIL (r12 VERDICT next-round item 4): every remaining
+# catalog query whose primary inputs gen_10x.py scales — derived from
+# the per-plan inputFiles() classification behind PROBE_LEDGER.md, so
+# SCALED + SCALED_TAIL + the 3 dim-bound queries (graph_motif_path,
+# mint_ids, slug_latlng) partition the whole catalog. r12 probed most
+# of these at 100x in ad-hoc name batches; pinning the list here makes
+# the coverage reproducible (`python tools/probe_10x.py tail` / `all`).
+SCALED_TAIL = [
+    "anomaly_mad", "anova_f_report", "anti_semi_split", "argmax_latest",
+    "asof_join", "asof_tolerance", "binary_meta", "blocking_quality",
+    "bool_agg_report", "broadcast_advisor", "build_inverted_index",
+    "c4_line_filter", "cdc_apply", "churn_feature_labels",
+    "cohens_d_report", "cohort_ltv", "conformal_coverage_audit",
+    "cramers_v_report", "date_decompose", "date_functions",
+    "derived_key_join", "dup_detect", "embedding_centroid_drift",
+    "event_funnel", "ewma_report", "exact_percentile_rank",
+    "existence_probe", "frame_functions", "full_outer_merge",
+    "gapfill_ffill", "gopher_quality_flags", "graph_degree",
+    "graph_motif_wedge", "graph_ppr", "graph_sssp", "group_top1",
+    "groupby_count_report", "grouping_sets_report", "guard_empty",
+    "histogram_refine_median", "holt_forecast", "ingest_scorecard",
+    "initial_key_join", "intersect_except", "invoice_reconciliation",
+    "isotonic_calibration", "ivm_update", "jaccard_prefix_join",
+    "json_extract", "kanon_generalization_ladder", "kaplan_meier",
+    "keep_first_dedup", "keyset_page", "kruskal_wallis",
+    "lift_gains_report", "limit_head", "listagg_report",
+    "markov_transitions", "max_over_keys", "media_features",
+    "median_mode_report", "mmr_diversify", "mrr_eval", "multi_metric_agg",
+    "ntile_bucket", "null_branch_dispatch", "odds_ratio_report",
+    "ohlc_downsample", "orcid_coalesce", "partition_advisor",
+    "percentile_report", "pinball_loss_eval", "pivot_report",
+    "qini_uplift_report", "range_banded_join", "range_frame_window",
+    "rank_suite", "regex_filter", "resolve_cascade", "retention_cohort",
+    "rollup_report", "running_total", "scd2_history",
+    "schema_evolution_merge", "seasonal_naive_backtest",
+    "seasonality_report", "sequence_islands", "session_paths",
+    "sessionize_events", "skew_salted_join", "sliding_distinct_users",
+    "sliding_windows", "spearman_corr", "split_leakage_audit",
+    "stream_sessionize_twin", "stream_topk_twin", "table_diff",
+    "table_profile", "theta_range_check", "trimmed_mean_report",
+    "unpivot_report", "upsert_merge", "upsert_update", "window_lag_delta",
+    "windowed_events", "wow_delta_report", "zscore_outliers",
+]
+
 
 def main(names: list[str]) -> None:
     from __spark_entry__ import queries
@@ -133,6 +177,7 @@ def main(names: list[str]) -> None:
 
     run("flagship_contains_tag", "/root/testdata/sf0.1")  # warmup
     suspects = {}
+    results = {}
     for name in names:
         best = None
         try:
@@ -163,8 +208,21 @@ def main(names: list[str]) -> None:
         flag = 10 if PROBE_DIR.endswith("sf1") else 100
         if ratio and ratio > flag:
             suspects[name] = ratio
+        results[name] = {"sf01": p, "t": best, "ratio": ratio}
     print("SUSPECTS", json.dumps(suspects))
+    out = os.environ.get("RIB_PROBE_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump({"probe_dir": PROBE_DIR, "queries": results}, fh,
+                      indent=0)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or SCALED)
+    args = sys.argv[1:]
+    if args == ["tail"]:
+        main(SCALED_TAIL)
+    elif args == ["all"]:
+        main(SCALED + SCALED_TAIL)
+    else:
+        main(args or SCALED)
