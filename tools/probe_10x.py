@@ -181,7 +181,7 @@ def main(names: list[str]) -> None:
     for name in names:
         best = None
         try:
-            for _ in range(2):
+            for _ in range(int(os.environ.get("RIB_PROBE_RUNS", "2"))):
                 t0 = time.perf_counter()
                 run(name, PROBE_DIR)
                 t = round(time.perf_counter() - t0, 2)
