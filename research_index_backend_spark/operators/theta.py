@@ -33,13 +33,23 @@ def contains_tag(big: DataFrame, dim: DataFrame, text_col: str, term_col: str,
     (same join columns), already-present pairs are anti-joined away —
     Cypher's `AND NOT exists((o)-[:refers_to]->(c))` guard.
     """
-    text = F.col(text_col)
-    term = F.col(term_col)
     if case_insensitive:
-        pred = F.contains(F.lower(text), F.lower(term))
+        # Hoist the lower() into per-row projections on BOTH sides. Inside a
+        # BroadcastNestedLoopJoin the condition is evaluated once per
+        # (big, dim) PAIR; lower() copies the whole text, so leaving it in
+        # the predicate re-lowers every document once per dim term —
+        # measured 106x at a 100x/50x-dim probe vs linear after hoisting.
+        # Catalyst keeps the Project below the join (CollapseProject never
+        # inlines into join conditions), so each side lowers exactly once.
+        big = big.withColumn("__contains_text_lc", F.lower(F.col(text_col)))
+        dim = dim.withColumn("__contains_term_lc", F.lower(F.col(term_col)))
+        pred = F.contains(F.col("__contains_text_lc"),
+                          F.col("__contains_term_lc"))
     else:
-        pred = F.contains(text, term)
+        pred = F.contains(F.col(text_col), F.col(term_col))
     tagged = big.join(F.broadcast(dim), on=pred, how="inner")
+    if case_insensitive:
+        tagged = tagged.drop("__contains_text_lc", "__contains_term_lc")
     if existing is not None:
         tagged = tagged.join(existing, on=list(existing.columns), how="left_anti")
     return tagged
