@@ -36,19 +36,43 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# localCheckpoint-opaque plans: inputFiles() returns [] because the
-# lineage is cut before the scan; attributed from _t() calls in source.
-OPAQUE = {
-    "graph_ppr": ["lineitem"],
-    "graph_sssp": ["lineitem"],
-    "isotonic_calibration": ["orders"],
-    "kruskal_wallis": ["lineitem"],
-    "spearman_corr": ["lineitem"],
-}
-
 SCALED_TABLES = {"documents", "lineitem", "customer", "embeddings",
                  "orders", "events", "part"}
 DIM_TABLES = {"region", "nation", "supplier"}
+ALL_TABLES = SCALED_TABLES | DIM_TABLES
+
+_TABLE_RE = re.compile(
+    r'"(%s)"' % "|".join(sorted(ALL_TABLES)))
+
+
+def _source_tables(fn, qs: dict | None = None, _seen=None) -> list[str]:
+    """Fallback attribution for lineage-opaque plans (localCheckpoint /
+    cache cuts inputFiles() before any file scan): table-name string
+    literals in the plan function's own source, following one style of
+    indirection — catalog plans that compose OTHER catalog plans
+    (``q_foo(spark, sf_dir)``) inherit the callee's tables. Every leaf
+    plan names its tables via _t(spark, sf_dir, "<table>") by
+    convention."""
+    import inspect
+    _seen = _seen or set()
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return []
+    tabs = set(_TABLE_RE.findall(src))
+    if qs:
+        for callee in re.findall(r"\bq_(\w+)\(spark", src):
+            if callee in qs and callee not in _seen:
+                _seen.add(callee)
+                tabs.update(_source_tables(qs[callee], qs, _seen))
+    # Module-level private helpers (e.g. _cdf_lattice) that take
+    # (spark, sf_dir) and do the actual _t() loads.
+    for helper in re.findall(r"\b(_[a-z]\w+)\(spark", src):
+        g = getattr(fn, "__globals__", {})
+        if helper in g and callable(g[helper]) and helper not in _seen:
+            _seen.add(helper)
+            tabs.update(_source_tables(g[helper], qs, _seen))
+    return sorted(tabs)
 
 
 def classify(spark, qs, sf_dir: str) -> dict[str, dict]:
@@ -57,9 +81,9 @@ def classify(spark, qs, sf_dir: str) -> dict[str, dict]:
         files = fn(spark, sf_dir).inputFiles()
         tabs = sorted({m.group(1) for f in files
                        if (m := re.search(r"/(\w+)\.parquet", f))})
-        opaque = not tabs and name in OPAQUE
+        opaque = not tabs
         if opaque:
-            tabs = OPAQUE[name]
+            tabs = _source_tables(fn, qs)
         out[name] = {"tables": tabs, "opaque": opaque}
     return out
 
