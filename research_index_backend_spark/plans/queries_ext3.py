@@ -516,17 +516,25 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate docs (< 2 chars) drop out, matching the oracle.
     """
     d = _t(spark, sf_dir, "documents")
-    t = F.lower("text")
-    pairs = (d.select("doc_id", t.alias("t"))
-             .filter(F.length("t") >= 2)
-             .select("doc_id",
-                     F.explode(F.sequence(
-                         F.lit(1), F.length("t") - 1)).alias("pos"),
-                     F.col("t"))
-             .select("doc_id",
-                     F.col("t").substr(F.col("pos"), F.lit(1)).alias("prev"),
-                     F.col("t").substr(F.col("pos") + 1, F.lit(1))
-                     .alias("cur")))
+    # Char array STAGED to a named column (the CollapseProject lesson),
+    # bigrams built by an O(1) element_at transform BEFORE the explode.
+    # The previous shape exploded one row per position and computed
+    # t.substr(pos, 1) per row — UTF8String.substring walks codepoints
+    # from the string START, so each doc cost O(len^2), and the Generate
+    # carried the full text into every exploded row (O(len^2) bytes
+    # through the projection too). Measured at the r13 100x probe:
+    # 107.4s -> see BENCH_HISTORY. Exploded rows now carry a 2-char
+    # struct, never the text.
+    cs = F.split(F.lower("text"), "")
+    pairs = (d.select("doc_id", cs.alias("__cs"))
+             .filter(F.size("__cs") >= 2)
+             .select("doc_id", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("__cs") - 1),
+                 lambda i: F.struct(
+                     F.element_at("__cs", i).alias("prev"),
+                     F.element_at("__cs", i + 1).alias("cur"))))
+                 .alias("pc"))
+             .select("doc_id", "pc.prev", "pc.cur"))
     big = (pairs.groupBy("doc_id", "prev", "cur")
            .agg(F.count(F.lit(1)).alias("n_pc")))
     probs = (pairs.groupBy("prev", "cur")
