@@ -47,7 +47,16 @@ def shingles_col(text: Column | str, n: int = 5) -> Column:
       string per element — O(len^2) per document (measured 5x the whole
       explode cost). lower(substr) == substr(lower) for any per-character
       case mapping (everything but locale oddities), and the SQL oracle
-      mirrors this exact form so parity is by construction."""
+      mirrors this exact form so parity is by construction.
+
+    Caveat (r13): substr(i, n) itself is also O(i) — UTF8String walks
+    codepoints from the string start — so shingling is O(len^2) per
+    document in the byte-walk sense. Measured harmless at ~1KB docs:
+    a staged-char-array alternative (split to a named column, grams
+    via slice+concat transform) was 2.9x SLOWER at the 100x probe in
+    an interleaved same-session A/B — interpreted HOF per-gram
+    allocations cost more than the codegen byte walk. Revisit only if
+    the corpus moves to much longer documents."""
     c = F.col(text) if isinstance(text, str) else text
     return F.when(F.length(c) < n, F.array().cast("array<string>")) \
         .otherwise(F.array_distinct(F.transform(
@@ -158,16 +167,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     the score.
 
     Plan shape: the inverted index is built by exploding POSITIONS and
-    slicing in a plain projection — not via shingles_col's array
-    transform — because higher-order-function lambdas run interpreted
-    (outside whole-stage codegen) and dominate the query (measured ~3x
-    the whole remaining pipeline). explode+substr+distinct is all
-    codegen; per-doc distinct-ness comes from the global (id, tok)
-    distinct, which the downstream groupBys absorb into one shuffle."""
+    slicing in a plain projection — not via an array transform —
+    because higher-order-function lambdas run interpreted (outside
+    whole-stage codegen) and their per-gram allocations dominate
+    (r13 interleaved 100x A/B: 23.8s vs 68.7s staged-array; see
+    _shingle_inverted). explode+substr+distinct is all codegen;
+    per-doc distinct-ness comes from the global (id, tok) distinct,
+    which the downstream groupBys absorb into one shuffle."""
+    inv = _shingle_inverted(df, text_col, id_col, n)
+    return _jaccard_from_inverted(inv, None, threshold, max_token_df)
+
+
+def _shingle_inverted(df: DataFrame, text_col: str, id_col: str,
+                      n: int) -> DataFrame:
+    """(id, tok) distinct lowercase char-n-gram inverted index:
+    explode positions -> substr -> lower, all whole-stage codegen.
+
+    Negative result (r13, recorded so it isn't retried): a staged
+    char-array variant — split to a named column, n-gram strings via
+    slice+concat transform before the explode — measured 68.7s vs
+    23.8s for THIS form at the 100x probe, interleaved in one session
+    (3 rounds each). substr(pos, n) does walk codepoints from the
+    string start (O(pos) per call), but at ~1KB documents that byte
+    walk is far cheaper than the interpreted HOF's per-gram
+    allocations (slice array + concat string, outside whole-stage
+    codegen). The O(len^2) byte-walk would only dominate for much
+    longer documents; revisit the staged form if the corpus moves to
+    10KB+ docs."""
     c = F.col(text_col)
     positions = F.when(F.length(c) < n, F.array().cast("array<int>")) \
         .otherwise(F.sequence(F.lit(1), F.length(c) - n + 1))
-    inv = (
+    return (
         df.select(F.col(id_col).alias("id"), c.alias("__t"),
                   F.explode(positions).alias("__p"))
         .select("id",
@@ -175,7 +205,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 .alias("tok"))
         .distinct()
     )
-    return _jaccard_from_inverted(inv, None, threshold, max_token_df)
 
 
 def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -196,17 +225,7 @@ def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
     score is quantized to an e6 integer with integer division BEFORE
     thresholding so membership is bit-stable across engines.
     """
-    c = F.col(text_col)
-    positions = F.when(F.length(c) < n, F.array().cast("array<int>")) \
-        .otherwise(F.sequence(F.lit(1), F.length(c) - n + 1))
-    inv = (
-        df.select(F.col(id_col).alias("id"), c.alias("__t"),
-                  F.explode(positions).alias("__p"))
-        .select("id",
-                F.lower(F.col("__t").substr(F.col("__p"), F.lit(n)))
-                .alias("tok"))
-        .distinct()
-    )
+    inv = _shingle_inverted(df, text_col, id_col, n)
     if max_token_df is not None:
         rare = (inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_token_df).select("tok"))
@@ -486,19 +505,18 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     yields at least one shared fingerprint, while storing ~2/(w+1) of the
     k-gram hashes — positional near-dup detection that sampling can't give.
 
-    Plan: split to a staged char array -> k-gram STRINGS built by a
-    slice+concat transform (the only interpreted piece; O(k) per gram)
-    -> posexplode -> md5/conv to a 60-bit BIGINT in a codegen
-    projection -> running min over (id ORDER BY pos ROWS w-1 FOLLOWING)
-    -> distinct. One shuffle on id for the window, one for the
-    distinct; both hash-partitioned, no skew beyond document length.
-    The r7-era shape exploded positions first and took substr(pos, k)
-    per row — UTF8String.substring walks codepoints from the string
-    start (O(pos) per call, O(len^2) per doc) and the Generate carried
-    the full text into every row; the r13 100x probe measured the
-    array-staged form 1.5x faster (108.7s -> 72.1s same-host) with the
-    md5 kept OUT of the lambda (an all-in-lambda variant was slower at
-    sf0.1: interpreted md5 lost more than the array build saved).
+    Plan: explode positions -> md5 k-gram narrowed to a 60-bit BIGINT
+    (plain projections, codegen — no interpreted HOF lambdas) -> running
+    min over (id ORDER BY pos ROWS w-1 FOLLOWING) -> distinct. One
+    shuffle on id for the window, one for the distinct; both
+    hash-partitioned, no skew beyond document length.
+    Negative result (r13): a staged-char-array variant (k-gram strings
+    via slice+concat transform before the posexplode, md5 in codegen
+    after) measured 76.2s vs 32.1s for this form at the 100x probe,
+    interleaved in one session — the interpreted per-gram allocations
+    cost more than substr's O(pos) codepoint walk saves at ~1KB docs
+    (same finding as _shingle_inverted; serial cross-session A/Bs had
+    suggested the opposite and were host-drift artifacts).
 
     The hash is the first 15 hex digits of the md5 as an int64, NOT the
     32-char string: a position-exploded corpus materializes one row per
@@ -511,30 +529,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     """
     from pyspark.sql import Window
     c = F.col(text_col)
-    # Char array STAGED to a named column, k-gram hashes built by an
-    # O(k) slice+concat transform BEFORE the explode. The previous
-    # shape exploded one row per position and computed
-    # __t.substr(pos, k) per row — UTF8String.substring walks
-    # codepoints from the string START (O(pos) per call, O(len^2) per
-    # doc), and the Generate carried the full text into every exploded
-    # row. Exploded rows now carry only the 8-byte hash. lower() stays
-    # per-gram (not whole-text) to match the oracle and the prior
-    # semantics exactly (Java lowercasing is context-sensitive: final
-    # sigma). Guard on char COUNT (F.length == codepoints == array
-    # size for non-empty text; empty text splits to [''] so the
-    # explicit length guard stays).
+    positions = F.when(F.length(c) < k, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), F.length(c) - k + 1))
+    md5 = F.md5(F.lower(F.col("__t").substr(F.col("pos"), F.lit(k))))
     grams = (
-        df.select(F.col(id_col).alias("id"), F.split(c, "").alias("__cs"),
-                  F.length(c).alias("__n"))
-        .select("id", F.posexplode(F.when(
-            F.col("__n") < k, F.array().cast("array<string>"))
-            .otherwise(F.transform(
-                F.sequence(F.lit(1), F.col("__n") - k + 1),
-                lambda i: F.concat_ws("", F.slice("__cs", i, F.lit(k))))))
-            .alias("pos", "g"))
+        df.select(F.col(id_col).alias("id"), c.alias("__t"),
+                  F.explode(positions).alias("pos"))
         .select("id", "pos",
-                F.conv(F.substring(F.md5(F.lower(F.col("g"))), 1, 15),
-                       16, 10).cast("bigint").alias("h"))
+                F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
+                .alias("h"))
     )
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     sel = (
