@@ -209,106 +209,328 @@ def entry(spark: SparkSession) -> DataFrame:
 # within a round) so every future 50-row window automatically
 # refreshes the oldest records.
 _VERIFY_FIRST = (
-    # --- r12 window: the final 22 never-officially-checked queries ---
-    "spearman_corr", "split_leakage_audit", "stream_drift_twin",
-    "stream_sessionize_twin", "stream_topk_twin", "t_closeness",
-    "target_encode_smoothed", "textrank_keywords", "theil_sen_trend",
-    "tokenizer_fertility", "topk_churn_report", "tpch_q11", "tpch_q12",
-    "tpch_q16", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q9",
-    "trimmed_mean_report", "unigram_surprisal", "winsorize_report",
-    "wow_delta_report",
-    # --- r12 window: + the 28 stalest official rows (last checked r5) ---
-    "anti_semi_split", "dup_detect", "multi_metric_agg", "group_top1",
-    "keep_first_dedup", "upsert_merge", "upsert_update", "string_clean",
-    "date_decompose", "theta_range_check", "similarity_join",
-    "groupby_count_report", "windowed_events", "sliding_windows",
-    "sessionize_events", "dedup_exact", "doc_fingerprint", "doc_winnow",
-    "dedup_minhash_sigs", "dedup_lsh_pairs", "dedup_jaccard",
-    "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "text_quality", "quality_filter",
-    # --- tail, stalest-first: last officially checked r5 ---
-    "token_stats", "graph_degree", "graph_two_hop", "skew_salted_join",
-    "asof_join", "json_extract", "resolve_cascade", "graph_components",
-    "graph_pagerank", "max_over_keys", "null_branch_dispatch", "guard_empty",
-    "initial_key_join", "orcid_coalesce", "slug_latlng", "mint_ids",
+    # --- last officially checked r5 (17 queries; r13 window starts here) ---
+    "asof_join",
+    "graph_components",
+    "graph_degree",
+    "graph_pagerank",
+    "graph_two_hop",
+    "guard_empty",
     "ingest_scorecard",
-    # --- tail, stalest-first: last officially checked r6 ---
-    "flagship_contains_tag", "existence_probe", "regex_filter", "limit_head",
-    "derived_key_join", "simhash_fp", "binary_meta", "ann_hyperplane_topk",
-    "graph_pagerank_dangling", "graph_components_star", "rollup_report",
-    "pivot_report", "window_lag_delta", "ntile_bucket", "stratified_sample",
-    "tfidf_topk", "bigram_topk", "simhash_hamming_pairs", "event_funnel",
-    "retention_cohort", "text_scrub", "percentile_report", "running_total",
-    "argmax_latest", "sequence_islands", "doc_chunk", "sequence_pack",
-    "sequence_pack_sharded", "dedup_survivors", "intersect_except",
-    "unpivot_report", "rank_suite", "date_functions", "full_outer_merge",
-    "frame_functions", "dedup_embedding_multi", "listagg_report",
-    "rerank_topk", "graph_triangles", "weighted_sample", "lm_quality_score",
-    "minhash_estimate", "media_features", "range_frame_window", "bm25_topk",
-    "decontaminate_overlap", "text_repetition", "range_banded_join",
-    # --- tail, stalest-first: last officially checked r7 ---
-    "bool_agg_report", "cube_report", "ohlc_downsample", "median_mode_report",
-    "markov_transitions", "kmv_distinct", "bloom_probe", "zscore_outliers",
-    "token_entropy", "kmeans_embed", "corr_report", "pmi_cooccur",
-    "graph_bfs_depth", "gapfill_ffill", "table_diff", "kcore_decompose",
-    "lang_id_trigram", "cms_heavy_hitters", "hll_distinct", "prefix_dedup",
-    "span_dedup", "spatial_core_points", "containment_dedup",
-    "train_split_report", "pit_join", "record_linkage", "k_anonymity",
-    "trend_regression", "interpolate_linear", "merkle_diff", "zone_map_prune",
-    "hll_union_report", "graph_clustering_coeff", "bpe_pair_stats",
-    "histogram_quantile", "sorted_neighborhood", "label_prop_communities",
-    "interval_overlap_join", "oov_rate", "incremental_dedup", "zorder_layout",
-    "join_cardinality_est", "ann_pq_topk", "prf_expansion", "tpch_q1",
-    "tpch_q3", "tpch_q5", "bitmap_index_join", "bpe_train", "watermark_audit",
-    # --- tail, stalest-first: last officially checked r9 ---
-    "pareto_frontier", "graph_motif_wedge", "graph_motif_path",
-    "asof_tolerance", "pii_scrub", "vocab_drift", "grouping_sets_report",
-    "scd2_history", "group_topk_ties", "mix_plan", "token_histogram",
-    "quality_calibration", "ewma_report", "cascade_delete_audit",
-    "table_profile", "sliding_distinct_users", "build_inverted_index",
-    "exact_percentile_rank", "skew_report", "blocking_quality", "keyset_page",
-    "graph_ppr", "ivm_update", "cdc_apply", "schema_evolution_merge",
-    "embed_quantize_report", "ann_recall_report", "anomaly_mad",
-    "session_paths", "seasonality_report", "graph_jaccard_similarity",
-    "ann_pq_trained", "crossref_enrich", "tpch_q7", "tpch_q10", "tpch_q13",
-    "tpch_q18", "bpe_encode", "shuffle_shard_plan", "hard_negative_mining",
-    "tpch_q14", "tpch_q4", "tpch_q6", "tpch_q19", "dedup_recall_report",
-    "tpch_q15", "tpch_q22", "tpch_q8", "tpch_q17", "l_diversity",
-    # --- tail, stalest-first: last officially checked r10 ---
-    "graph_assortativity", "graph_sssp", "association_rules",
-    "hierarchy_rollup", "decayed_popularity", "attribution_report",
-    "ab_test_welch", "acf_report", "grid_dbscan_core", "benford_report",
-    "chi_square_report", "gini_coefficient", "cusum_changepoint",
-    "fd_discovery", "distribution_drift", "embedding_integrity",
-    "golden_record", "boolean_retrieval", "frequent_triples", "group_kfold",
-    "bootstrap_ci", "compaction_plan", "domain_affinity_score",
-    "feature_hashing_report", "graph_random_walk", "bigram_lm_score",
-    "embedding_outliers", "codec_advisor", "dedup_threshold_sweep",
-    "equidepth_histogram", "ctfidf_topterms", "gini_gain_report",
-    "coreset_kcenter", "conversion_lag_report", "harmonic_centrality_seeds",
-    "dedup_best_survivor", "correlated_predicates", "gopher_quality_flags",
-    "c4_line_filter", "cramers_v_report", "chao_distinct_estimate",
-    "anova_f_report", "dau_mau_stickiness", "embedding_centroid_drift",
-    "cohort_ltv", "curation_funnel_report", "conformal_coverage_audit",
-    "broadcast_advisor", "churn_feature_labels", "cohens_d_report",
-    # --- tail, stalest-first: last officially checked r11 ---
-    "histogram_refine_median", "hits_hubs_authorities", "holt_forecast",
-    "hybrid_rrf_fusion", "interarrival_burstiness", "invoice_reconciliation",
-    "isotonic_calibration", "jaccard_prefix_join",
-    "kanon_generalization_ladder", "kaplan_meier", "kendall_tau_grouped",
-    "knn_label_eval", "kruskal_wallis", "ks_test_drift", "ktruss_edges",
-    "latency_slo_report", "length_bucket_batching", "lift_gains_report",
-    "link_prediction_ra", "loo_source_impact", "mannwhitney_auc",
-    "matryoshka_recall_report", "metadata_consistency", "mmr_diversify",
-    "mrr_eval", "mutual_knn_pairs", "ndcg_eval", "novelty_curve_report",
-    "odds_ratio_report", "ohlc_bars", "packing_efficiency_sweep",
-    "partition_advisor", "phrase_search", "pinball_loss_eval",
-    "postings_compression_report", "qini_uplift_report", "qlm_dirichlet_topk",
-    "quota_allocation", "readability_report", "referential_integrity",
-    "residual_outliers", "rfm_segments", "rich_club_coefficient",
-    "rolling_median_7d", "sax_symbolic", "seasonal_anomaly_report",
-    "seasonal_naive_backtest", "slo_burn_rate", "snapshot_asof",
+    "initial_key_join",
+    "json_extract",
+    "max_over_keys",
+    "mint_ids",
+    "null_branch_dispatch",
+    "orcid_coalesce",
+    "resolve_cascade",
+    "skew_salted_join",
+    "slug_latlng",
+    "token_stats",
+    # --- last officially checked r6 (48 queries) ---
+    "ann_hyperplane_topk",
+    "argmax_latest",
+    "bigram_topk",
+    "binary_meta",
+    "bm25_topk",
+    "date_functions",
+    "decontaminate_overlap",
+    "dedup_embedding_multi",
+    "dedup_survivors",
+    "derived_key_join",
+    "doc_chunk",
+    "event_funnel",
+    "existence_probe",
+    "flagship_contains_tag",
+    "frame_functions",
+    "full_outer_merge",
+    "graph_components_star",
+    "graph_pagerank_dangling",
+    "graph_triangles",
+    "intersect_except",
+    "limit_head",
+    "listagg_report",
+    "lm_quality_score",
+    "media_features",
+    "minhash_estimate",
+    "ntile_bucket",
+    "percentile_report",
+    "pivot_report",
+    "range_banded_join",
+    "range_frame_window",
+    "rank_suite",
+    "regex_filter",
+    "rerank_topk",
+    "retention_cohort",
+    "rollup_report",
+    "running_total",
+    "sequence_islands",
+    "sequence_pack",
+    "sequence_pack_sharded",
+    "simhash_fp",
+    "simhash_hamming_pairs",
+    "stratified_sample",
+    "text_repetition",
+    "text_scrub",
+    "tfidf_topk",
+    "unpivot_report",
+    "weighted_sample",
+    "window_lag_delta",
+    # --- last officially checked r7 (50 queries) ---
+    "ann_pq_topk",
+    "bitmap_index_join",
+    "bloom_probe",
+    "bool_agg_report",
+    "bpe_pair_stats",
+    "bpe_train",
+    "cms_heavy_hitters",
+    "containment_dedup",
+    "corr_report",
+    "cube_report",
+    "gapfill_ffill",
+    "graph_bfs_depth",
+    "graph_clustering_coeff",
+    "histogram_quantile",
+    "hll_distinct",
+    "hll_union_report",
+    "incremental_dedup",
+    "interpolate_linear",
+    "interval_overlap_join",
+    "join_cardinality_est",
+    "k_anonymity",
+    "kcore_decompose",
+    "kmeans_embed",
+    "kmv_distinct",
+    "label_prop_communities",
+    "lang_id_trigram",
+    "markov_transitions",
+    "median_mode_report",
+    "merkle_diff",
+    "ohlc_downsample",
+    "oov_rate",
+    "pit_join",
+    "pmi_cooccur",
+    "prefix_dedup",
+    "prf_expansion",
+    "record_linkage",
+    "sorted_neighborhood",
+    "span_dedup",
+    "spatial_core_points",
+    "table_diff",
+    "token_entropy",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "train_split_report",
+    "trend_regression",
+    "watermark_audit",
+    "zone_map_prune",
+    "zorder_layout",
+    "zscore_outliers",
+    # --- last officially checked r9 (50 queries) ---
+    "ann_pq_trained",
+    "ann_recall_report",
+    "anomaly_mad",
+    "asof_tolerance",
+    "blocking_quality",
+    "bpe_encode",
+    "build_inverted_index",
+    "cascade_delete_audit",
+    "cdc_apply",
+    "crossref_enrich",
+    "dedup_recall_report",
+    "embed_quantize_report",
+    "ewma_report",
+    "exact_percentile_rank",
+    "graph_jaccard_similarity",
+    "graph_motif_path",
+    "graph_motif_wedge",
+    "graph_ppr",
+    "group_topk_ties",
+    "grouping_sets_report",
+    "hard_negative_mining",
+    "ivm_update",
+    "keyset_page",
+    "l_diversity",
+    "mix_plan",
+    "pareto_frontier",
+    "pii_scrub",
+    "quality_calibration",
+    "scd2_history",
+    "schema_evolution_merge",
+    "seasonality_report",
+    "session_paths",
+    "shuffle_shard_plan",
+    "skew_report",
+    "sliding_distinct_users",
+    "table_profile",
+    "token_histogram",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "vocab_drift",
+    # --- last officially checked r10 (50 queries) ---
+    "ab_test_welch",
+    "acf_report",
+    "anova_f_report",
+    "association_rules",
+    "attribution_report",
+    "benford_report",
+    "bigram_lm_score",
+    "boolean_retrieval",
+    "bootstrap_ci",
+    "broadcast_advisor",
+    "c4_line_filter",
+    "chao_distinct_estimate",
+    "chi_square_report",
+    "churn_feature_labels",
+    "codec_advisor",
+    "cohens_d_report",
+    "cohort_ltv",
+    "compaction_plan",
+    "conformal_coverage_audit",
+    "conversion_lag_report",
+    "coreset_kcenter",
+    "correlated_predicates",
+    "cramers_v_report",
+    "ctfidf_topterms",
+    "curation_funnel_report",
+    "cusum_changepoint",
+    "dau_mau_stickiness",
+    "decayed_popularity",
+    "dedup_best_survivor",
+    "dedup_threshold_sweep",
+    "distribution_drift",
+    "domain_affinity_score",
+    "embedding_centroid_drift",
+    "embedding_integrity",
+    "embedding_outliers",
+    "equidepth_histogram",
+    "fd_discovery",
+    "feature_hashing_report",
+    "frequent_triples",
+    "gini_coefficient",
+    "gini_gain_report",
+    "golden_record",
+    "gopher_quality_flags",
+    "graph_assortativity",
+    "graph_random_walk",
+    "graph_sssp",
+    "grid_dbscan_core",
+    "group_kfold",
+    "harmonic_centrality_seeds",
+    "hierarchy_rollup",
+    # --- last officially checked r11 (50 queries) ---
+    "histogram_refine_median",
+    "hits_hubs_authorities",
+    "holt_forecast",
+    "hybrid_rrf_fusion",
+    "interarrival_burstiness",
+    "invoice_reconciliation",
+    "isotonic_calibration",
+    "jaccard_prefix_join",
+    "kanon_generalization_ladder",
+    "kaplan_meier",
+    "kendall_tau_grouped",
+    "knn_label_eval",
+    "kruskal_wallis",
+    "ks_test_drift",
+    "ktruss_edges",
+    "latency_slo_report",
+    "length_bucket_batching",
+    "lift_gains_report",
+    "link_prediction_ra",
+    "loo_source_impact",
+    "mannwhitney_auc",
+    "matryoshka_recall_report",
+    "metadata_consistency",
+    "mmr_diversify",
+    "mrr_eval",
+    "mutual_knn_pairs",
+    "ndcg_eval",
+    "novelty_curve_report",
+    "odds_ratio_report",
+    "ohlc_bars",
+    "packing_efficiency_sweep",
+    "partition_advisor",
+    "phrase_search",
+    "pinball_loss_eval",
+    "postings_compression_report",
+    "qini_uplift_report",
+    "qlm_dirichlet_topk",
+    "quota_allocation",
+    "readability_report",
+    "referential_integrity",
+    "residual_outliers",
+    "rfm_segments",
+    "rich_club_coefficient",
+    "rolling_median_7d",
+    "sax_symbolic",
+    "seasonal_anomaly_report",
+    "seasonal_naive_backtest",
+    "slo_burn_rate",
+    "snapshot_asof",
     "source_overlap",
+    # --- last officially checked r12 (50 queries) ---
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anti_semi_split",
+    "date_decompose",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_lsh_pairs",
+    "dedup_minhash_sigs",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "doc_winnow",
+    "dup_detect",
+    "group_top1",
+    "groupby_count_report",
+    "keep_first_dedup",
+    "multi_metric_agg",
+    "quality_filter",
+    "sessionize_events",
+    "similarity_join",
+    "sliding_windows",
+    "spearman_corr",
+    "split_leakage_audit",
+    "stream_drift_twin",
+    "stream_sessionize_twin",
+    "stream_topk_twin",
+    "string_clean",
+    "t_closeness",
+    "target_encode_smoothed",
+    "text_quality",
+    "textrank_keywords",
+    "theil_sen_trend",
+    "theta_range_check",
+    "tokenizer_fertility",
+    "topk_churn_report",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q9",
+    "trimmed_mean_report",
+    "unigram_surprisal",
+    "upsert_merge",
+    "upsert_update",
+    "windowed_events",
+    "winsorize_report",
+    "wow_delta_report",
 )
 
 

@@ -2,7 +2,16 @@
 first ~50 queries() entries, so `_VERIFY_FIRST` IS the round's
 official verification window. These tests pin the rotation state so a
 refactor can't silently reorder the catalog before the driver runs
-(round-10 VERDICT next-round items 1-2; round-11 items 1+6).
+(round-10 VERDICT next-round items 1-2; round-11 items 1+6; r13
+rotation per round-12 item 3).
+
+From r13 on every catalog query has at least one official row, so the
+window is pure rolling re-certification: the tuple is the FULL catalog
+sorted by (last-official-check round, name) and the driver's 50-row
+window automatically picks up the stalest rows each round. Rotation is
+now a regeneration, not a hand-pick: recompute the ordering from the
+CORRECTNESS_r*.json set (tools snippet in the r13 session log), update
+R13_FIRST/R13_LAST, and let these tests confirm the invariants.
 """
 
 from __future__ import annotations
@@ -16,14 +25,13 @@ sys.path.insert(0, ROOT)
 
 import __spark_entry__ as entry  # noqa: E402
 
-# r12 window: the FINAL 22 never-officially-checked queries followed
-# by the 28 stalest official rows (last driver-checked round 5). These
-# pins are PER-ROUND state: update them (and the CORRECTNESS range
-# below) when the window rotates — failing on rotation is the point,
-# it forces the new window to be declared deliberately.
-R12_FIRST, R12_LAST = "spearman_corr", "quality_filter"
-N_NEVER = 22  # positions 0..21 must have no official row yet
-PRIOR_ROUNDS = range(1, 12)  # CORRECTNESS_r1..r11 existed at rotation
+# r13 window: the 50 stalest official rows — 17 last checked r5 + the
+# 33 alphabetically-first of the 48 last checked r6. These pins are
+# PER-ROUND state: update them when the window rotates — failing on
+# rotation is the point, it forces the new window to be declared
+# deliberately.
+R13_FIRST, R13_LAST = "asof_join", "rerank_topk"
+PRIOR_ROUNDS = range(1, 13)  # CORRECTNESS_r1..r12 existed at rotation
 
 
 def _official_last_round() -> dict[str, int]:
@@ -51,38 +59,41 @@ def test_verify_first_names_all_resolve():
 
 def test_window_leads_catalog_order():
     names = list(entry.queries())
-    assert names[0] == R12_FIRST
-    assert names[49] == R12_LAST
+    assert names[0] == R13_FIRST
+    assert names[49] == R13_LAST
     assert names[:50] == list(entry._VERIFY_FIRST[:50])
 
 
-def test_window_head_is_never_officially_checked():
-    # The first 22 window slots finish the never-checked backlog; none
-    # may already hold an official green row (that would waste budget).
-    seen = set(_official_last_round())
-    dup = [n for n in entry._VERIFY_FIRST[:N_NEVER] if n in seen]
-    assert not dup, f"window wastes budget on already-official rows: {dup}"
-
-
-def test_window_tail_refreshes_stalest_rows():
-    # Slots 22..49 are deliberate re-certification: each must be an
-    # already-official row from the stalest round present (r5).
+def test_full_coverage_no_never_checked_rows():
+    # The never-checked backlog was cleared in r12: every catalog query
+    # must hold an official row. If this fails, a NEW query was added —
+    # put it at the FRONT of the window (staleness 0 sorts first).
     last = _official_last_round()
-    refresh = entry._VERIFY_FIRST[N_NEVER:50]
-    not_official = [n for n in refresh if n not in last]
-    assert not not_official, f"refresh slots never checked: {not_official}"
-    oldest = min(last.values())
-    wrong = [n for n in refresh if last[n] != oldest]
-    assert not wrong, f"refresh slots not from stalest round r{oldest}: {wrong}"
+    never = [n for n in entry.queries() if n not in last]
+    assert not never, (
+        f"queries without any official row — lead the window with "
+        f"them: {never}")
 
 
-def test_tail_ordered_stalest_first():
-    # Beyond the window the tuple stays sorted by last-official-check
-    # round so each future rotation's 50-row window doubles as a
-    # rolling re-certification (r11 VERDICT item 6).
+def test_window_is_the_50_stalest_rows():
+    # The window must be exactly the 50 stalest official rows under
+    # (last-round, name) order — that's what makes each driver round a
+    # rolling re-certification with zero wasted budget.
     last = _official_last_round()
-    rounds = [last[n] for n in entry._VERIFY_FIRST[50:] if n in last]
-    assert rounds == sorted(rounds), "tail not stalest-first"
+    expect = sorted(entry.queries(), key=lambda q: (last.get(q, 0), q))[:50]
+    got = list(entry._VERIFY_FIRST[:50])
+    assert got == expect, (
+        f"window != 50 stalest: unexpected={set(got) - set(expect)} "
+        f"missing={set(expect) - set(got)}")
+
+
+def test_whole_tuple_ordered_stalest_first():
+    # The ENTIRE tuple stays sorted by last-official-check round so
+    # every future rotation's 50-row window doubles as a rolling
+    # re-certification (r11 VERDICT item 6; full-catalog from r13).
+    last = _official_last_round()
+    rounds = [last[n] for n in entry._VERIFY_FIRST if n in last]
+    assert rounds == sorted(rounds), "tuple not stalest-first"
 
 
 def test_every_window_query_has_oracle():
