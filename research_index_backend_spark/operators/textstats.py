@@ -40,14 +40,26 @@ def word_tokens(text: Column | str) -> Column:
 # RE2 both support this dialect, so the count is oracle-checkable.
 BPE_PRETOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
 
+# translate() alphabets for regex-free char-class counts: Java regex \s is
+# exactly these six ASCII chars, so the translate forms are value-identical
+# to the \s-based regexp_counts they replace (see quality_score).
+_WS6 = " \t\n\x0b\x0c\r"
+_ALNUM = ("abcdefghijklmnopqrstuvwxyz"
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
 
 def bpe_token_count(text: Column | str) -> Column:
     """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
     pattern — the standard cheap proxy for LLM token budgets (a real
     tokenizer refines each pre-token into subwords, so this is a lower
-    bound that tracks closely for English)."""
+    bound that tracks closely for English).
+
+    regexp_count, not size(regexp_extract_all): same non-overlapping
+    match traversal (value-identical, 0 diffs at the 100x probe) but
+    counting allocates no per-match strings/array (r13; ~6% on the
+    full token_stats plan, pure win on allocation pressure)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0))
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_PATTERN))
 
 
 def stopword_ratio(text: Column | str,
@@ -74,17 +86,23 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Plan: one staged select so the word-token array materializes ONCE
     (the inlined form re-ran the interpreted split+filter per consumer:
-    9.4s -> 5.9s at 10x sf0.1), and the pure counting signals use
-    regexp_count instead of length(regexp_replace) — counting matches
-    allocates no replaced string. Values are bit-identical to the naive
-    formulation (A/B: zero mismatches at e6 grain).
+    9.4s -> 5.9s at 10x sf0.1), and the single-char-class counts ride
+    translate() — a plain char-map pass, no regex engine at all.
+    Java's \\s is exactly the six ASCII chars [ \\t\\n\\x0B\\f\\r], so
+    len(translate(c, those6, '')) == len - regexp_count(\\s), and
+    removing [alnum + those6] leaves exactly the [^a-zA-Z0-9\\s] class
+    (unicode letters count as punct under BOTH forms — Java character
+    classes are ASCII here). Value-identical by construction and by
+    measurement (0 diffs on the 100x corpus); interleaved A/B 42.5s ->
+    23.1s (1.84x) for the signal scan at the 100x probe (r13). The \\S+
+    token count keeps regexp_count (runs, not a char class).
     """
     c = F.col(text_col)
     signals = df.select(
         F.col(id_col),
         F.regexp_count(c, F.lit(r"\S+")).alias("__n_tok"),
-        (F.length(c) - F.regexp_count(c, F.lit(r"\s"))).alias("__len_nonws"),
-        F.regexp_count(c, F.lit(r"[^a-zA-Z0-9\s]")).alias("__n_punct"),
+        F.length(F.translate(c, _WS6, "")).alias("__len_nonws"),
+        F.length(F.translate(c, _ALNUM + _WS6, "")).alias("__n_punct"),
         F.length(c).alias("__len_all"),
         word_tokens(c).alias("__wt"),
     ).select(
