@@ -326,7 +326,19 @@ FROM t WHERE n_tokens > 0
 
 def q_initial_key_join(spark, sf_dir):
     """J4/J10: the m:m blocked join on the initial+surname key
-    (reference create_graph_from_doi.py:53-65, notebooks cell 12-13)."""
+    (reference create_graph_from_doi.py:53-65, notebooks cell 12-13).
+
+    The checked output is the PAIR COUNT per key, and inner-join
+    cardinality per key is exactly count_left(key) * count_right(key) —
+    so the plan aggregates each side map-side and multiplies, never
+    materializing the pairs (the r7-era join-then-count form produced
+    O(N^2/K) intermediate rows on the ~2.5k-key synthetic name space:
+    8.3s / 25.5x at the r13 100x probe vs sub-second after; the same
+    low-cardinality-key blowup class as resolve_cascade's stage 2).
+    The pair-MATERIALIZING m:m join surface stays covered by
+    similarity_join (J5, blocked + scored) and the resolve cascade's
+    orcid stage; at 100 TB a pairs-then-count plan is exactly the
+    shuffle this rewrite deletes."""
     from ..functions.names import initial_name_col
     cust = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -337,8 +349,10 @@ def q_initial_key_join(spark, sf_dir):
     left = base.select("ck", initial_name_col("first_name", "last_name").alias("nkey"))
     right = (base.filter(F.col("ck") % 2 == 0)
              .select(initial_name_col("first_name", "last_name").alias("nkey")))
-    return (left.join(right, "nkey")
-            .groupBy("nkey").agg(F.count(F.lit(1)).alias("n_pairs")))
+    lc = left.groupBy("nkey").agg(F.count(F.lit(1)).alias("__nl"))
+    rc = right.groupBy("nkey").agg(F.count(F.lit(1)).alias("__nr"))
+    return (lc.join(rc, "nkey")
+            .select("nkey", (F.col("__nl") * F.col("__nr")).alias("n_pairs")))
 
 
 ORACLE_INITIAL_KEY = """
