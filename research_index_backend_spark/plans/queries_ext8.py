@@ -2188,8 +2188,17 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import LSH_BUCKET_CAP
     d = _t(spark, sf_dir, "documents")
     sub = d.filter(F.col("doc_id") < _DR_EVAL)
+    # truth is consumed twice (the n_truth count and the TP semi-join)
+    # and its pipeline ends in a post-join FILTER with no trailing
+    # exchange, so nothing is reused between the two consumers — the
+    # bounded-subset quadratic join ran twice. Checkpointing the tiny
+    # pair list (hundreds of rows) kills the recompute (r13 interleaved
+    # A/B: 0.92x sf0.1 / 0.87x at 100x). The candidate side needs NO
+    # checkpoint: its duplicated consumers resume from the banding
+    # groupBy's exchange (ReusedExchange — measured: checkpointing cand
+    # instead was 1.02-1.08x, i.e. pure barrier cost).
     truth = (jaccard_pairs(sub, "text", "doc_id", threshold=_DR_THR)
-             .select("id_a", "id_b"))
+             .select("id_a", "id_b").localCheckpoint())
     cand = (minhash_lsh_pairs(d, "text", "doc_id", k=4, bands=2,
                               max_bucket_size=LSH_BUCKET_CAP)
             .filter((F.col("id_a") < _DR_EVAL)

@@ -194,9 +194,6 @@ BNLJ_ALLOWED = {
     # 1-row basket-count aggregate crossed onto the support table
     # (the support/lift denominator; cascade_delete_audit shape)
     "association_rules",
-    # per-FK-edge 1-row coverage/parent-count aggregates crossed into
-    # the 7-row audit report (the cascade_delete_audit shape, x7)
-    "referential_integrity",
     # 1-row (min, max) time-bounds aggregate broadcast onto the binning
     # scan (the histogram_quantile shape)
     "distribution_drift",
@@ -427,17 +424,18 @@ FACT_SCAN_ALLOWED = {
     # (a) 4 ladder rungs + the truth arm, each a by-design brute-force
     # pass over the corpus (the ann_recall_report eval contract)
     "matryoshka_recall_report": {"embeddings": 8},
-    # (a) per-FK-edge single-column pruned key scans (3 lineitem edges
-    # x child/count sides) — each scan reads ONE column
-    "referential_integrity": {"lineitem": 6},
     # (a) resolve cascade levels each probe the customer key dim with a
     # pruned lookup scan
     "resolve_cascade": {"customer": 5},
     # (a) per-case 1-row statistics aggregates feeding the 3-row report
     "join_cardinality_est": {"lineitem": 5},
-    # (b) candidate LSH arm + bounded truth arm + count consumers;
-    # AQE reuses the identical exchanges (checkpoint measured slower)
-    "dedup_recall_report": {"documents": 8},
+    # (r13: referential_integrity and dedup_recall_report entries
+    # removed — the single-pass FK audit is under the cap, and the
+    # truth-checkpointed recall report no longer rescans documents.
+    # dedup_recall's CAND side stays un-checkpointed: its consumers
+    # reuse the banding exchange, and checkpointing it measured
+    # SLOWER, 1.02-1.08x — only the truth arm, which ends in a
+    # post-join filter with no exchange, was really recomputing.)
     # (b) bounded 500-doc collection; token/ordered consumers share
     # exchanges via AQE reuse (checkpoint measured slower)
     "jaccard_prefix_join": {"documents": 8},

@@ -30,6 +30,17 @@ class TestPlanShapes:
             cols = [c.split(":")[0] for c in rs.split(",") if c]
             assert len(cols) <= 1, f"unpruned FK-audit scan: {rs}"
 
+    def test_referential_integrity_one_scan_per_side(self, spark):
+        """r13 single-pass shape: each FK edge costs exactly ONE child
+        scan + ONE parent scan (the full-outer key join reads all six
+        counts from one aggregate). The r8 form paid 2+2 per edge —
+        separate row-count and key-coverage aggregates share no
+        exchange, so the doubles were real scans (A/B: 0.83x at 10x)."""
+        p = plan_of(Q11.q_referential_integrity(spark, SF))
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+        assert n_scans == 2 * len(Q11._FK_EDGES), (
+            f"FK audit should scan 2 files per edge, saw {n_scans}")
+
     def test_referential_integrity_no_cartesian(self, spark):
         """Only the 1-row coverage/parent aggregates may nested-loop
         (BNLJ-allowlisted); a CartesianProduct anywhere is a bug."""
