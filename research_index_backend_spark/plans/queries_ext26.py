@@ -387,6 +387,14 @@ def q_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product; everything after is one combinable groupBy on the
     <= 7-row bucket key. Degenerate buckets (all pairs tied in a
     variable) emit NULL tau — both engines agree.
+
+    The bucket key n_items is recovered ALGEBRAICALLY from the pair
+    count — n0 = n(n-1)/2 inverts to n = (1 + sqrt(1 + 8*n0)) / 2,
+    exact in IEEE because 1+8*n0 <= 169 is a perfect square — instead
+    of joining a separate per-order size aggregate (a third pass over
+    the windowed frame plus a join; 1-item orders produce no pairs and
+    were inner-joined away in that form too, so the result set is
+    identical). r13 interleaved A/B: 0.93x sf0.1, 0.76x at 100x.
     """
     raw = (_t(spark, sf_dir, "lineitem")
            .select("l_orderkey", "l_linenumber",
@@ -397,8 +405,6 @@ def q_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
          .orderBy("l_linenumber", "x", "y"))
     l = raw.select("l_orderkey", "x", "y",
                    F.row_number().over(w).alias("rn"))
-    sz = l.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_items"))
     a = l.alias("a")
     b = l.alias("b")
     pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -416,7 +422,9 @@ def q_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n0"),
         F.sum("c").alias("c"), F.sum("d").alias("d"),
         F.sum("tx").alias("tx"), F.sum("ty").alias("ty"))
-    g = (per_order.join(sz, "l_orderkey")
+    n_items = ((F.lit(1) + F.sqrt((F.lit(1) + 8 * F.col("n0"))
+                                  .cast("double"))) / 2).cast("bigint")
+    g = (per_order.withColumn("n_items", n_items)
          .groupBy("n_items").agg(
              F.count(F.lit(1)).alias("n_orders"),
              F.sum("n0").alias("n0"),
