@@ -153,9 +153,9 @@ BNLJ_ALLOWED = {
     "zorder_layout",
     # per-case 1-row statistics aggregates crossed into the 3-row report
     "join_cardinality_est",
-    # 16-row codebook broadcast product for PQ encoding/ADC tables (the
-    # kmeans/IVF centroid-assignment shape)
-    "ann_pq_topk",
+    # (r14: ann_pq_topk removed — the inline-codebook rewrite carries
+    # no nested-loop join at all; codebook/ADC literals replace the
+    # 16-row broadcast product)
     # 1-row corpus-stats (N, avgdl) cross join in BOTH BM25 rounds — the
     # same shape as bm25_topk above
     "prf_expansion",

@@ -79,10 +79,13 @@ class TestSemantics:
 
 class TestPQ:
     def test_pq_plan_no_corpus_query_product(self, spark):
-        """ADC must be a hash join on (subspace, code); the only
-        nested-loop allowed is the 16-row codebook broadcast."""
+        """The r14 inline-codebook form is join-free: encoding and ADC
+        are literal projections, so the plan must carry no join of any
+        kind (the r13 form needed a 16-row codebook broadcast product
+        and an ADC hash join)."""
         p = plan_of(Q8.q_ann_pq_topk(spark, SF))
         assert "CartesianProduct" not in p
+        assert "Join" not in p
 
     def test_pq_topk_shape_and_selfexclusion(self, spark):
         rows = Q8.q_ann_pq_topk(spark, SF).collect()
