@@ -41,8 +41,23 @@ def contains_tag(big: DataFrame, dim: DataFrame, text_col: str, term_col: str,
         # measured 106x at a 100x/50x-dim probe vs linear after hoisting.
         # Catalyst keeps the Project below the join (CollapseProject never
         # inlines into join conditions), so each side lowers exactly once.
-        big = big.withColumn("__contains_text_lc", F.lower(F.col(text_col)))
-        dim = dim.withColumn("__contains_term_lc", F.lower(F.col(term_col)))
+        #
+        # The explicit isNotNull filter + lower(coalesce(col, '')) pair
+        # (r14) kills the residual double-lower the r13 form carried: the
+        # join's inferred not-null constraint used to push down as
+        # isnotnull(lower(text)) — a second linear lower of every document
+        # under the filter. coalesce with a literal makes the projected
+        # column non-nullable, so the inferred IsNotNull constant-folds
+        # away, and the explicit filter pushes to the parquet scan as
+        # IsNotNull(text). Value-identical: inner-join contains() never
+        # matches a NULL side, and with the filter in place the coalesce
+        # arm is dead — it exists only to carry the non-nullable type.
+        big = (big.filter(F.col(text_col).isNotNull())
+               .withColumn("__contains_text_lc",
+                           F.lower(F.coalesce(F.col(text_col), F.lit("")))))
+        dim = (dim.filter(F.col(term_col).isNotNull())
+               .withColumn("__contains_term_lc",
+                           F.lower(F.coalesce(F.col(term_col), F.lit("")))))
         pred = F.contains(F.col("__contains_text_lc"),
                           F.col("__contains_term_lc"))
     else:
