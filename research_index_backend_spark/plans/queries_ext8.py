@@ -665,16 +665,29 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lever, completing the IR family (inverted index, bm25, rerank,
     recall-eval).
 
-    The engineering point vs bm25_topk: the term set is now DATA-
-    DRIVEN, so the posting prune is a broadcast semi-join against a
-    term DataFrame instead of an isin literal — the shape a real query
-    pipeline has (queries arrive as rows, not code). The corpus is
-    tokenized ONCE (localCheckpoint) and shared by both rounds, the
-    stats/df sides stay 1-row/n-term broadcasts, per-doc scores fold
-    in sorted-term order (engine-independent double sum, the bm25
-    discipline), and every top-k is TakeOrdered. Expansion-term choice
-    is integer-deterministic: (feedback-df desc, term asc), stopword
-    gate df_global * 10 <= n_docs, length >= 3.
+    The corpus is tokenized ONCE (localCheckpoint) and shared by both
+    rounds; per-doc scores fold in sorted-term order (engine-
+    independent double sum, the bm25 discipline); every top-k is
+    TakeOrdered. Expansion-term choice is integer-deterministic:
+    (feedback-df desc, term asc), stopword gate
+    df_global * 10 <= n_docs, length >= 3.
+
+    Scale shape (r14 rewrite): the pipeline's cross-stage frames are
+    all bounded by contract — stats is 1 row, feedback is top-10 doc
+    ids, the expansion set is 5 terms — so they are collected at build
+    time and inlined as literals (the ann_pq_topk codebook / upsert
+    touched-bucket precedent; every value still computed from the
+    parquet inputs inside the timed build). The r13 form embedded the
+    ENTIRE round-1 pipeline inside round 2's broadcast subtrees (fb ->
+    fdf -> exp -> expanded appears under tf, and again under df_t's
+    broadcast): a 44-exchange plan whose duplicated subtrees only
+    sometimes canonicalized to ReusedExchange. Inlined, each stage is
+    one small job over the shared token checkpoint and the three
+    crossJoin(broadcast(stats)) sites disappear. Posting prune is an
+    isin literal filter (identical rows to the broadcast semi-join:
+    term sets are distinct by construction). Measured interleaved:
+    0.70x at sf0.1 (5.3 -> 3.7s), 0.58x at the 10x corpus, noisy-but-
+    favorable at 100x; parity exact at all probed SFs.
     """
     from .queries_ext3 import _BM25_B, _BM25_K1, _BM25_TERMS
     d = _t(spark, sf_dir, "documents")
@@ -683,30 +696,30 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("toks").alias("dl"),
                     F.explode("toks").alias("term")) \
             .localCheckpoint()
-    stats = docs.groupBy("doc_id").agg(F.first("dl").alias("dl")) \
-                .agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))
+    srow = (docs.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("dl").alias("avgdl")).collect()[0])
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
 
-    def bm25(terms: DataFrame) -> DataFrame:
-        tf = (docs.join(F.broadcast(terms), "term")
+    def bm25(term_list: list) -> DataFrame:
+        tf = (docs.filter(F.col("term").isin(*term_list))
               .groupBy("doc_id", "term")
               .agg(F.count(F.lit(1)).alias("tf"),
                    F.first("dl").alias("dl")))
         df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         contrib = (
             tf.join(F.broadcast(df_t), "term")
-            .crossJoin(F.broadcast(stats))
             .withColumn(
                 "idf",
                 F.log(F.lit(1.0)
-                      + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                      + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
                       / (F.col("df") + F.lit(0.5))))
             .withColumn(
                 "c",
                 F.col("idf") * (F.col("tf") * (1 + _BM25_K1))
                 / (F.col("tf") + _BM25_K1 * (1 - _BM25_B
                                              + _BM25_B * F.col("dl")
-                                             / F.col("avgdl")))))
+                                             / F.lit(avgdl)))))
         return (contrib.groupBy("doc_id")
                 .agg(F.sort_array(F.collect_list(F.struct("term", "c")))
                      .alias("cs"))
@@ -716,26 +729,27 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda acc, s: acc + s["c"]) * 1e6)
                         .cast("bigint").alias("score_e6")))
 
-    seed = spark.createDataFrame([(t,) for t in _BM25_TERMS],
-                                 "term string")
-    fb = (bm25(seed).orderBy(F.col("score_e6").desc(), "doc_id")
-          .limit(_PRF_FB_DOCS).select("doc_id"))
-    fdf = (docs.join(F.broadcast(fb), "doc_id")
+    fb_ids = [int(r["doc_id"]) for r in
+              bm25(list(_BM25_TERMS))
+              .orderBy(F.col("score_e6").desc(), "doc_id")
+              .limit(_PRF_FB_DOCS).collect()]
+    fdf = (docs.filter(F.col("doc_id").isin(*fb_ids) if fb_ids
+                       else F.lit(False))
            .select("doc_id", "term").distinct()
            .groupBy("term").agg(F.count(F.lit(1)).alias("fdf")))
-    # global df ONLY for the feedback-candidate terms (a few hundred
-    # rows broadcast) — a full-vocabulary df agg would scan every
-    # (doc, term) pair for a gate that touches ~|feedback| terms
+    # global df ONLY for the feedback-candidate terms — a full-
+    # vocabulary df agg would scan every (doc, term) pair for a gate
+    # that touches ~|feedback| terms
     gdf = (docs.join(F.broadcast(fdf.select("term")), "term", "left_semi")
            .select("doc_id", "term").distinct()
            .groupBy("term").agg(F.count(F.lit(1)).alias("gdf")))
-    exp = (fdf.join(gdf, "term").crossJoin(F.broadcast(stats))
-           .filter(~F.col("term").isin(*_BM25_TERMS))
-           .filter(F.length("term") >= _PRF_MIN_LEN)
-           .filter(F.col("gdf") * _PRF_DF_FRAC <= F.col("n_docs"))
-           .orderBy(F.col("fdf").desc(), "term").limit(_PRF_EXP_TERMS)
-           .select("term"))
-    expanded = seed.unionByName(exp)
+    exp_rows = (fdf.join(gdf, "term")
+                .filter(~F.col("term").isin(*_BM25_TERMS))
+                .filter(F.length("term") >= _PRF_MIN_LEN)
+                .filter(F.col("gdf") * _PRF_DF_FRAC <= F.lit(n_docs))
+                .orderBy(F.col("fdf").desc(), "term")
+                .limit(_PRF_EXP_TERMS).select("term").collect())
+    expanded = list(_BM25_TERMS) + [r["term"] for r in exp_rows]
     return (bm25(expanded).orderBy(F.col("score_e6").desc(), "doc_id")
             .limit(_PRF_FB_DOCS))
 

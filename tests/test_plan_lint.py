@@ -156,9 +156,9 @@ BNLJ_ALLOWED = {
     # (r14: ann_pq_topk removed — the inline-codebook rewrite carries
     # no nested-loop join at all; codebook/ADC literals replace the
     # 16-row broadcast product)
-    # 1-row corpus-stats (N, avgdl) cross join in BOTH BM25 rounds — the
-    # same shape as bm25_topk above
-    "prf_expansion",
+    # (r14: prf_expansion removed — the bounded stats/feedback/expansion
+    # frames are collected at build and inlined, so no stats cross join
+    # remains in the returned round-2 plan)
     # 1-row (total revenue, part count) aggregate cross-joined as the
     # scalar-subquery HAVING threshold (Q11's textbook shape)
     "tpch_q11",

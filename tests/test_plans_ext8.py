@@ -120,11 +120,15 @@ class TestMarqueeShapes:
         assert "TakeOrdered" in p
 
     def test_prf_round2_terms_flow_as_broadcast(self, spark):
-        """Both BM25 rounds must prune postings with broadcast hash
-        joins on the term frames — never a full-corpus score."""
+        """The returned round-2 plan prunes postings with the inlined
+        expanded-term isin filter and joins per-term df back as a
+        broadcast hash join — never a full-corpus score, never a
+        cross product (r14: stats/fb/exp are build-time literals, so
+        the plan no longer embeds round 1)."""
         p = plan_of(Q8.q_prf_expansion(spark, SF))
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
 
 
 class TestTpchWave2:
