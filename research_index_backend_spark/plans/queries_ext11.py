@@ -86,7 +86,8 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col(fk).alias("fk"))
              .agg(F.count(F.lit(1)).alias("cnt")))
         p = (_t(spark, sf_dir, parent)
-             .select(F.col(pk).alias("pk")).distinct()
+             .select(F.col(pk).alias("pk"))
+             .filter(F.col("pk").isNotNull()).distinct()
              .withColumn("__p", F.lit(1)))
         j = g.join(p, F.col("fk") == F.col("pk"), "full_outer")
         rep = j.agg(
@@ -99,8 +100,10 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("fk").alias("n_fk_distinct"),
             F.sum((F.col("fk").isNotNull() & F.col("__p").isNull())
                   .cast("bigint")).alias("n_orphan_keys"),
-            # count("__p") == count(*) over the distinct parent side,
-            # matching the r8 form (counts a NULL pk row if one exists)
+            # count("__p") over the NULL-filtered distinct parent side
+            # == count(DISTINCT pk), matching the oracle's semantics by
+            # construction (r13 ADVICE: the unfiltered form counted a
+            # NULL pk row the oracle excludes — latent divergence)
             F.count("__p").alias("n_parents"))
         rows.append(rep.select(
             F.lit(child).alias("child_table"), F.lit(fk).alias("fk_col"),

@@ -390,11 +390,15 @@ def q_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucket key n_items is recovered ALGEBRAICALLY from the pair
     count — n0 = n(n-1)/2 inverts to n = (1 + sqrt(1 + 8*n0)) / 2,
-    exact in IEEE because 1+8*n0 <= 169 is a perfect square — instead
-    of joining a separate per-order size aggregate (a third pass over
-    the windowed frame plus a join; 1-item orders produce no pairs and
-    were inner-joined away in that form too, so the result set is
-    identical). r13 interleaved A/B: 0.93x sf0.1, 0.76x at 100x.
+    exact in IEEE because 1 + 8*n(n-1)/2 = (2n-1)^2 is ALWAYS a
+    perfect square (the small magnitudes here keep every step well
+    inside double precision) — instead of joining a separate per-order
+    size aggregate (a third pass over the windowed frame plus a join;
+    1-item orders produce no pairs and were inner-joined away in that
+    form too, so the result set is identical). The inversion is only
+    valid because `pairs` below enumerates EXACTLY all rn-ordered
+    pairs of each order with no filter — see the invariant note there.
+    r13 interleaved A/B: 0.93x sf0.1, 0.76x at 100x.
     """
     raw = (_t(spark, sf_dir, "lineitem")
            .select("l_orderkey", "l_linenumber",
@@ -407,6 +411,10 @@ def q_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.row_number().over(w).alias("rn"))
     a = l.alias("a")
     b = l.alias("b")
+    # INVARIANT: this join must emit exactly ALL rn-ordered pairs of
+    # each order — n0 == n(n-1)/2 per order is what makes the algebraic
+    # n_items recovery above exact. Any future filter on the pair set
+    # (or dedup upstream of it) would silently corrupt the bucket key.
     pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                     & (F.col("a.rn") < F.col("b.rn")))
              .select(F.col("a.l_orderkey").alias("l_orderkey"),

@@ -42,10 +42,12 @@ class TestPlanShapes:
             f"FK audit should scan 2 files per edge, saw {n_scans}")
 
     def test_referential_integrity_no_cartesian(self, spark):
-        """Only the 1-row coverage/parent aggregates may nested-loop
-        (BNLJ-allowlisted); a CartesianProduct anywhere is a bug."""
+        """The r13 single-pass FK audit reads all six counts from one
+        full-outer join per edge — the plan should contain no
+        nested-loop join of any kind."""
         p = plan_of(Q11.q_referential_integrity(spark, SF))
         assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
 
     def test_readability_single_scan_no_corpus_shuffle(self, spark):
         """Pure column expressions + one lang groupBy: exactly one

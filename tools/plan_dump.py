@@ -22,11 +22,20 @@ def main() -> int:
     os.environ.setdefault("RIB_TEST_SPLIT_MB", "16")
 
     from __spark_entry__ import queries  # noqa: E402
+
+    qs = queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown query names: {unknown}", file=sys.stderr)
+        print(f"catalog has {len(qs)} queries; nearest matches: "
+              f"{sorted(n for n in qs if any(u in n for u in unknown))[:10]}",
+              file=sys.stderr)
+        return 2
+
     from research_index_backend_spark.session import get_spark  # noqa: E402
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
-    qs = queries()
     os.makedirs(out_dir, exist_ok=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
