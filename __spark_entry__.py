@@ -204,63 +204,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical tools/check.py oracle harness locally in both the r10 and
 # r11 close sweeps) + the 28 stalest official rows (last driver-checked
 # in round 5) -> official coverage reaches 315/315 and the window
-# becomes a rolling re-certification. The tail is ordered
-# stalest-first (by last official CORRECTNESS round, catalog order
-# within a round) so every future 50-row window automatically
-# refreshes the oldest records.
+# becomes a rolling re-certification. Ordering rule (r13 VERDICT item
+# 1): any plan whose physical form changed in a round jumps to the
+# HEAD of the next window so its new form gets a driver-hash row
+# immediately; behind that, the tail stays stalest-first (by last
+# official CORRECTNESS round, catalog order within a round) so every
+# future 50-row window automatically refreshes the oldest records.
 _VERIFY_FIRST = (
-    # --- last officially checked r5 (17 queries; r13 window starts here) ---
-    "asof_join",
-    "graph_components",
-    "graph_degree",
-    "graph_pagerank",
-    "graph_two_hop",
-    "guard_empty",
-    "ingest_scorecard",
-    "initial_key_join",
-    "json_extract",
-    "max_over_keys",
-    "mint_ids",
-    "null_branch_dispatch",
-    "orcid_coalesce",
-    "resolve_cascade",
-    "skew_salted_join",
-    "slug_latlng",
+    # --- plans touched in r13/r14 jump the queue (r13 VERDICT item 1):
+    # driver-hash freshly changed forms first ---
+    "referential_integrity",
+    "merkle_diff",
+    "dedup_recall_report",
+    "kendall_tau_grouped",
+    "quality_filter",
     "token_stats",
-    # --- last officially checked r6 (48 queries) ---
-    "ann_hyperplane_topk",
-    "argmax_latest",
-    "bigram_topk",
-    "binary_meta",
-    "bm25_topk",
-    "date_functions",
-    "decontaminate_overlap",
-    "dedup_embedding_multi",
-    "dedup_survivors",
-    "derived_key_join",
-    "doc_chunk",
-    "event_funnel",
-    "existence_probe",
+    "graph_random_walk",
+    "ann_pq_topk",
+    "ann_pq_trained",
+    "prf_expansion",
     "flagship_contains_tag",
-    "frame_functions",
-    "full_outer_merge",
-    "graph_components_star",
-    "graph_pagerank_dangling",
-    "graph_triangles",
-    "intersect_except",
-    "limit_head",
-    "listagg_report",
-    "lm_quality_score",
-    "media_features",
-    "minhash_estimate",
-    "ntile_bucket",
-    "percentile_report",
-    "pivot_report",
-    "range_banded_join",
-    "range_frame_window",
-    "rank_suite",
-    "regex_filter",
-    "rerank_topk",
+    # --- last officially checked r6 (15 queries; stalest) ---
     "retention_cohort",
     "rollup_report",
     "running_total",
@@ -276,8 +240,7 @@ _VERIFY_FIRST = (
     "unpivot_report",
     "weighted_sample",
     "window_lag_delta",
-    # --- last officially checked r7 (50 queries) ---
-    "ann_pq_topk",
+    # --- last officially checked r7 (47 queries) ---
     "bitmap_index_join",
     "bloom_probe",
     "bool_agg_report",
@@ -305,13 +268,11 @@ _VERIFY_FIRST = (
     "lang_id_trigram",
     "markov_transitions",
     "median_mode_report",
-    "merkle_diff",
     "ohlc_downsample",
     "oov_rate",
     "pit_join",
     "pmi_cooccur",
     "prefix_dedup",
-    "prf_expansion",
     "record_linkage",
     "sorted_neighborhood",
     "span_dedup",
@@ -327,8 +288,7 @@ _VERIFY_FIRST = (
     "zone_map_prune",
     "zorder_layout",
     "zscore_outliers",
-    # --- last officially checked r9 (50 queries) ---
-    "ann_pq_trained",
+    # --- last officially checked r9 (48 queries) ---
     "ann_recall_report",
     "anomaly_mad",
     "asof_tolerance",
@@ -338,7 +298,6 @@ _VERIFY_FIRST = (
     "cascade_delete_audit",
     "cdc_apply",
     "crossref_enrich",
-    "dedup_recall_report",
     "embed_quantize_report",
     "ewma_report",
     "exact_percentile_rank",
@@ -378,7 +337,7 @@ _VERIFY_FIRST = (
     "tpch_q7",
     "tpch_q8",
     "vocab_drift",
-    # --- last officially checked r10 (50 queries) ---
+    # --- last officially checked r10 (49 queries) ---
     "ab_test_welch",
     "acf_report",
     "anova_f_report",
@@ -423,13 +382,12 @@ _VERIFY_FIRST = (
     "golden_record",
     "gopher_quality_flags",
     "graph_assortativity",
-    "graph_random_walk",
     "graph_sssp",
     "grid_dbscan_core",
     "group_kfold",
     "harmonic_centrality_seeds",
     "hierarchy_rollup",
-    # --- last officially checked r11 (50 queries) ---
+    # --- last officially checked r11 (48 queries) ---
     "histogram_refine_median",
     "hits_hubs_authorities",
     "holt_forecast",
@@ -440,7 +398,6 @@ _VERIFY_FIRST = (
     "jaccard_prefix_join",
     "kanon_generalization_ladder",
     "kaplan_meier",
-    "kendall_tau_grouped",
     "knn_label_eval",
     "kruskal_wallis",
     "ks_test_drift",
@@ -469,7 +426,6 @@ _VERIFY_FIRST = (
     "qlm_dirichlet_topk",
     "quota_allocation",
     "readability_report",
-    "referential_integrity",
     "residual_outliers",
     "rfm_segments",
     "rich_club_coefficient",
@@ -480,7 +436,7 @@ _VERIFY_FIRST = (
     "slo_burn_rate",
     "snapshot_asof",
     "source_overlap",
-    # --- last officially checked r12 (50 queries) ---
+    # --- last officially checked r12 (49 queries) ---
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -499,7 +455,6 @@ _VERIFY_FIRST = (
     "groupby_count_report",
     "keep_first_dedup",
     "multi_metric_agg",
-    "quality_filter",
     "sessionize_events",
     "similarity_join",
     "sliding_windows",
@@ -531,6 +486,55 @@ _VERIFY_FIRST = (
     "windowed_events",
     "winsorize_report",
     "wow_delta_report",
+    # --- re-certified in the r13 driver window (48 queries; freshest) ---
+    "asof_join",
+    "graph_components",
+    "graph_degree",
+    "graph_pagerank",
+    "graph_two_hop",
+    "guard_empty",
+    "ingest_scorecard",
+    "initial_key_join",
+    "json_extract",
+    "max_over_keys",
+    "mint_ids",
+    "null_branch_dispatch",
+    "orcid_coalesce",
+    "resolve_cascade",
+    "skew_salted_join",
+    "slug_latlng",
+    "ann_hyperplane_topk",
+    "argmax_latest",
+    "bigram_topk",
+    "binary_meta",
+    "bm25_topk",
+    "date_functions",
+    "decontaminate_overlap",
+    "dedup_embedding_multi",
+    "dedup_survivors",
+    "derived_key_join",
+    "doc_chunk",
+    "event_funnel",
+    "existence_probe",
+    "frame_functions",
+    "full_outer_merge",
+    "graph_components_star",
+    "graph_pagerank_dangling",
+    "graph_triangles",
+    "intersect_except",
+    "limit_head",
+    "listagg_report",
+    "lm_quality_score",
+    "media_features",
+    "minhash_estimate",
+    "ntile_bucket",
+    "percentile_report",
+    "pivot_report",
+    "range_banded_join",
+    "range_frame_window",
+    "rank_suite",
+    "regex_filter",
+    "rerank_topk",
 )
 
 

@@ -22,7 +22,7 @@ two deterministic rank tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import _t
@@ -50,34 +50,62 @@ def q_matryoshka_recall_report(spark: SparkSession,
     prefixes; untrained ones collapse, and THIS report is how you find
     out). recall_e4 = (1e4 * hits) div k per (dim, query).
 
-    Scale shape: each ladder rung is the existing brute_force_topk
-    (query-batch x corpus broadcast product BY DESIGN — the eval runs
-    on a sampled query batch, the ann_recall_report rule); the
-    slice() truncation is a zero-copy column projection; hits come
-    from a {_MR_K}-row-per-query join. At production scale the rungs
-    share one corpus scan per d — 4 scans total, each cheaper than the
-    last.
+    Scale shape (r14 single-product rewrite): ONE corpus scan and ONE
+    query-batch x corpus broadcast product computes all {_MR_DIMS}
+    prefix cosines per pair (the product is BY DESIGN — the eval runs
+    on a sampled query batch, the ann_recall_report rule; the per-rung
+    slice + HOF-fold expressions are byte-identical to the old
+    per-rung brute_force_topk scoring, so sims are bit-identical),
+    stack() pivots to (dim, sim) rows, and one salted two-stage top-k
+    partitioned by (dim, query_id) ranks every rung in one pass.
+    TRUTH IS THE d=64 RUNG: slice(e,1,64) == e on 64-dim vectors and
+    the ordering criteria are identical, so the full-dimension rung's
+    top-{_MR_K} equals the old separate truth pass row-for-row. The
+    old shape paid 5 corpus scans, 5 products and 5 top-ks for the
+    same answer (plans/r14/matryoshka_recall_report_*.txt: Scan 10->2,
+    BroadcastNestedLoopJoin 5->1; A/B ratio 0.45 sf0.1 / 0.78 100x,
+    parity exact at both).
     """
-    from ..operators.ann import brute_force_topk
+    from ..operators.ann import _dot, _norm
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _MR_NQ)
-    truth = (brute_force_topk(emb, queries, k=_MR_K)
-             .select("query_id", "neighbor_id").localCheckpoint())
-    out = None
+    q = (emb.filter(F.col("vec_id") < _MR_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_vec")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("c_vec"))
+    pairs = (c.crossJoin(F.broadcast(q))
+             .filter(F.col("neighbor_id") != F.col("query_id")))
+    sims = []
     for d in _MR_DIMS:
-        sl = F.slice(F.col("embedding"), 1, d).alias("embedding")
-        emb_d = emb.select("vec_id", sl)
-        q_d = queries.select("vec_id", sl)
-        cand = (brute_force_topk(emb_d, q_d, k=_MR_K)
-                .select("query_id", "neighbor_id"))
-        hits = (cand.join(truth, ["query_id", "neighbor_id"], "semi")
-                .groupBy("query_id")
-                .agg(F.count(F.lit(1)).alias("hits"))
-                .select(F.lit(d).cast("bigint").alias("dim"),
-                        "query_id",
-                        F.col("hits").cast("bigint").alias("hits")))
-        out = hits if out is None else out.unionByName(hits)
-    return (out.withColumn(
+        a = F.slice(F.col("q_vec"), 1, d)
+        b = F.slice(F.col("c_vec"), 1, d)
+        sims.append((_dot(a, b) / (_norm(a) * _norm(b))).alias(f"sim{d}"))
+    scored = pairs.select("query_id", "neighbor_id", *sims)
+    stack_args = ", ".join(f"CAST({d} AS BIGINT), sim{d}" for d in _MR_DIMS)
+    stacked = scored.selectExpr(
+        "query_id", "neighbor_id",
+        f"stack({len(_MR_DIMS)}, {stack_args}) AS (dim, sim)")
+    order = [F.round("sim", 9).desc(), F.col("neighbor_id")]
+    salted = stacked.withColumn(
+        "__salt", F.pmod(F.hash("neighbor_id"), F.lit(32)))
+    w1 = Window.partitionBy("dim", "query_id", "__salt").orderBy(*order)
+    survivors = (salted.withColumn("__r", F.row_number().over(w1))
+                 .filter(F.col("__r") <= _MR_K))
+    w2 = Window.partitionBy("dim", "query_id").orderBy(*order)
+    # checkpoint: <= len(_MR_DIMS)*_MR_NQ*_MR_K rows (~100), consumed
+    # twice (truth arm + candidate arm) — inside the timed build
+    ranked = (survivors.withColumn("rnk", F.row_number().over(w2))
+              .filter(F.col("rnk") <= _MR_K)
+              .select("dim", "query_id", "neighbor_id")
+              .localCheckpoint())
+    truth = (ranked.filter(F.col("dim") == max(_MR_DIMS))
+             .select("query_id", "neighbor_id"))
+    hits = (ranked.join(truth, ["query_id", "neighbor_id"], "semi")
+            .groupBy("dim", "query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select("dim", "query_id",
+                    F.col("hits").cast("bigint").alias("hits")))
+    return (hits.withColumn(
         "recall_e4", F.expr(f"(10000 * hits) div {_MR_K}").cast("bigint"))
         .orderBy("dim", "query_id"))
 

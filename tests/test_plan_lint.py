@@ -143,8 +143,9 @@ BNLJ_ALLOWED = {
     # 1-row part-count total crossed onto the |brands| x |types|
     # pair lattice
     "correlated_predicates",
-    # brute-force truth + 4 truncated-prefix arms (query-batch x corpus
-    # broadcast products BY DESIGN — the ann_recall_report shape)
+    # one query-batch x corpus broadcast product scoring all 4
+    # truncated-prefix rungs + truth (BY DESIGN — the ann_recall_report
+    # shape; r14 single-product rewrite)
     "matryoshka_recall_report",
     # 1-row max-ts anchor broadcast onto the trailing-window scan
     # (the snapshot_asof shape)
@@ -421,9 +422,8 @@ FACT_SCAN_ALLOWED = {
     # + dirty-bucket row re-scans are PRUNED re-reads by design — in
     # production v1/v2 are separate tables and never materialized
     "merkle_diff": {"orders": 9},
-    # (a) 4 ladder rungs + the truth arm, each a by-design brute-force
-    # pass over the corpus (the ann_recall_report eval contract)
-    "matryoshka_recall_report": {"embeddings": 8},
+    # (r14: matryoshka_recall_report entry removed — the single-product
+    # rewrite computes all 4 rungs + truth from ONE corpus scan pair)
     # (a) resolve cascade levels each probe the customer key dim with a
     # pruned lookup scan
     "resolve_cascade": {"customer": 5},
